@@ -1,0 +1,54 @@
+"""splat_renderer_tpu — a TPU-native rebuild of ath92/splat-renderer.
+
+A Gaussian-splat modeling + rendering engine in JAX/XLA/Pallas:
+
+- `sdf`:      CSG scene graph of SDF primitives with analytic gradients;
+              tracing+jit replaces the reference's WGSL code generator.
+- `points`:   device-side surface-point seeding, gradient-descent projection
+              (lax.scan), curvature probe, splat property derivation.
+- `render`:   splat projection, sort-based tile binning (no atomics),
+              per-tile front-to-back compositing, and an exact sequential
+              oracle.
+- `ops`:      Pallas TPU kernels for the hot paths (tile blend, radix sort).
+- `parallel`: multi-chip sharding (view-DP x tile-TP x point-SP) over a
+              jax.sharding.Mesh.
+
+Reference: /root/reference (TypeScript + WGSL, WebGPU).  This is a from-
+scratch TPU-first design, not a port; docstrings cite reference file:line for
+behavior parity only.
+"""
+
+from . import sdf
+from .camera import Camera, OrbitCameraController, orbit_ring
+from .config import PointConfig, RenderConfig
+from .sdf import (
+    Box,
+    Capsule,
+    SDFScene,
+    Sphere,
+    Torus,
+    intersection,
+    smooth_union,
+    subtraction,
+    union,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "Box",
+    "Camera",
+    "Capsule",
+    "OrbitCameraController",
+    "PointConfig",
+    "RenderConfig",
+    "SDFScene",
+    "Sphere",
+    "Torus",
+    "intersection",
+    "orbit_ring",
+    "sdf",
+    "smooth_union",
+    "subtraction",
+    "union",
+]

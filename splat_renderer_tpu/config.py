@@ -1,0 +1,97 @@
+"""Central configuration for the TPU splat engine.
+
+The reference scatters its tuning knobs as hardcoded constants across ten files
+(tile size 16 at src/TileBinner.ts:35, Gaussian sigma 0.5 at
+src/ComputeShaderRenderer.ts:139, curvature probe radius 0.02 at
+src/CurvatureSampler.ts:99, point-count heuristic at src/PointManager.ts:28-38,
+splat radius 0.04 at src/SplatPropertyManager.ts:94-95, ...).  Here they live in
+two frozen (hence hashable, hence jit-static) dataclasses.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+@dataclasses.dataclass(frozen=True)
+class PointConfig:
+    """Surface-point generation & refinement knobs.
+
+    Mirrors the live modeler path of the reference:
+    - points_per_primitive / min/max_points: src/PointManager.ts:28-38
+    - aabb_scale: the 1.5x seeding margin, src/PointManager.ts:212-213
+    - descent_steps: the 5x gradient-descent loop, src/main.ts:149-172
+    - probe_radius / curvature mapping: src/CurvatureSampler.ts:99,128-134
+    """
+
+    points_per_primitive: int = 30_000
+    min_points: int = 10_000
+    max_points: int = 200_000
+    aabb_scale: float = 1.5
+    descent_steps: int = 5
+    probe_radius: float = 0.02
+    # scale = lerp(curvature_min_scale, 1.0, 1 - smoothstep(0, curvature_range, var))
+    curvature_min_scale: float = 0.01
+    curvature_range: float = 0.5
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Splat rasterization knobs (tile pipeline + compositors)."""
+
+    width: int = 1920
+    height: int = 1080
+    tile_size: int = 16  # src/TileBinner.ts:35 default
+    # Gaussian falloff of the per-pixel compositor, src/ComputeShaderRenderer.ts:139
+    sigma: float = 0.5
+    # Bounding box padding: 1.5 * screenRadius covers ~99% of the Gaussian,
+    # src/SplatProjector.ts:115-121
+    bounds_margin: float = 1.5
+    # Splats smaller than this many pixels are dropped,
+    # src/ComputeShaderRenderer.ts:127-129
+    min_screen_radius: float = 0.5
+    # Base world-space splat radius; the reference hardcodes 0.04 ("TEMPORARY",
+    # src/SplatPropertyManager.ts:94-95) and ignores the curvature scale there;
+    # we multiply by the curvature scale (resolving SURVEY.md section 2.4 item 4).
+    base_radius: float = 0.04
+    base_opacity: float = 1.0  # src/SplatPropertyManager.ts:102
+    background: Tuple[float, float, float] = (0.05, 0.05, 0.1)
+    # Lighting of the tile/sequential compositors, src/ComputeShaderRenderer.ts:143-145
+    light_dir: Tuple[float, float, float] = (1.0, 1.0, 1.0)
+    light_ambient: float = 0.85
+    light_diffuse: float = 0.15
+    # --- static-shape capacities (TPU has no dynamic allocation mid-frame) ---
+    # Max screen-tiles a single splat may overlap (per axis the cap is
+    # sqrt(tile_cap)).  Splats overlapping more get their binning footprint
+    # clamped (the reference warns at >20x average overlap,
+    # src/GPUTileBinner.ts:265-281; we clamp instead of warn).
+    tiles_per_splat_cap: int = 16
+    # Transmittance floor for early termination: matches the reference's
+    # `alpha >= 0.99` accumulation exit (src/ComputeShaderRenderer.ts:188-190).
+    transmittance_eps: float = 0.01
+    # Chunk of splats blended per scan step in the compositors.
+    blend_chunk: int = 32
+
+    @property
+    def tiles_x(self) -> int:
+        return _cdiv(self.width, self.tile_size)
+
+    @property
+    def tiles_y(self) -> int:
+        return _cdiv(self.height, self.tile_size)
+
+    @property
+    def num_tiles(self) -> int:
+        return self.tiles_x * self.tiles_y
+
+    @property
+    def tile_pixels(self) -> int:
+        return self.tile_size * self.tile_size
+
+    def replace(self, **kw) -> "RenderConfig":
+        return dataclasses.replace(self, **kw)

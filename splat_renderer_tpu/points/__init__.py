@@ -1,0 +1,16 @@
+from .curvature import curvature_probe
+from .projection import project_step, project_to_surface
+from .properties import Splats, derive_splats, num_splats
+from .seeding import point_count, seed_points, seed_scene_points
+
+__all__ = [
+    "Splats",
+    "curvature_probe",
+    "derive_splats",
+    "num_splats",
+    "point_count",
+    "project_step",
+    "project_to_surface",
+    "seed_points",
+    "seed_scene_points",
+]

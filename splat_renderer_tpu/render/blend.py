@@ -1,0 +1,109 @@
+"""Shared splat evaluation + front-to-back blending math.
+
+The single source of truth for "what does one splat contribute to one pixel",
+used by the sequential oracle, the XLA tile compositor, and (re-derived in
+kernel form) the Pallas tile blend.  Counterpart of `evaluateSplat`
+(src/ComputeShaderRenderer.ts:97-148) and the blending recurrence (:176-191).
+
+Key TPU insight: the front-to-back "over" operator
+    (C_a, T_a) (+) (C_b, T_b) = (C_a + T_a * C_b, T_a * T_b)
+is **associative**, so compositing needs no per-pixel sequential loop: within
+any ordered run of splats, transmittance is an (exclusive) cumulative product
+and color a weighted sum.  The reference's per-pixel `for` loop with an
+`alpha >= 0.99` break becomes chunked scans with saturation predicates.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import RenderConfig
+
+# splat screen-data record layout (see projector.pack_splat_screen_data):
+# [0] center x  [1] center y  [2] screen radius  [3] opacity
+# [4:7] lit rgb [7] depth
+DATA_DIM = 8
+
+
+def splat_alpha(
+    data: jnp.ndarray,  # (..., 8)
+    pix: jnp.ndarray,  # (..., 2) broadcastable against data[..., :2]
+    cfg: RenderConfig,
+) -> jnp.ndarray:
+    """Per-(splat, pixel) alpha contribution.
+
+    Matches evaluateSplat (src/ComputeShaderRenderer.ts:97-148):
+    - reject pixels outside the padded bounds box (:117-121)
+    - reject splats with screen radius < 0.5 px (:127-129)
+    - radial Gaussian: exp(-0.5 * (d/r)^2 / sigma^2) with sigma=0.5 (:136-140)
+    - multiplied by per-splat opacity (the reference reads but drops opacity in
+      this shader; its property pass sets opacity=1.0 so the behaviors agree —
+      we keep the multiply so opacity is honored, matching TileRenderer).
+    """
+    center = data[..., 0:2]
+    radius = data[..., 2]
+    opacity = data[..., 3]
+
+    delta = pix - center
+    dist2 = jnp.sum(delta * delta, axis=-1)
+    pad = radius * cfg.bounds_margin
+    in_bounds = jnp.all(jnp.abs(delta) <= pad[..., None], axis=-1)
+    big_enough = radius >= cfg.min_screen_radius
+
+    safe_r2 = jnp.maximum(radius * radius, 1e-12)
+    nd2 = dist2 / safe_r2
+    gauss = jnp.exp(-0.5 * nd2 / (cfg.sigma * cfg.sigma))
+    return jnp.where(in_bounds & big_enough, opacity * gauss, 0.0)
+
+
+def segmented_exclusive_product(
+    values: jnp.ndarray,  # (n, ...) per-element factors (e.g. 1 - alpha)
+    starts: jnp.ndarray,  # (n,) bool, True where a new segment begins
+) -> jnp.ndarray:
+    """Exclusive running product within contiguous segments along axis 0.
+
+    out[i] = prod(values[j] for j in segment(i), j < i).  Implemented as an
+    inclusive associative scan of right-shifted values with segment-reset
+    flags — exact products, no log/exp round-tripping.
+    """
+    n = values.shape[0]
+    ones_head = jnp.ones_like(values[:1])
+    shifted = jnp.concatenate([ones_head, values[:-1]], axis=0)
+    shifted = jnp.where(
+        starts.reshape((n,) + (1,) * (values.ndim - 1)), 1.0, shifted
+    )
+
+    def combine(a, b):
+        fa, va = a
+        fb, vb = b
+        return fa | fb, jnp.where(
+            fb.reshape(fb.shape + (1,) * (va.ndim - fb.ndim)), vb, va * vb
+        )
+
+    _, prod = jax.lax.associative_scan((starts, shifted), combine)
+    return prod
+
+
+def over_merge(
+    color_a: jnp.ndarray,
+    alpha_a: jnp.ndarray,
+    color_b: jnp.ndarray,
+    alpha_b: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Merge two premultiplied (color, alpha) layers with A in front of B.
+
+    This is the associative 'over' fold used to combine depth-ordered partial
+    composites — e.g. per-device shards in splat-parallel rendering."""
+    t_a = 1.0 - alpha_a
+    return color_a + t_a[..., None] * color_b, alpha_a + t_a * alpha_b
+
+
+def composite_over_background(
+    color: jnp.ndarray, alpha: jnp.ndarray, cfg: RenderConfig
+) -> jnp.ndarray:
+    """final = accumulated + bg * (1 - alpha) (src/ComputeShaderRenderer.ts:193-197)."""
+    bg = jnp.asarray(cfg.background, color.dtype)
+    return color + bg * (1.0 - alpha)[..., None]

@@ -1,0 +1,114 @@
+"""Splat projection: world space -> screen space, depth, radius, bounds.
+
+Counterpart of src/SplatProjector.ts:34-133 (one WGSL thread per splat); here
+each field is computed for the whole (N,) batch with one batched 4x4 matmul —
+exactly the shape the MXU/VPU want.
+
+Output is a structure-of-arrays dict instead of the reference's packed
+32-byte ProjectedSplat record; the two conflicting layouts noted in SURVEY.md
+section 2.4 item 2 collapse into named fields.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax.numpy as jnp
+
+from ..config import RenderConfig
+
+Projected = Dict[str, jnp.ndarray]
+
+
+def _to_screen(
+    world: jnp.ndarray, view_proj: jnp.ndarray, width: int, height: int
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Project (..., 3) world points to (..., 2) pixel coordinates.
+
+    NDC -> screen mapping per src/SplatProjector.ts:85-89 (y flipped).
+    Returns (screen_xy, clip_w).
+    """
+    hom = jnp.concatenate([world, jnp.ones_like(world[..., :1])], axis=-1)
+    clip = hom @ view_proj.T
+    w = clip[..., 3]
+    ndc = clip[..., :2] / jnp.where(jnp.abs(w) < 1e-8, 1e-8, w)[..., None]
+    sx = (ndc[..., 0] + 1.0) * 0.5 * width
+    sy = (1.0 - ndc[..., 1]) * 0.5 * height
+    return jnp.stack([sx, sy], axis=-1), w
+
+
+def project_splats(
+    view_proj: jnp.ndarray,  # (4, 4)
+    cam_pos: jnp.ndarray,  # (3,)
+    positions: jnp.ndarray,  # (N, 3)
+    radii: jnp.ndarray,  # (N,)
+    cfg: RenderConfig,
+) -> Projected:
+    """Project all splats; returns dict with:
+
+    - center (N, 2): screen-space splat center
+    - depth (N,): camera-space distance (src/SplatProjector.ts:77)
+    - radius (N,): max screen-space radius over 6 axial offsets (:91-113)
+    - bounds_min / bounds_max (N, 2): center +- margin*radius (:115-121)
+    - valid (N,): in front of the camera.  The reference never culls; without
+      a near-plane test a splat behind the eye would projectively wrap.  We
+      mark it invalid (divergence documented; invalid splats get depth=inf and
+      are dropped by binning).
+    """
+    center, w_center = _to_screen(positions, view_proj, cfg.width, cfg.height)
+    depth = jnp.linalg.norm(positions - cam_pos, axis=-1)
+
+    # 6 axial offsets, projected as one (N, 6, 3) batch
+    eye = jnp.eye(3, dtype=positions.dtype)
+    offsets = jnp.concatenate([eye, -eye], axis=0)  # (6, 3)
+    probe = positions[:, None, :] + radii[:, None, None] * offsets[None, :, :]
+    probe_screen, w_probe = _to_screen(probe, view_proj, cfg.width, cfg.height)
+    screen_radius = jnp.max(
+        jnp.linalg.norm(probe_screen - center[:, None, :], axis=-1), axis=-1
+    )
+
+    valid = (w_center > 1e-6) & jnp.all(w_probe > 1e-6, axis=-1)
+    screen_radius = jnp.where(valid, screen_radius, 0.0)
+    depth = jnp.where(valid, depth, jnp.inf)
+
+    padded = screen_radius * cfg.bounds_margin
+    return {
+        "center": center,
+        "depth": depth,
+        "radius": screen_radius,
+        "bounds_min": center - padded[:, None],
+        "bounds_max": center + padded[:, None],
+        "valid": valid,
+    }
+
+
+def pack_splat_screen_data(
+    projected: Projected,
+    color: jnp.ndarray,  # (N, 3)
+    opacity: jnp.ndarray,  # (N,)
+    normals: jnp.ndarray,  # (N, 3)
+    cfg: RenderConfig,
+) -> jnp.ndarray:
+    """Fuse projection + appearance into the (N, 8) render record consumed by
+    the compositors: [cx, cy, radius, opacity, r*, g*, b*, depth] with the
+    lambert lighting term pre-folded into rgb.
+
+    Lighting: litColor = color * (ambient + diffuse * max(dot(n, L), 0))
+    (src/ComputeShaderRenderer.ts:143-145) depends only on per-splat normals,
+    so it moves out of the per-pixel loop entirely — the reference recomputes
+    it per (pixel, splat) pair.
+    """
+    light = jnp.asarray(cfg.light_dir, dtype=color.dtype)
+    light = light / jnp.linalg.norm(light)
+    diffuse = jnp.maximum(jnp.sum(normals * light, axis=-1), 0.0)
+    lit = color * (cfg.light_ambient + cfg.light_diffuse * diffuse)[:, None]
+    return jnp.concatenate(
+        [
+            projected["center"],
+            projected["radius"][:, None],
+            opacity[:, None],
+            lit,
+            projected["depth"][:, None],
+        ],
+        axis=-1,
+    )
