@@ -1,0 +1,107 @@
+"""Benchmark: 1M splats composited at 1080p on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": FPS, "unit": "fps", "vs_baseline": FPS/60, ...}
+
+Baseline: the reference's north-star target of 1M splats @ 60 FPS
+(3D_PLAN.md:379-382; BASELINE.md "Targets"), so vs_baseline = fps / 60.
+Extra fields carry the per-stage breakdown (project/sort/bin/blend ms) that
+BASELINE.json's metric asks for, measured with block_until_ready timing.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+import jax
+import jax.numpy as jnp
+
+import splat_renderer_tpu as spt
+from splat_renderer_tpu.config import PointConfig, RenderConfig
+from splat_renderer_tpu.points import (
+    curvature_probe,
+    derive_splats,
+    project_to_surface,
+    seed_scene_points,
+)
+from splat_renderer_tpu.render.binning import bin_splats, depth_sort
+from splat_renderer_tpu.render.pipeline import model_points, splat_screen_data
+from splat_renderer_tpu.utils.timing import time_fn
+
+N_SPLATS = 1_000_000
+WIDTH, HEIGHT = 1920, 1080
+
+
+def _demo_scene():
+    s1 = spt.Sphere(id="sphere1", position=(0, 0, 0), radius=0.5)
+    b1 = spt.Box(id="box1", position=(0.6, 0, 0), size=(0.3, 0.3, 0.3))
+    s2 = spt.Sphere(id="sphere2", position=(0, 0.6, 0), radius=0.25)
+    return spt.SDFScene(spt.smooth_union(0.1, spt.smooth_union(0.15, s1, b1), s2))
+
+
+def main() -> None:
+    scene = _demo_scene()
+    # 1M splats at 1080p: small world radius keeps footprints at a few
+    # pixels, the physically sensible regime at this density.
+    rcfg = RenderConfig(
+        width=WIDTH, height=HEIGHT, base_radius=0.008, tiles_per_splat_cap=4
+    )
+    pcfg = PointConfig(descent_steps=5)
+    cam = spt.Camera(aspect=WIDTH / HEIGHT)
+    camera = {k: jnp.asarray(v) for k, v in cam.arrays().items()}
+    params = scene.params()
+    key = jax.random.PRNGKey(0)
+
+    # ---- stage-isolated timings ----
+    model_j = jax.jit(
+        lambda p, k: model_points(scene, p, k, N_SPLATS, pcfg, rcfg)
+    )
+    t_model, splats = time_fn(model_j, params, key, warmup=2, iters=5)
+
+    project_j = jax.jit(lambda s, c: splat_screen_data(s, c, rcfg))
+    t_project, data = time_fn(project_j, splats, camera, warmup=2, iters=5)
+
+    sort_j = jax.jit(lambda d: depth_sort(d[:, 7], d)[2])
+    t_sort, data_sorted = time_fn(sort_j, data, warmup=2, iters=5)
+
+    bin_j = jax.jit(lambda d: bin_splats(d, rcfg))
+    t_bin, binned = time_fn(bin_j, data_sorted, warmup=2, iters=5)
+
+    from splat_renderer_tpu.render.compositor import render_tiles
+
+    blend_j = jax.jit(lambda d, b: render_tiles(d, b, rcfg))
+    t_blend, img = time_fn(blend_j, data_sorted, binned, warmup=2, iters=5)
+
+    # ---- full fused frame (render-only: splats -> image) ----
+    def full(s, c):
+        d = splat_screen_data(s, c, rcfg)
+        _, _, ds = depth_sort(d[:, 7], d)
+        return render_tiles(ds, bin_splats(ds, rcfg), rcfg)
+
+    full_j = jax.jit(full)
+    t_full, _ = time_fn(full_j, splats, camera, warmup=2, iters=5)
+
+    fps = 1.0 / t_full
+    msplats_per_sec = N_SPLATS * fps / 1e6
+    result = {
+        "metric": "fps_1080p_1m_splats",
+        "value": round(fps, 3),
+        "unit": "fps",
+        "vs_baseline": round(fps / 60.0, 4),
+        "msplats_per_sec": round(msplats_per_sec, 2),
+        "frame_ms": round(t_full * 1e3, 3),
+        "project_ms": round(t_project * 1e3, 3),
+        "sort_ms": round(t_sort * 1e3, 3),
+        "bin_ms": round(t_bin * 1e3, 3),
+        "blend_ms": round(t_blend * 1e3, 3),
+        "model_stage_ms": round(t_model * 1e3, 3),
+        "n_splats": N_SPLATS,
+        "resolution": f"{WIDTH}x{HEIGHT}",
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

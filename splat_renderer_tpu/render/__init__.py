@@ -1,0 +1,37 @@
+from .binning import bin_splats, depth_sort
+from .blend import (
+    composite_over_background,
+    over_merge,
+    segmented_exclusive_product,
+    splat_alpha,
+)
+from .compositor import render_tiles, tiles_to_image
+from .oracle import pixel_grid, render_oracle
+from .pipeline import (
+    Engine,
+    model_points,
+    render_frame,
+    render_splats,
+    splat_screen_data,
+)
+from .projector import pack_splat_screen_data, project_splats
+
+__all__ = [
+    "Engine",
+    "bin_splats",
+    "composite_over_background",
+    "depth_sort",
+    "model_points",
+    "over_merge",
+    "pack_splat_screen_data",
+    "pixel_grid",
+    "project_splats",
+    "render_frame",
+    "render_oracle",
+    "render_splats",
+    "render_tiles",
+    "segmented_exclusive_product",
+    "splat_alpha",
+    "splat_screen_data",
+    "tiles_to_image",
+]

@@ -83,7 +83,7 @@ def segmented_exclusive_product(
             fb.reshape(fb.shape + (1,) * (va.ndim - fb.ndim)), vb, va * vb
         )
 
-    _, prod = jax.lax.associative_scan((starts, shifted), combine)
+    _, prod = jax.lax.associative_scan(combine, (starts, shifted))
     return prod
 
 

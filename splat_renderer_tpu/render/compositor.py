@@ -1,0 +1,108 @@
+"""Tile compositor (pure-XLA v1): per-tile front-to-back alpha blending.
+
+Counterpart of the per-pixel compute compositor
+(src/ComputeShaderRenderer.ts:150-198).  The WebGPU shader walks each pixel's
+tile list sequentially with an `alpha >= 0.99` break; TPU-natively we walk the
+*pair* stream (tile-sorted, depth-ordered within tiles) in chunks under one
+`lax.scan`, carrying per-tile-pixel (color, transmittance):
+
+  per chunk (exact, order-preserving):
+    alpha   = evaluate chunk splats against their own tile's 16x16 pixels
+    t_local = within-chunk segmented exclusive product of (1 - alpha)
+    weight  = alpha * t_local * carry_trans[tile]
+    color  .at[tile].add(weight * rgb)        # duplicate tiles fold by +
+    trans  .at[tile].multiply(1 - alpha)      # duplicate tiles fold by *
+
+Scatter-add/-multiply with duplicate indices are order-independent, so the
+result is exactly the sequential front-to-back blend.  The Pallas kernel
+(ops/tile_blend.py) is the fast path; this is the readable reference
+implementation and the fallback for odd configs.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..config import RenderConfig
+from .binning import Binned
+from .blend import composite_over_background, segmented_exclusive_product, splat_alpha
+
+
+def _tile_pixel_offsets(cfg: RenderConfig) -> jnp.ndarray:
+    """(tile_pixels, 2) pixel-center offsets within a tile, row-major."""
+    ts = cfg.tile_size
+    py = jax.lax.broadcasted_iota(jnp.float32, (ts, ts), 0)
+    px = jax.lax.broadcasted_iota(jnp.float32, (ts, ts), 1)
+    return jnp.stack([px + 0.5, py + 0.5], axis=-1).reshape(-1, 2)
+
+
+def tiles_to_image(
+    tile_color: jnp.ndarray,  # (num_tiles, tile_pixels, 3)
+    tile_alpha: jnp.ndarray,  # (num_tiles, tile_pixels)
+    cfg: RenderConfig,
+) -> jnp.ndarray:
+    """Assemble per-tile pixel blocks into the (H, W, 3) image (cropping the
+    partial tiles at the right/bottom edges) and composite the background."""
+    ts = cfg.tile_size
+    img = composite_over_background(tile_color, tile_alpha, cfg)
+    img = img.reshape(cfg.tiles_y, cfg.tiles_x, ts, ts, 3)
+    img = img.transpose(0, 2, 1, 3, 4).reshape(cfg.tiles_y * ts, cfg.tiles_x * ts, 3)
+    return img[: cfg.height, : cfg.width]
+
+
+def render_tiles(
+    splat_data_sorted: jnp.ndarray,  # (N, 8) depth-ascending packed data
+    binned: Binned,
+    cfg: RenderConfig,
+    pair_chunk: int = 1024,
+) -> jnp.ndarray:
+    """Composite the binned splats; returns the (H, W, 3) image."""
+    num_tiles = cfg.num_tiles
+    tp = cfg.tile_pixels
+    pair_tile = binned["pair_tile"]
+    pair_splat = binned["pair_splat"]
+    p = pair_tile.shape[0]
+
+    pad = (-p) % pair_chunk
+    if pad:
+        pair_tile = jnp.concatenate(
+            [pair_tile, jnp.full((pad,), num_tiles, pair_tile.dtype)]
+        )
+        pair_splat = jnp.concatenate([pair_splat, jnp.zeros((pad,), pair_splat.dtype)])
+    n_chunks = pair_tile.shape[0] // pair_chunk
+    tiles_c = pair_tile.reshape(n_chunks, pair_chunk)
+    splats_c = pair_splat.reshape(n_chunks, pair_chunk)
+
+    pix_off = _tile_pixel_offsets(cfg)  # (tp, 2)
+    ts = float(cfg.tile_size)
+
+    def body(carry, inputs):
+        color, trans = carry  # (T+1, tp, 3), (T+1, tp)
+        tile_ids, splat_ids = inputs  # (c,), (c,)
+        data = splat_data_sorted[splat_ids]  # (c, 8)
+        origin = jnp.stack(
+            [(tile_ids % cfg.tiles_x).astype(jnp.float32) * ts,
+             (tile_ids // cfg.tiles_x).astype(jnp.float32) * ts],
+            axis=-1,
+        )  # (c, 2)
+        pix = origin[:, None, :] + pix_off[None, :, :]  # (c, tp, 2)
+        a = splat_alpha(data[:, None, :], pix, cfg)  # (c, tp)
+        a = jnp.where((tile_ids < num_tiles)[:, None], a, 0.0)
+
+        starts = jnp.concatenate(
+            [jnp.ones((1,), bool), tile_ids[1:] != tile_ids[:-1]]
+        )
+        t_local = segmented_exclusive_product(1.0 - a, starts)  # (c, tp)
+        weight = a * t_local * trans[tile_ids]  # (c, tp)
+        rgb = data[:, 4:7]
+        color = color.at[tile_ids].add(weight[:, :, None] * rgb[:, None, :])
+        trans = trans.at[tile_ids].multiply(1.0 - a)
+        return (color, trans), None
+
+    init = (
+        jnp.zeros((num_tiles + 1, tp, 3), jnp.float32),
+        jnp.ones((num_tiles + 1, tp), jnp.float32),
+    )
+    (color, trans), _ = jax.lax.scan(body, init, (tiles_c, splats_c))
+    return tiles_to_image(color[:num_tiles], 1.0 - trans[:num_tiles], cfg)

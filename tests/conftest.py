@@ -16,7 +16,16 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The axon sitecustomize force-registers the TPU backend and sets
+# jax_platforms="axon,cpu" at interpreter start, overriding the env var —
+# override it back after import (backends are not initialized yet here).
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+
+assert jax.device_count() >= 8, (
+    "tests expect the 8-virtual-device CPU mesh; got "
+    f"{jax.devices()} — check XLA_FLAGS handling in conftest.py"
+)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,288 @@
+"""Render-layer tests: projection semantics, sort-based binning vs a dense
+O(N*T) reference, blending algebra, and the fidelity gate — tile compositor
+matches the sequential oracle within fp32 tolerance (BASELINE.json config 1).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import splat_renderer_tpu as spt
+from splat_renderer_tpu.config import RenderConfig
+from splat_renderer_tpu.render import (
+    bin_splats,
+    depth_sort,
+    render_oracle,
+    render_splats,
+    render_tiles,
+    segmented_exclusive_product,
+    splat_alpha,
+    splat_screen_data,
+)
+from splat_renderer_tpu.render.pipeline import model_points, render_frame
+from splat_renderer_tpu.render.projector import pack_splat_screen_data, project_splats
+
+CFG = RenderConfig(width=128, height=96, tiles_per_splat_cap=16)
+
+
+def _random_screen_splats(rng, n, cfg, r_lo=1.0, r_hi=12.0):
+    """Synthetic packed (N, 8) screen data scattered over the viewport."""
+    cx = rng.uniform(-10, cfg.width + 10, n)
+    cy = rng.uniform(-10, cfg.height + 10, n)
+    radius = rng.uniform(r_lo, r_hi, n)
+    opacity = rng.uniform(0.3, 1.0, n)
+    rgb = rng.uniform(0, 1, (n, 3))
+    depth = rng.uniform(1.0, 10.0, n)
+    return jnp.asarray(
+        np.column_stack([cx, cy, radius, opacity, rgb, depth]), jnp.float32
+    )
+
+
+class TestProjector:
+    def _setup(self):
+        cam = spt.Camera(azimuth=0.3, elevation=0.2, distance=3.0,
+                         aspect=CFG.width / CFG.height)
+        arrs = cam.arrays()
+        return cam, jnp.asarray(arrs["view_proj"]), jnp.asarray(arrs["cam_pos"])
+
+    def test_center_projects_to_screen_center(self):
+        cam, vp, cp = self._setup()
+        pos = jnp.asarray(cam.target, jnp.float32)[None, :]
+        proj = project_splats(vp, cp, pos, jnp.array([0.05]), CFG)
+        np.testing.assert_allclose(
+            proj["center"][0], [CFG.width / 2, CFG.height / 2], atol=1e-3
+        )
+        assert proj["depth"][0] == pytest.approx(3.0, abs=1e-5)
+
+    def test_screen_radius_shrinks_with_distance(self):
+        _, vp, cp = self._setup()
+        near = project_splats(vp, cp, cp[None] * 0.5, jnp.array([0.05]), CFG)
+        far = project_splats(vp, cp, -cp[None] * 0.5, jnp.array([0.05]), CFG)
+        assert near["radius"][0] > far["radius"][0]
+
+    def test_behind_camera_invalid(self):
+        _, vp, cp = self._setup()
+        behind = cp[None] * 2.0  # past the eye, away from target
+        proj = project_splats(vp, cp, behind, jnp.array([0.05]), CFG)
+        assert not bool(proj["valid"][0])
+        assert not np.isfinite(proj["depth"][0])
+
+    def test_bounds_margin(self):
+        _, vp, cp = self._setup()
+        proj = project_splats(vp, cp, jnp.zeros((1, 3)), jnp.array([0.05]), CFG)
+        pad = proj["bounds_max"][0] - proj["center"][0]
+        np.testing.assert_allclose(pad, proj["radius"][0] * CFG.bounds_margin, rtol=1e-5)
+
+    def test_lighting_folds_into_rgb(self):
+        _, vp, cp = self._setup()
+        proj = project_splats(vp, cp, jnp.zeros((1, 3)), jnp.array([0.05]), CFG)
+        l = jnp.asarray(CFG.light_dir) / np.linalg.norm(CFG.light_dir)
+        for normal, expect_scale in [
+            (l[None, :], CFG.light_ambient + CFG.light_diffuse),  # facing light
+            (-l[None, :], CFG.light_ambient),  # facing away: ambient only
+        ]:
+            data = pack_splat_screen_data(
+                proj, jnp.ones((1, 3)), jnp.ones((1,)), normal, CFG
+            )
+            np.testing.assert_allclose(data[0, 4:7], expect_scale, rtol=1e-5)
+
+
+class TestBlendAlgebra:
+    def test_segmented_exclusive_product(self):
+        vals = jnp.array([2.0, 3.0, 5.0, 7.0, 11.0])
+        starts = jnp.array([True, False, False, True, False])
+        out = segmented_exclusive_product(vals, starts)
+        np.testing.assert_allclose(out, [1, 2, 6, 1, 7])
+
+    def test_segmented_exclusive_product_2d(self, rng):
+        vals = jnp.asarray(rng.uniform(0.5, 1.0, (64, 8)), jnp.float32)
+        starts = jnp.asarray(rng.uniform(size=64) < 0.2).at[0].set(True)
+        out = segmented_exclusive_product(vals, starts)
+        # brute-force check
+        expect = np.ones_like(vals)
+        run = np.ones(8, np.float32)
+        for i in range(64):
+            if starts[i]:
+                run = np.ones(8, np.float32)
+            expect[i] = run
+            run = run * np.asarray(vals[i])
+        np.testing.assert_allclose(out, expect, rtol=1e-5)
+
+    def test_splat_alpha_center_and_falloff(self):
+        cfg = CFG
+        data = jnp.array([[10.0, 10.0, 4.0, 0.8, 1, 1, 1, 5.0]])
+        a_center = splat_alpha(data, jnp.array([10.0, 10.0]), cfg)
+        assert a_center[0] == pytest.approx(0.8, abs=1e-6)
+        a_off = splat_alpha(data, jnp.array([14.0, 10.0]), cfg)  # 1 radius away
+        assert a_off[0] == pytest.approx(0.8 * np.exp(-0.5 / cfg.sigma**2), rel=1e-5)
+        # outside padded bounds -> 0
+        a_out = splat_alpha(data, jnp.array([10.0 + 4.0 * cfg.bounds_margin + 1, 10.0]), cfg)
+        assert a_out[0] == 0.0
+
+    def test_tiny_splat_dropped(self):
+        data = jnp.array([[10.0, 10.0, 0.3, 0.8, 1, 1, 1, 5.0]])
+        assert splat_alpha(data, jnp.array([10.0, 10.0]), CFG)[0] == 0.0
+
+
+class TestBinning:
+    def test_depth_sort(self, rng):
+        d = jnp.asarray(rng.uniform(0, 10, 100), jnp.float32)
+        payload = jnp.arange(100, dtype=jnp.float32)[:, None]
+        sd, order, sp = depth_sort(d, payload)
+        assert jnp.all(jnp.diff(sd) >= 0)
+        np.testing.assert_allclose(d[order], sd)
+        np.testing.assert_allclose(sp[:, 0], order)
+
+    def test_invalid_sorts_last(self):
+        d = jnp.array([3.0, jnp.inf, 1.0])
+        sd, order = depth_sort(d)
+        np.testing.assert_allclose(order, [2, 0, 1])
+
+    def test_bins_match_dense_reference(self, rng):
+        """Sorted binning must agree with a dense O(N*T) membership test."""
+        cfg = CFG
+        data = _random_screen_splats(rng, 200, cfg, r_lo=1.0, r_hi=10.0)
+        _, _, data_s = depth_sort(data[:, 7], data)
+        binned = bin_splats(data_s, cfg)
+
+        # dense reference: splat s covers tile t iff bbox overlaps tile rect
+        data_np = np.asarray(data_s)
+        ts = cfg.tile_size
+        member = np.zeros((cfg.num_tiles, 200), bool)
+        for s in range(200):
+            cx, cy, r = data_np[s, 0], data_np[s, 1], data_np[s, 2]
+            if r < cfg.min_screen_radius:
+                continue
+            pad = r * cfg.bounds_margin
+            tx0 = int(np.clip(np.floor((cx - pad) / ts), 0, cfg.tiles_x - 1))
+            tx1 = int(np.clip(np.floor((cx + pad) / ts), 0, cfg.tiles_x - 1))
+            ty0 = int(np.clip(np.floor((cy - pad) / ts), 0, cfg.tiles_y - 1))
+            ty1 = int(np.clip(np.floor((cy + pad) / ts), 0, cfg.tiles_y - 1))
+            if cx + pad < 0 or cy + pad < 0 or cx - pad >= cfg.width or cy - pad >= cfg.height:
+                continue
+            for ty in range(ty0, ty1 + 1):
+                for tx in range(tx0, tx1 + 1):
+                    member[ty * cfg.tiles_x + tx, s] = True
+
+        offsets = np.asarray(binned["offsets"])
+        pair_splat = np.asarray(binned["pair_splat"])
+        for t in range(cfg.num_tiles):
+            got = pair_splat[offsets[t]: offsets[t + 1]]
+            expect = np.nonzero(member[t])[0]
+            np.testing.assert_array_equal(np.sort(got), expect, err_msg=f"tile {t}")
+            # run must be depth-ordered == ascending splat rank (data is sorted)
+            assert np.all(np.diff(got) > 0), f"tile {t} run not depth-ordered"
+
+    def test_footprint_cap_respected(self, rng):
+        cfg = CFG.replace(tiles_per_splat_cap=4)
+        # one huge splat covering everything
+        data = jnp.array([[64.0, 48.0, 500.0, 1.0, 1, 1, 1, 2.0]])
+        binned = bin_splats(data, cfg)
+        total = int(binned["counts"].sum())
+        assert total <= 4
+        assert total >= 1
+
+    def test_counts_sum_to_active_pairs(self, rng):
+        cfg = CFG
+        data = _random_screen_splats(rng, 128, cfg)
+        _, _, data_s = depth_sort(data[:, 7], data)
+        binned = bin_splats(data_s, cfg)
+        n_active = int(jnp.sum(binned["pair_tile"] < cfg.num_tiles))
+        assert int(binned["counts"].sum()) == n_active
+
+
+class TestCompositorParity:
+    """The fidelity gate: tile pipeline == sequential oracle (fp32 tol)."""
+
+    def test_tiles_match_oracle_synthetic(self, rng):
+        cfg = RenderConfig(width=64, height=64, tiles_per_splat_cap=32)
+        data = _random_screen_splats(rng, 150, cfg, r_lo=1.0, r_hi=8.0)
+        img_oracle = render_oracle(data, cfg)
+        _, _, data_s = depth_sort(data[:, 7], data)
+        binned = bin_splats(data_s, cfg)
+        img_tiles = render_tiles(data_s, binned, cfg, pair_chunk=64)
+        np.testing.assert_allclose(img_tiles, img_oracle, atol=2e-5)
+
+    def test_tiles_match_oracle_heavy_overlap(self, rng):
+        """Many overlapping opaque splats: transmittance underflows — the
+        regime where log-space blending would break; exact products must not."""
+        cfg = RenderConfig(width=32, height=32, tiles_per_splat_cap=16)
+        data = _random_screen_splats(rng, 300, cfg, r_lo=3.0, r_hi=10.0)
+        # make them nearly opaque and stacked at the center
+        data = data.at[:, 0].set(16.0 + data[:, 0] * 0.1)
+        data = data.at[:, 1].set(16.0 + data[:, 1] * 0.1)
+        data = data.at[:, 3].set(0.99)
+        img_oracle = render_oracle(data, cfg)
+        _, _, data_s = depth_sort(data[:, 7], data)
+        img_tiles = render_tiles(data_s, bin_splats(data_s, cfg), cfg, pair_chunk=32)
+        np.testing.assert_allclose(img_tiles, img_oracle, atol=2e-5)
+
+    def test_empty_scene_is_background(self):
+        cfg = RenderConfig(width=32, height=32)
+        data = jnp.zeros((8, 8), jnp.float32)  # all radius-0 splats
+        img = render_oracle(data, cfg)
+        np.testing.assert_allclose(img, np.broadcast_to(cfg.background, img.shape),
+                                   atol=1e-6)
+        _, _, ds = depth_sort(data[:, 7], data)
+        img_t = render_tiles(ds, bin_splats(ds, cfg), cfg, pair_chunk=8)
+        np.testing.assert_allclose(img_t, np.broadcast_to(cfg.background, img_t.shape),
+                                   atol=1e-6)
+
+    def test_front_to_back_order_matters(self):
+        """A red splat in front of a blue one: the pixel must be red-dominant;
+        flipping depths flips the answer (ordering is real, not averaged)."""
+        cfg = RenderConfig(width=32, height=32)
+        mk = lambda rgbd: jnp.array([
+            [16.0, 16.0, 6.0, 0.9, *rgbd[:3], rgbd[3]],
+        ], jnp.float32)
+        red_front = jnp.concatenate([mk([1, 0, 0, 1.0]), mk([0, 0, 1, 2.0])])
+        blue_front = jnp.concatenate([mk([1, 0, 0, 2.0]), mk([0, 0, 1, 1.0])])
+        img_rf = render_oracle(red_front, cfg)
+        img_bf = render_oracle(blue_front, cfg)
+        center_rf = img_rf[16, 16]
+        center_bf = img_bf[16, 16]
+        assert center_rf[0] > center_rf[2]
+        assert center_bf[2] > center_bf[0]
+        # tile pipeline agrees
+        for data, expect in [(red_front, img_rf), (blue_front, img_bf)]:
+            _, _, ds = depth_sort(data[:, 7], data)
+            imgt = render_tiles(ds, bin_splats(ds, cfg), cfg, pair_chunk=8)
+            np.testing.assert_allclose(imgt, expect, atol=2e-5)
+
+
+class TestEndToEnd:
+    def test_demo_scene_frame(self, key):
+        """BASELINE.json config 1: SDF-sampled splats, small res, orbit cam."""
+        s1 = spt.Sphere(id="s1", radius=0.5)
+        b1 = spt.Box(id="b1", position=(0.6, 0, 0), size=(0.3, 0.3, 0.3))
+        scene = spt.SDFScene(spt.smooth_union(0.15, s1, b1))
+        cfg = RenderConfig(width=64, height=64, base_radius=0.06)
+        pcfg = spt.PointConfig(descent_steps=5)
+        cam = spt.Camera(aspect=1.0)
+        camera = {k: jnp.asarray(v) for k, v in cam.arrays().items()}
+
+        img = render_frame(scene, scene.params(), camera, key, 2000, pcfg, cfg)
+        assert img.shape == (64, 64, 3)
+        img = np.asarray(img)
+        assert np.all(np.isfinite(img))
+        # scene visible: center pixels differ from background
+        bg = np.asarray(cfg.background)
+        center_block = img[24:40, 24:40]
+        assert np.mean(np.abs(center_block - bg)) > 0.05
+        # corners are background (scene doesn't fill the frame)
+        np.testing.assert_allclose(img[0, 0], bg, atol=1e-3)
+
+    def test_oracle_vs_tiles_on_real_scene(self, key):
+        scene = spt.SDFScene(
+            spt.union(spt.Sphere(id="a", radius=0.5), spt.Sphere(id="b", radius=0.5))
+        )
+        cfg = RenderConfig(width=48, height=48, base_radius=0.08,
+                           tiles_per_splat_cap=32)
+        pcfg = spt.PointConfig()
+        cam = spt.Camera()
+        camera = {k: jnp.asarray(v) for k, v in cam.arrays().items()}
+        splats = model_points(scene, scene.params(), key, 500, pcfg, cfg)
+        img_t = render_splats(splats, camera, cfg, "tiles")
+        img_o = render_splats(splats, camera, cfg, "oracle")
+        np.testing.assert_allclose(img_t, img_o, atol=3e-5)
