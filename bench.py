@@ -6,31 +6,26 @@ Prints ONE JSON line:
 Baseline: the reference's north-star target of 1M splats @ 60 FPS
 (3D_PLAN.md:379-382; BASELINE.md "Targets"), so vs_baseline = fps / 60.
 Extra fields carry the per-stage breakdown (project/sort/bin/blend ms) that
-BASELINE.json's metric asks for, measured with block_until_ready timing.
+BASELINE.json's metric asks for.
 """
 
 from __future__ import annotations
 
 import json
-import sys
 
 import jax
 import jax.numpy as jnp
 
 import splat_renderer_tpu as spt
 from splat_renderer_tpu.config import PointConfig, RenderConfig
-from splat_renderer_tpu.points import (
-    curvature_probe,
-    derive_splats,
-    project_to_surface,
-    seed_scene_points,
-)
-from splat_renderer_tpu.render.binning import bin_splats, depth_sort
+from splat_renderer_tpu.ops.tile_blend import render_tiles_pallas
+from splat_renderer_tpu.render.binning import bin_splats_stream, depth_sort_data
 from splat_renderer_tpu.render.pipeline import model_points, splat_screen_data
 from splat_renderer_tpu.utils.timing import time_fn
 
 N_SPLATS = 1_000_000
 WIDTH, HEIGHT = 1920, 1080
+BLOCK = 128
 
 
 def _demo_scene():
@@ -54,42 +49,38 @@ def main() -> None:
     key = jax.random.PRNGKey(0)
 
     # ---- stage-isolated timings ----
-    model_j = jax.jit(
-        lambda p, k: model_points(scene, p, k, N_SPLATS, pcfg, rcfg)
-    )
+    model_j = jax.jit(lambda p, k: model_points(scene, p, k, N_SPLATS, pcfg, rcfg))
     t_model, splats = time_fn(model_j, params, key, warmup=2, iters=5)
 
     project_j = jax.jit(lambda s, c: splat_screen_data(s, c, rcfg))
     t_project, data = time_fn(project_j, splats, camera, warmup=2, iters=5)
 
-    sort_j = jax.jit(lambda d: depth_sort(d[:, 7], d)[2])
+    sort_j = jax.jit(depth_sort_data)
     t_sort, data_sorted = time_fn(sort_j, data, warmup=2, iters=5)
 
-    bin_j = jax.jit(lambda d: bin_splats(d, rcfg))
+    bin_j = jax.jit(lambda d: bin_splats_stream(d, rcfg, BLOCK))
     t_bin, binned = time_fn(bin_j, data_sorted, warmup=2, iters=5)
 
-    from splat_renderer_tpu.render.compositor import render_tiles
-
-    blend_j = jax.jit(lambda d, b: render_tiles(d, b, rcfg))
+    blend_j = jax.jit(lambda d, b: render_tiles_pallas(d, b, rcfg, block=BLOCK))
     t_blend, img = time_fn(blend_j, data_sorted, binned, warmup=2, iters=5)
 
     # ---- full fused frame (render-only: splats -> image) ----
     def full(s, c):
         d = splat_screen_data(s, c, rcfg)
-        _, _, ds = depth_sort(d[:, 7], d)
-        return render_tiles(ds, bin_splats(ds, rcfg), rcfg)
+        ds = depth_sort_data(d)
+        return render_tiles_pallas(ds, bin_splats_stream(ds, rcfg, BLOCK), rcfg,
+                                   block=BLOCK)
 
     full_j = jax.jit(full)
     t_full, _ = time_fn(full_j, splats, camera, warmup=2, iters=5)
 
     fps = 1.0 / t_full
-    msplats_per_sec = N_SPLATS * fps / 1e6
     result = {
         "metric": "fps_1080p_1m_splats",
         "value": round(fps, 3),
         "unit": "fps",
         "vs_baseline": round(fps / 60.0, 4),
-        "msplats_per_sec": round(msplats_per_sec, 2),
+        "msplats_per_sec": round(N_SPLATS * fps / 1e6, 2),
         "frame_ms": round(t_full * 1e3, 3),
         "project_ms": round(t_project * 1e3, 3),
         "sort_ms": round(t_sort * 1e3, 3),

@@ -1,4 +1,4 @@
-from .binning import bin_splats, depth_sort
+from .binning import bin_splats, bin_splats_stream, depth_sort, depth_sort_data
 from .blend import (
     composite_over_background,
     over_merge,

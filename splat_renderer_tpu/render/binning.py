@@ -139,3 +139,99 @@ def bin_splats(splat_data_sorted: jnp.ndarray, cfg: RenderConfig) -> Binned:
         "offsets": offsets,
         "counts": counts,
     }
+
+
+def depth_sort_data(splat_data: jnp.ndarray) -> jnp.ndarray:
+    """Sort the packed (N, 8) records by ascending depth (column 7).
+
+    Uses one variadic sort that carries all columns through the sort network —
+    on TPU this is ~5x faster than sort_key_val + a row gather (XLA TPU
+    gathers cost ~8 cycles/element on the scalar core).
+    """
+    cols = tuple(splat_data[:, k] for k in range(splat_data.shape[1]))
+    res = jax.lax.sort((cols[7],) + cols[:7], num_keys=1, is_stable=True)
+    return jnp.stack(res[1:] + (res[0],), axis=-1)
+
+
+def bin_splats_stream(
+    splat_data_sorted: jnp.ndarray, cfg: RenderConfig, block: int
+) -> Binned:
+    """Binning for the streaming Pallas blend kernel: tile-sorted pair *data*
+    plus per-block window metadata — zero large gathers, zero re-layout.
+
+    - Pair records carry their splat's 8 floats **through** the variadic tile
+      sort (cheap payload columns) instead of being gathered afterwards.
+    - Each tile's run is consumed in `block`-row windows whose element starts
+      are the run start rounded DOWN to a multiple of 8 (the TPU sublane
+      tile): windows overlap run boundaries by up to 7 rows, and the kernel
+      masks the leading/trailing rows.  Overlapping reads replace any padding
+      re-layout of the stream.
+
+    Returns:
+      pair_data (P + block, 8): tile-sorted, depth-ordered-within-tile records
+          (tail-padded for window overrun)
+      offsets (T+1,), counts (T,): per-tile runs in the pair stream
+      start8 (T+1,): 8-aligned window base per tile
+      block_off (T+1,): first block index per tile
+      block_tile (n_blocks_cap,): owning tile per block (T = trash)
+      block_first (n_blocks_cap,): 1 where a block is its tile's first
+    """
+    if block % 8:
+        raise ValueError("block must be a multiple of 8")
+    tx0, ty0, w, h = _tile_footprint(splat_data_sorted, cfg)
+    n = tx0.shape[0]
+    cap = cfg.tiles_per_splat_cap
+    num_tiles = cfg.num_tiles
+    p = n * cap
+
+    c = jax.lax.broadcasted_iota(jnp.int32, (n, cap), 1)
+    w_safe = jnp.maximum(w, 1)[:, None]
+    tile = (ty0[:, None] + c // w_safe) * cfg.tiles_x + (tx0[:, None] + c % w_safe)
+    active = c < (w * h)[:, None]
+    tile = jnp.where(active, tile, num_tiles).reshape(-1)
+
+    # carry the 8 data columns through one stable variadic sort by tile id
+    data_cols = tuple(
+        jnp.broadcast_to(splat_data_sorted[:, k : k + 1], (n, cap)).reshape(-1)
+        for k in range(8)
+    )
+    res = jax.lax.sort((tile,) + data_cols, num_keys=1, is_stable=True)
+    pair_tile = res[0]
+    pair_data = jnp.stack(res[1:], axis=-1)  # (P, 8)
+    pair_data = jnp.concatenate(
+        [pair_data, jnp.zeros((block, 8), pair_data.dtype)]
+    )
+
+    boundaries = jax.lax.broadcasted_iota(jnp.int32, (num_tiles + 1, 1), 0)[:, 0]
+    offsets = jnp.searchsorted(pair_tile, boundaries, side="left").astype(jnp.int32)
+    counts = offsets[1:] - offsets[:-1]
+
+    start8 = (offsets[:-1] // 8) * 8  # (T,)
+    lead = offsets[:-1] - start8
+    blocks_per_tile = (counts + lead + block - 1) // block
+    block_off = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(blocks_per_tile, dtype=jnp.int32)]
+    )
+    n_blocks_cap = p // block + num_tiles + 1  # static upper bound
+
+    markers = (
+        jnp.zeros((n_blocks_cap + 1,), jnp.int32)
+        .at[block_off]
+        .add(1, mode="drop")
+    )
+    block_ids = jax.lax.broadcasted_iota(jnp.int32, (n_blocks_cap, 1), 0)[:, 0]
+    block_tile = jnp.cumsum(markers[:n_blocks_cap], dtype=jnp.int32) - 1
+    block_first = (
+        block_ids == block_off[jnp.minimum(block_tile, num_tiles)]
+    ).astype(jnp.int32)
+
+    start8 = jnp.concatenate([start8, jnp.zeros((1,), jnp.int32)])  # (T+1,)
+    return {
+        "pair_data": pair_data,
+        "offsets": offsets,
+        "counts": counts,
+        "start8": start8,
+        "block_off": block_off,
+        "block_tile": block_tile,
+        "block_first": block_first,
+    }

@@ -67,16 +67,36 @@ def splat_screen_data(
     )
 
 
+def on_tpu() -> bool:
+    return jax.devices()[0].platform in ("tpu", "axon")
+
+
 def render_splats(
     splats: Splats,
     camera: CameraArrays,
     rcfg: RenderConfig,
-    compositor: str = "tiles",
+    compositor: str = "auto",
+    blend_block: int = 128,
 ) -> jnp.ndarray:
-    """Splat chain: project -> depth sort -> bin -> composite -> (H, W, 3)."""
+    """Splat chain: project -> depth sort -> bin -> composite -> (H, W, 3).
+
+    compositor:
+      - "auto": Pallas streaming kernel on TPU, XLA scan compositor elsewhere
+      - "pallas" / "tiles": force one of the above
+      - "oracle": exact sequential compositor (fidelity ground truth)
+    """
     data = splat_screen_data(splats, camera, rcfg)
     if compositor == "oracle":
         return render_oracle(data, rcfg)
+    if compositor == "auto":
+        compositor = "pallas" if on_tpu() else "tiles"
+    if compositor == "pallas":
+        from ..ops.tile_blend import render_tiles_pallas
+        from .binning import bin_splats_stream, depth_sort_data
+
+        data_sorted = depth_sort_data(data)
+        binned = bin_splats_stream(data_sorted, rcfg, blend_block)
+        return render_tiles_pallas(data_sorted, binned, rcfg, block=blend_block)
     _, _, data_sorted = depth_sort(data[:, 7], data)
     binned = bin_splats(data_sorted, rcfg)
     return render_tiles(data_sorted, binned, rcfg)
@@ -90,7 +110,7 @@ def render_frame(
     n: int,
     pcfg: PointConfig,
     rcfg: RenderConfig,
-    compositor: str = "tiles",
+    compositor: str = "auto",
 ) -> jnp.ndarray:
     """Full frame: modeler + splat chain, one XLA program."""
     splats = model_points(scene, params, key, n, pcfg, rcfg)
@@ -115,7 +135,7 @@ class Engine:
         pcfg: PointConfig = PointConfig(),
         rcfg: RenderConfig = RenderConfig(),
         n: Optional[int] = None,
-        compositor: str = "tiles",
+        compositor: str = "auto",
     ):
         self.scene = scene
         self.pcfg = pcfg

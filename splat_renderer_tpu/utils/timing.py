@@ -23,15 +23,24 @@ def time_fn(
     """Median wall-clock seconds per call of jitted `fn(*args)` (device-synced).
 
     Returns (seconds, last_result)."""
+    def sync(x):
+        # On relay transports (axon) block_until_ready can return before the
+        # device work completes; a device->host fetch is the true barrier.
+        # Fetch a single derived element (4 bytes) so the barrier cost is one
+        # round trip, not a bulk transfer.  Device execution is a single
+        # stream, so syncing once after a burst of dispatches bounds the sum
+        # of their run times.
+        leaf = jax.tree.leaves(x)[0]
+        jax.device_get(leaf.ravel()[:1])
+        return x
+
     out = None
     for _ in range(warmup):
-        out = jax.block_until_ready(fn(*args))
-    # Amortize over iters with a block per call: some transport backends
-    # (axon relay) complete block_until_ready one dispatch late, so per-call
-    # medians under-report; the amortized mean is robust to that.
+        out = sync(fn(*args))
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = jax.block_until_ready(fn(*args))
+        out = fn(*args)
+    sync(out)
     total = time.perf_counter() - t0
     return total / iters, out
 

@@ -286,3 +286,92 @@ class TestEndToEnd:
         img_t = render_splats(splats, camera, cfg, "tiles")
         img_o = render_splats(splats, camera, cfg, "oracle")
         np.testing.assert_allclose(img_t, img_o, atol=3e-5)
+
+
+class TestStreamBinning:
+    """bin_splats_stream must agree with bin_splats on run structure, and the
+    pair stream must carry the right records."""
+
+    def test_stream_matches_bin_splats(self, rng):
+        from splat_renderer_tpu.render.binning import bin_splats_stream, depth_sort_data
+
+        cfg = CFG
+        data = _random_screen_splats(rng, 200, cfg)
+        ds = depth_sort_data(data)
+        base = bin_splats(ds, cfg)
+        stream = bin_splats_stream(ds, cfg, block=8)
+        np.testing.assert_array_equal(stream["offsets"], base["offsets"])
+        np.testing.assert_array_equal(stream["counts"], base["counts"])
+        # pair_data rows == gathered records, for every tile run
+        expect = np.asarray(ds)[np.asarray(base["pair_splat"])]
+        got = np.asarray(stream["pair_data"])[: expect.shape[0]]
+        off = np.asarray(base["offsets"])
+        for t in range(cfg.num_tiles):
+            np.testing.assert_allclose(
+                got[off[t]: off[t + 1]], expect[off[t]: off[t + 1]],
+                err_msg=f"tile {t}",
+            )
+
+    def test_depth_sort_data_matches_depth_sort(self, rng):
+        from splat_renderer_tpu.render.binning import depth_sort_data
+
+        data = _random_screen_splats(rng, 128, CFG)
+        _, _, ref = depth_sort(data[:, 7], data)
+        np.testing.assert_allclose(depth_sort_data(data), ref)
+
+    def test_block_metadata_consistent(self, rng):
+        from splat_renderer_tpu.render.binning import bin_splats_stream, depth_sort_data
+
+        cfg = CFG
+        data = _random_screen_splats(rng, 100, cfg)
+        ds = depth_sort_data(data)
+        st = bin_splats_stream(ds, cfg, block=8)
+        bt = np.asarray(st["block_tile"])
+        bf = np.asarray(st["block_first"])
+        bo = np.asarray(st["block_off"])
+        counts = np.asarray(st["counts"])
+        offsets = np.asarray(st["offsets"])
+        start8 = np.asarray(st["start8"])
+        T = cfg.num_tiles
+        # non-empty tiles appear exactly ceil((count+lead)/8) times
+        for t in range(T):
+            lead = offsets[t] - start8[t]
+            expect_blocks = -(-(counts[t] + lead) // 8) if counts[t] else 0
+            assert (bt == t).sum() == expect_blocks, f"tile {t}"
+            if expect_blocks:
+                first_idx = np.nonzero(bt == t)[0][0]
+                assert bf[first_idx] == 1
+                assert bo[t] == first_idx
+        # block_tile monotone with trash tail
+        assert np.all(np.diff(bt) >= 0)
+
+
+class TestPallasInterpret:
+    """The streaming Pallas blend in interpreter mode must match the XLA
+    compositor exactly (the TPU run is checked in bench/drive scripts)."""
+
+    def test_stream_blend_matches_tiles(self, rng):
+        from splat_renderer_tpu.render.binning import bin_splats_stream, depth_sort_data
+        from splat_renderer_tpu.ops.tile_blend import render_tiles_pallas
+
+        cfg = RenderConfig(width=64, height=48, tiles_per_splat_cap=16)
+        data = _random_screen_splats(rng, 120, cfg, r_lo=1.0, r_hi=8.0)
+        ds = depth_sort_data(data)
+        st = bin_splats_stream(ds, cfg, block=8)
+        img_p = render_tiles_pallas(ds, st, cfg, block=8, eps=0.0, interpret=True)
+        img_x = render_tiles(ds, bin_splats(ds, cfg), cfg, pair_chunk=32)
+        np.testing.assert_allclose(img_p, img_x, atol=2e-5)
+
+    def test_early_exit_close_to_exact(self, rng):
+        from splat_renderer_tpu.render.binning import bin_splats_stream, depth_sort_data
+        from splat_renderer_tpu.ops.tile_blend import render_tiles_pallas
+
+        cfg = RenderConfig(width=32, height=32, tiles_per_splat_cap=16)
+        data = _random_screen_splats(rng, 200, cfg, r_lo=3.0, r_hi=10.0)
+        data = data.at[:, 3].set(0.99)  # near-opaque: saturates fast
+        ds = depth_sort_data(data)
+        st = bin_splats_stream(ds, cfg, block=8)
+        img_exact = render_tiles_pallas(ds, st, cfg, block=8, eps=0.0, interpret=True)
+        img_eps = render_tiles_pallas(ds, st, cfg, block=8, eps=0.01, interpret=True)
+        # truncated contributions are bounded by the transmittance floor
+        assert float(jnp.abs(img_eps - img_exact).max()) <= 0.0101
