@@ -19,13 +19,13 @@ import jax.numpy as jnp
 import splat_renderer_tpu as spt
 from splat_renderer_tpu.config import PointConfig, RenderConfig
 from splat_renderer_tpu.ops.tile_blend import render_tiles_pallas
-from splat_renderer_tpu.render.binning import bin_splats_stream, depth_sort_data
+from splat_renderer_tpu.render.binning import bin_splats_packed
 from splat_renderer_tpu.render.pipeline import model_points, splat_screen_data
 from splat_renderer_tpu.utils.timing import time_fn
 
 N_SPLATS = 1_000_000
 WIDTH, HEIGHT = 1920, 1080
-BLOCK = 128
+BLOCK = 256
 
 
 def _demo_scene():
@@ -55,21 +55,19 @@ def main() -> None:
     project_j = jax.jit(lambda s, c: splat_screen_data(s, c, rcfg))
     t_project, data = time_fn(project_j, splats, camera, warmup=2, iters=5)
 
-    sort_j = jax.jit(depth_sort_data)
-    t_sort, data_sorted = time_fn(sort_j, data, warmup=2, iters=5)
+    # depth sort is folded into the pair sort's secondary key (bin stage)
+    t_sort = 0.0
 
-    bin_j = jax.jit(lambda d: bin_splats_stream(d, rcfg, BLOCK))
-    t_bin, binned = time_fn(bin_j, data_sorted, warmup=2, iters=5)
+    bin_j = jax.jit(lambda d: bin_splats_packed(d, rcfg, BLOCK))
+    t_bin, binned = time_fn(bin_j, data, warmup=2, iters=5)
 
     blend_j = jax.jit(lambda d, b: render_tiles_pallas(d, b, rcfg, block=BLOCK))
-    t_blend, img = time_fn(blend_j, data_sorted, binned, warmup=2, iters=5)
+    t_blend, img = time_fn(blend_j, data, binned, warmup=2, iters=5)
 
     # ---- full fused frame (render-only: splats -> image) ----
     def full(s, c):
         d = splat_screen_data(s, c, rcfg)
-        ds = depth_sort_data(d)
-        return render_tiles_pallas(ds, bin_splats_stream(ds, rcfg, BLOCK), rcfg,
-                                   block=BLOCK)
+        return render_tiles_pallas(d, None, rcfg, block=BLOCK)
 
     full_j = jax.jit(full)
     t_full, _ = time_fn(full_j, splats, camera, warmup=2, iters=5)

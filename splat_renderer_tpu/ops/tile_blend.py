@@ -5,7 +5,7 @@ compute compositor (src/ComputeShaderRenderer.ts:150-198, 8x8-thread
 workgroups walking a tile's splat list with an `alpha >= 0.99` break).
 
 TPU shape of the same computation — a *streaming* kernel over the tile-sorted
-pair stream produced by render/binning.bin_splats_stream:
+packed pair stream produced by render/binning.bin_splats_packed:
 
   The grid walks fixed-size windows of the stream.  Window element offsets
   come from a scalar-prefetched block->tile map: each tile's run is read in
@@ -13,6 +13,9 @@ pair stream produced by render/binning.bin_splats_stream:
   sublane tile (windows overlap run boundaries; leading/trailing rows are
   masked).  Mosaic pipelines the window DMAs double-buffered; there is no
   gather, no scatter, and no re-layout of the stream anywhere.
+
+  Records arrive packed (3 x u32, render/packing.py) and are unpacked with
+  shifts on the VPU — 16 bytes of DMA per record instead of 36.
 
   The (8, tile_pixels) accumulator block stays resident in VMEM while
   consecutive grid steps hit the same tile (the stream is tile-monotonic) and
@@ -29,8 +32,9 @@ pair stream produced by render/binning.bin_splats_stream:
   termination in a SIMD world"); the stream keeps flowing, so no dynamic
   control flow reaches the pipeline.
 
-Order-correctness was bought entirely by the binner's stable sort: runs are
-exactly depth-ordered, so the kernel needs no sorting and no atomics.
+Order-correctness was bought entirely by the binner's (tile, depth) two-key
+sort: runs are exactly depth-ordered, so the kernel needs no sorting and no
+atomics.
 """
 
 from __future__ import annotations
@@ -44,8 +48,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import RenderConfig
-from ..render.binning import Binned, bin_splats_stream
+from ..render.binning import Binned, bin_splats_packed
 from ..render.compositor import tiles_to_image
+from ..render.packing import COLOR_SCALE, OPACITY_SCALE, POS_OFFSET, POS_SCALE
 
 
 def _row_shift_down(x: jnp.ndarray, k: int) -> jnp.ndarray:
@@ -81,7 +86,9 @@ def _make_kernel(cfg: RenderConfig, block: int, eps: float):
         block_off_ref,  # (T+1,) first block index per tile
         offsets_ref,  # (T+1,) run starts in the pair stream
         counts_ref,  # (T+1,) run lengths (last entry 0)
-        data_ref,  # (block, 8) pair records window, auto-pipelined
+        w_pos_ref,  # (block, 1) u32 packed position window, auto-pipelined
+        w_ro_ref,  # (block, 1) u32 radius|opacity window
+        w_rgb_ref,  # (block, 1) u32 color window
         out_ref,  # (1, 8, tp): rows 0-2 color, 3 transmittance
         trans_ref,  # VMEM scratch (1, tp)
     ):
@@ -107,11 +114,21 @@ def _make_kernel(cfg: RenderConfig, block: int, eps: float):
             px = origin_x + (lane % ts).astype(jnp.float32) + 0.5
             py = origin_y + (lane // ts).astype(jnp.float32) + 0.5
 
-            data = data_ref[:]  # (block, 8)
-            cx = data[:, 0:1]
-            cy = data[:, 1:2]
-            r = data[:, 2:3]
-            op = data[:, 3:4]
+            # unpack records (render/packing.py layout)
+            w_pos = w_pos_ref[:]  # (block, 1) u32
+            w_ro = w_ro_ref[:]
+            w_rgb = w_rgb_ref[:]
+
+            def u2f(x):
+                # Mosaic lacks a direct u32->f32 cast; all unpacked fields
+                # fit in 16 bits, so hop through int32
+                return x.astype(jnp.int32).astype(jnp.float32)
+
+            cx = u2f(w_pos & 0xFFFF) / POS_SCALE - POS_OFFSET
+            cy = u2f(w_pos >> 16) / POS_SCALE - POS_OFFSET
+            r = u2f(w_ro & 0xFFFF) / POS_SCALE
+            op = u2f(w_ro >> 16) / OPACITY_SCALE
+
             dx = px - cx  # (block, tp)
             dy = py - cy
             d2 = dx * dx + dy * dy
@@ -134,11 +151,19 @@ def _make_kernel(cfg: RenderConfig, block: int, eps: float):
             q = 1.0 - alpha
             t_excl = _exclusive_cumprod_rows(q)  # (block, tp)
             weight = alpha * t_excl * trans  # trans broadcasts (1, tp)
-            rgb_t = data[:, 4:7].T  # (3, block)
+            rgb = (
+                u2f(
+                    jnp.concatenate(
+                        [w_rgb & 0xFF, (w_rgb >> 8) & 0xFF, (w_rgb >> 16) & 0xFF],
+                        axis=1,
+                    )
+                )
+                / COLOR_SCALE
+            )  # (block, 3)
             # HIGHEST: default f32 dots run as bf16 MXU passes (1e-3 error);
             # the oracle-parity gate needs full f32 (tiny M=3 dot, cost ~0)
             out_ref[0, 0:3, :] += jnp.dot(
-                rgb_t,
+                rgb.T,
                 weight,
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
@@ -152,7 +177,9 @@ def _make_kernel(cfg: RenderConfig, block: int, eps: float):
 
 @functools.partial(jax.jit, static_argnames=("cfg", "block", "eps", "interpret"))
 def pallas_blend_tiles(
-    pair_data: jnp.ndarray,  # (P + block, 8) tile-sorted pair records
+    pair_w0: jnp.ndarray,  # (P + block, 1) u32 tile-sorted packed positions
+    pair_w1: jnp.ndarray,  # (P + block, 1) u32 radius|opacity
+    pair_w2: jnp.ndarray,  # (P + block, 1) u32 colors
     block_tile: jnp.ndarray,  # (n_blocks_cap,)
     block_first: jnp.ndarray,  # (n_blocks_cap,)
     start8: jnp.ndarray,  # (T+1,)
@@ -160,7 +187,7 @@ def pallas_blend_tiles(
     offsets: jnp.ndarray,  # (T+1,)
     counts: jnp.ndarray,  # (T,)
     cfg: RenderConfig,
-    block: int = 64,
+    block: int = 128,
     eps: float = -1.0,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -181,14 +208,16 @@ def pallas_blend_tiles(
 
     def data_index(b, bt, bf, s8, bo, off, cn):
         t = bt[b]
-        return (pl.multiple_of(s8[t] + (b - bo[t]) * block, 8), 0)
+        # trash blocks (t == num_tiles) pin to offset 0: the revisited window
+        # lets the pipeline skip their DMAs entirely
+        elem = jnp.where(t >= num_tiles, 0, s8[t] + (b - bo[t]) * block)
+        return (pl.multiple_of(elem, 8), 0)
 
+    word_spec = pl.BlockSpec((pl.Element(block), pl.Element(1)), data_index)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
         grid=(n_blocks_cap,),
-        in_specs=[
-            pl.BlockSpec((pl.Element(block), pl.Element(8)), data_index),
-        ],
+        in_specs=[word_spec, word_spec, word_spec],
         out_specs=pl.BlockSpec(
             (1, 8, tp), lambda b, bt, bf, s8, bo, off, cn: (bt[b], 0, 0)
         ),
@@ -199,7 +228,8 @@ def pallas_blend_tiles(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((num_tiles + 1, 8, tp), jnp.float32),
         interpret=interpret,
-    )(block_tile, block_first, start8, block_off, offsets, counts_padded, pair_data)
+    )(block_tile, block_first, start8, block_off, offsets, counts_padded,
+      pair_w0, pair_w1, pair_w2)
 
     out = out[:num_tiles]
     # tiles with no splats are never visited by the stream: mask them clear
@@ -210,22 +240,26 @@ def pallas_blend_tiles(
 
 
 def render_tiles_pallas(
-    splat_data_sorted: jnp.ndarray,
-    binned: Binned,
+    splat_data_quantized: jnp.ndarray,
+    binned: Binned | None,
     cfg: RenderConfig,
-    block: int = 64,
+    block: int = 128,
     eps: float = -1.0,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Drop-in replacement for render/compositor.render_tiles on TPU.
 
-    `binned` must come from bin_splats_stream(splat_data_sorted, cfg, block);
-    pass None to compute it here.
+    `splat_data_quantized` is the UNSORTED (N, 8) output of
+    projector.pack_splat_screen_data (already on the quantization grids);
+    `binned` must come from bin_splats_packed(splat_data_quantized, cfg,
+    block), or pass None to compute it here.
     """
-    if binned is None or "pair_data" not in binned:
-        binned = bin_splats_stream(splat_data_sorted, cfg, block)
+    if binned is None or "pair_w0" not in binned:
+        binned = bin_splats_packed(splat_data_quantized, cfg, block)
     tile_color, tile_alpha = pallas_blend_tiles(
-        binned["pair_data"],
+        binned["pair_w0"],
+        binned["pair_w1"],
+        binned["pair_w2"],
         binned["block_tile"],
         binned["block_first"],
         binned["start8"],

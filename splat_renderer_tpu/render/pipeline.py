@@ -92,11 +92,10 @@ def render_splats(
         compositor = "pallas" if on_tpu() else "tiles"
     if compositor == "pallas":
         from ..ops.tile_blend import render_tiles_pallas
-        from .binning import bin_splats_stream, depth_sort_data
 
-        data_sorted = depth_sort_data(data)
-        binned = bin_splats_stream(data_sorted, rcfg, blend_block)
-        return render_tiles_pallas(data_sorted, binned, rcfg, block=blend_block)
+        # no separate depth sort: bin_splats_packed folds depth into the
+        # pair sort's secondary key
+        return render_tiles_pallas(data, None, rcfg, block=blend_block)
     _, _, data_sorted = depth_sort(data[:, 7], data)
     binned = bin_splats(data_sorted, rcfg)
     return render_tiles(data_sorted, binned, rcfg)

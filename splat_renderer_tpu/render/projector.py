@@ -98,11 +98,13 @@ def pack_splat_screen_data(
     so it moves out of the per-pixel loop entirely — the reference recomputes
     it per (pixel, splat) pair.
     """
+    from .packing import quantize_screen_data
+
     light = jnp.asarray(cfg.light_dir, dtype=color.dtype)
     light = light / jnp.linalg.norm(light)
     diffuse = jnp.maximum(jnp.sum(normals * light, axis=-1), 0.0)
     lit = color * (cfg.light_ambient + cfg.light_diffuse * diffuse)[:, None]
-    return jnp.concatenate(
+    data = jnp.concatenate(
         [
             projected["center"],
             projected["radius"][:, None],
@@ -112,3 +114,7 @@ def pack_splat_screen_data(
         ],
         axis=-1,
     )
+    # snap onto the pipeline's fixed-point raster grids (render/packing.py);
+    # every compositor consumes the same quantized values, so oracle parity
+    # is preserved exactly
+    return quantize_screen_data(data)

@@ -85,7 +85,7 @@ class TestProjector:
             data = pack_splat_screen_data(
                 proj, jnp.ones((1, 3)), jnp.ones((1,)), normal, CFG
             )
-            np.testing.assert_allclose(data[0, 4:7], expect_scale, rtol=1e-5)
+            np.testing.assert_allclose(data[0, 4:7], expect_scale, atol=2.5e-3)  # u8 color grid
 
 
 class TestBlendAlgebra:
@@ -346,32 +346,85 @@ class TestStreamBinning:
         assert np.all(np.diff(bt) >= 0)
 
 
+class TestPacking:
+    def test_quantize_pack_roundtrip(self, rng):
+        from splat_renderer_tpu.render.packing import (
+            pack_records, quantize_screen_data, unpack_words,
+        )
+
+        data = _random_screen_splats(rng, 256, CFG)
+        q = quantize_screen_data(data)
+        # quantization error bounds: 1/64 px positions, 1/255 colors
+        np.testing.assert_allclose(q[:, 0:2], data[:, 0:2], atol=1 / 64 + 1e-6)
+        np.testing.assert_allclose(q[:, 2], data[:, 2], atol=1 / 64 + 1e-6)
+        np.testing.assert_allclose(q[:, 4:7], data[:, 4:7], atol=0.5 / 255 + 1e-6)
+        # pack/unpack is bit-exact against the quantized values
+        w_pos, w_ro, w_rgb = pack_records(q)
+        cx, cy, r, op, cr, cg, cb = unpack_words(w_pos, w_ro, w_rgb)
+        np.testing.assert_array_equal(cx, q[:, 0])
+        np.testing.assert_array_equal(cy, q[:, 1])
+        np.testing.assert_array_equal(r, q[:, 2])
+        np.testing.assert_array_equal(op, q[:, 3])
+        np.testing.assert_array_equal(np.stack([cr, cg, cb], -1), q[:, 4:7])
+
+    def test_depth_bits_monotonic(self, rng):
+        from splat_renderer_tpu.render.packing import depth_bits
+
+        d = jnp.asarray(
+            np.concatenate([rng.uniform(0.01, 100, 500), [np.inf]]), jnp.float32
+        )
+        keys = np.asarray(depth_bits(d), np.uint32)
+        order_d = np.argsort(np.asarray(d), kind="stable")
+        order_k = np.argsort(keys, kind="stable")
+        np.testing.assert_array_equal(order_d, order_k)
+        assert keys[-1] == keys.max()  # inf sorts last
+
+    def test_packed_binning_matches_reference_runs(self, rng):
+        from splat_renderer_tpu.render.binning import bin_splats_packed
+        from splat_renderer_tpu.render.packing import quantize_screen_data
+
+        cfg = CFG
+        data = quantize_screen_data(_random_screen_splats(rng, 150, cfg))
+        ds = depth_sort(data[:, 7], data)[2]
+        base = bin_splats(ds, cfg)
+        packed = bin_splats_packed(data, cfg, block=8)
+        np.testing.assert_array_equal(packed["offsets"], base["offsets"])
+        np.testing.assert_array_equal(packed["counts"], base["counts"])
+
+
 class TestPallasInterpret:
     """The streaming Pallas blend in interpreter mode must match the XLA
     compositor exactly (the TPU run is checked in bench/drive scripts)."""
 
-    def test_stream_blend_matches_tiles(self, rng):
-        from splat_renderer_tpu.render.binning import bin_splats_stream, depth_sort_data
+    def test_packed_blend_matches_tiles(self, rng):
+        from splat_renderer_tpu.render.binning import (
+            bin_splats_packed, depth_sort_data,
+        )
+        from splat_renderer_tpu.render.packing import quantize_screen_data
         from splat_renderer_tpu.ops.tile_blend import render_tiles_pallas
 
         cfg = RenderConfig(width=64, height=48, tiles_per_splat_cap=16)
-        data = _random_screen_splats(rng, 120, cfg, r_lo=1.0, r_hi=8.0)
+        data = quantize_screen_data(
+            _random_screen_splats(rng, 120, cfg, r_lo=1.0, r_hi=8.0)
+        )
+        st = bin_splats_packed(data, cfg, block=8)
+        img_p = render_tiles_pallas(data, st, cfg, block=8, eps=0.0, interpret=True)
         ds = depth_sort_data(data)
-        st = bin_splats_stream(ds, cfg, block=8)
-        img_p = render_tiles_pallas(ds, st, cfg, block=8, eps=0.0, interpret=True)
         img_x = render_tiles(ds, bin_splats(ds, cfg), cfg, pair_chunk=32)
         np.testing.assert_allclose(img_p, img_x, atol=2e-5)
 
     def test_early_exit_close_to_exact(self, rng):
-        from splat_renderer_tpu.render.binning import bin_splats_stream, depth_sort_data
+        from splat_renderer_tpu.render.binning import bin_splats_packed
+        from splat_renderer_tpu.render.packing import quantize_screen_data
         from splat_renderer_tpu.ops.tile_blend import render_tiles_pallas
 
         cfg = RenderConfig(width=32, height=32, tiles_per_splat_cap=16)
         data = _random_screen_splats(rng, 200, cfg, r_lo=3.0, r_hi=10.0)
-        data = data.at[:, 3].set(0.99)  # near-opaque: saturates fast
-        ds = depth_sort_data(data)
-        st = bin_splats_stream(ds, cfg, block=8)
-        img_exact = render_tiles_pallas(ds, st, cfg, block=8, eps=0.0, interpret=True)
-        img_eps = render_tiles_pallas(ds, st, cfg, block=8, eps=0.01, interpret=True)
+        data = quantize_screen_data(data.at[:, 3].set(0.99))  # near-opaque
+        st = bin_splats_packed(data, cfg, block=8)
+        img_exact = render_tiles_pallas(data, st, cfg, block=8, eps=0.0,
+                                        interpret=True)
+        img_eps = render_tiles_pallas(data, st, cfg, block=8, eps=0.01,
+                                      interpret=True)
         # truncated contributions are bounded by the transmittance floor
         assert float(jnp.abs(img_eps - img_exact).max()) <= 0.0101
