@@ -20,7 +20,7 @@ behavior parity only.
 
 from . import sdf
 from .camera import Camera, OrbitCameraController, orbit_ring
-from .config import PointConfig, RenderConfig
+from .config import PointConfig, RenderConfig, surface_render_config
 from .sdf import (
     Box,
     Capsule,
@@ -42,6 +42,7 @@ __all__ = [
     "OrbitCameraController",
     "PointConfig",
     "RenderConfig",
+    "surface_render_config",
     "SDFScene",
     "Sphere",
     "Torus",

@@ -74,6 +74,19 @@ class RenderConfig:
     # Transmittance floor for early termination: matches the reference's
     # `alpha >= 0.99` accumulation exit (src/ComputeShaderRenderer.ts:188-190).
     transmittance_eps: float = 0.01
+    # Opaque z-buffer mode: hard ellipse coverage, nearest splat wins — the
+    # reference's live-path quad renderer semantics (src/Renderer.ts:189-201).
+    opaque: bool = False
+    # Surface-oriented splats: screen ellipses foreshortened by the surface
+    # normal (the reference's tangent-frame quads, src/Renderer.ts:90-117).
+    # False = isotropic discs (the reference's splat pipeline).
+    oriented: bool = False
+    # Splat base color from the surface normal:
+    #   "normal_abs":    |n| * 0.8 + 0.2  (splat pipeline,
+    #                    src/SplatPropertyManager.ts:97-98)
+    #   "normal_signed": n * 0.5 + 0.5    (live quad renderer,
+    #                    src/Renderer.ts:127-128)
+    color_mode: str = "normal_abs"
     # Chunk of splats blended per scan step in the compositors.
     blend_chunk: int = 32
 
@@ -95,3 +108,23 @@ class RenderConfig:
 
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)
+
+
+def surface_render_config(width: int = 1920, height: int = 1080, **kw) -> RenderConfig:
+    """Preset matching the reference's LIVE path: opaque surface-oriented
+    splats with signed-normal coloring and 0.3/0.7 ambient/diffuse lighting
+    (src/Renderer.ts:104-105,127-144).  base_radius 0.025 is the quad
+    half-extent at src/Renderer.ts:104."""
+    defaults = dict(
+        width=width,
+        height=height,
+        opaque=True,
+        oriented=True,
+        color_mode="normal_signed",
+        light_ambient=0.3,
+        light_diffuse=0.7,
+        base_radius=0.025,
+        base_opacity=1.0,
+    )
+    defaults.update(kw)
+    return RenderConfig(**defaults)

@@ -40,6 +40,7 @@ atomics.
 from __future__ import annotations
 
 import functools
+import math
 from typing import Tuple
 
 import jax
@@ -50,7 +51,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..config import RenderConfig
 from ..render.binning import Binned, bin_splats_packed
 from ..render.compositor import tiles_to_image
-from ..render.packing import COLOR_SCALE, OPACITY_SCALE, POS_OFFSET, POS_SCALE
+from ..render.packing import ANGLE_SCALE, COLOR_SCALE, POS_OFFSET, POS_SCALE, RATIO_SCALE
 
 
 def _row_shift_down(x: jnp.ndarray, k: int) -> jnp.ndarray:
@@ -71,6 +72,9 @@ def _exclusive_cumprod_rows(q: jnp.ndarray) -> jnp.ndarray:
         x = x * _row_shift_down(x, k)
         k *= 2
     return x
+
+
+PI = math.pi
 
 
 def _make_kernel(cfg: RenderConfig, block: int, eps: float):
@@ -127,17 +131,34 @@ def _make_kernel(cfg: RenderConfig, block: int, eps: float):
             cx = u2f(w_pos & 0xFFFF) / POS_SCALE - POS_OFFSET
             cy = u2f(w_pos >> 16) / POS_SCALE - POS_OFFSET
             r = u2f(w_ro & 0xFFFF) / POS_SCALE
-            op = u2f(w_ro >> 16) / OPACITY_SCALE
+            op = u2f(w_rgb >> 24) / COLOR_SCALE
 
             dx = px - cx  # (block, tp)
             dy = py - cy
-            d2 = dx * dx + dy * dy
             pad = r * cfg.bounds_margin
             inside = (jnp.abs(dx) <= pad) & (jnp.abs(dy) <= pad)
             ok = inside & (r >= cfg.min_screen_radius)
+            if cfg.oriented:
+                # distance in the splat's screen-ellipse frame
+                ang = u2f((w_ro >> 16) & 0xFF) / ANGLE_SCALE - PI
+                ratio = jnp.maximum(u2f(w_ro >> 24) / RATIO_SCALE, 1e-3)
+                ca = jnp.cos(ang)
+                sa = jnp.sin(ang)
+                # minor axis lies along the angle direction (see blend.py)
+                du = (ca * dx + sa * dy) / ratio
+                dv = -sa * dx + ca * dy
+                d2 = du * du + dv * dv
+            else:
+                d2 = dx * dx + dy * dy
             inv_r2 = 1.0 / jnp.maximum(r * r, 1e-12)
-            gauss = jnp.exp(-inv_2sigma2 * d2 * inv_r2)
-            alpha = jnp.where(ok, op * gauss, 0.0)
+            nd2 = d2 * inv_r2
+            if cfg.opaque:
+                # z-buffer semantics: nearest covering splat wins exactly
+                # (front-to-back + alpha 1), src/Renderer.ts:189-201
+                shape = jnp.where(nd2 <= 1.0, 1.0, 0.0)
+            else:
+                shape = jnp.exp(-inv_2sigma2 * nd2)
+            alpha = jnp.where(ok, op * shape, 0.0)
             # mask window rows outside this tile's run (lead-in overlap rows
             # belong to the previous tile; tail rows to the next)
             elem_start = start8_ref[t] + (b - block_off_ref[t]) * block

@@ -35,7 +35,10 @@ def derive_splats(
     opacity = cfg.base_opacity (:100-102).
     """
     radius = cfg.base_radius * scales
-    color = jnp.abs(normals) * 0.8 + 0.2
+    if cfg.color_mode == "normal_signed":
+        color = normals * 0.5 + 0.5  # live-path coloring, src/Renderer.ts:127-128
+    else:
+        color = jnp.abs(normals) * 0.8 + 0.2
     opacity = jnp.full(positions.shape[:1], cfg.base_opacity, positions.dtype)
     return {
         "position": positions,

@@ -35,3 +35,6 @@ __all__ = [
     "splat_screen_data",
     "tiles_to_image",
 ]
+from .multiview import render_views  # noqa: E402
+
+__all__.append("render_views")

@@ -148,9 +148,17 @@ def depth_sort_data(splat_data: jnp.ndarray) -> jnp.ndarray:
     on TPU this is ~5x faster than sort_key_val + a row gather (XLA TPU
     gathers cost ~8 cycles/element on the scalar core).
     """
-    cols = tuple(splat_data[:, k] for k in range(splat_data.shape[1]))
-    res = jax.lax.sort((cols[7],) + cols[:7], num_keys=1, is_stable=True)
-    return jnp.stack(res[1:] + (res[0],), axis=-1)
+    d = splat_data.shape[1]
+    cols = tuple(splat_data[:, k] for k in range(d))
+    others = tuple(k for k in range(d) if k != 7)
+    res = jax.lax.sort(
+        (cols[7],) + tuple(cols[k] for k in others), num_keys=1, is_stable=True
+    )
+    out = [None] * d
+    out[7] = res[0]
+    for i, k in enumerate(others):
+        out[k] = res[1 + i]
+    return jnp.stack(out, axis=-1)
 
 
 def bin_splats_stream(
@@ -190,16 +198,17 @@ def bin_splats_stream(
     active = c < (w * h)[:, None]
     tile = jnp.where(active, tile, num_tiles).reshape(-1)
 
-    # carry the 8 data columns through one stable variadic sort by tile id
+    # carry the data columns through one stable variadic sort by tile id
+    ncols = splat_data_sorted.shape[1]
     data_cols = tuple(
         jnp.broadcast_to(splat_data_sorted[:, k : k + 1], (n, cap)).reshape(-1)
-        for k in range(8)
+        for k in range(ncols)
     )
     res = jax.lax.sort((tile,) + data_cols, num_keys=1, is_stable=True)
     pair_tile = res[0]
     pair_data = jnp.stack(res[1:], axis=-1)  # (P, 8)
     pair_data = jnp.concatenate(
-        [pair_data, jnp.zeros((block, 8), pair_data.dtype)]
+        [pair_data, jnp.zeros((block, ncols), pair_data.dtype)]
     )
 
     boundaries = jax.lax.broadcasted_iota(jnp.int32, (num_tiles + 1, 1), 0)[:, 0]

@@ -23,13 +23,13 @@ import jax.numpy as jnp
 from ..config import RenderConfig
 
 # splat screen-data record layout (see projector.pack_splat_screen_data):
-# [0] center x  [1] center y  [2] screen radius  [3] opacity
-# [4:7] lit rgb [7] depth
-DATA_DIM = 8
+# [0] center x  [1] center y  [2] screen radius (major axis)  [3] opacity
+# [4:7] lit rgb [7] depth  [8] ellipse angle (rad)  [9] minor/major ratio
+DATA_DIM = 10
 
 
 def splat_alpha(
-    data: jnp.ndarray,  # (..., 8)
+    data: jnp.ndarray,  # (..., 10)
     pix: jnp.ndarray,  # (..., 2) broadcastable against data[..., :2]
     cfg: RenderConfig,
 ) -> jnp.ndarray:
@@ -42,21 +42,44 @@ def splat_alpha(
     - multiplied by per-splat opacity (the reference reads but drops opacity in
       this shader; its property pass sets opacity=1.0 so the behaviors agree —
       we keep the multiply so opacity is honored, matching TileRenderer).
+
+    Extensions over the reference's isotropic footprint:
+    - anisotropy: the squared distance is measured in the splat's screen
+      ellipse frame (rotate by -angle, divide the minor component by ratio) —
+      the screen-space shape of a surface-oriented splat seen at an angle
+      (the reference's live path renders oriented quads, src/Renderer.ts:90-117;
+      its splat path is isotropic, which is the ratio=1 special case).
+    - cfg.opaque: hard coverage (alpha = opacity inside the ellipse) — the
+      z-buffer semantics of the reference's opaque quad renderer
+      (src/Renderer.ts:189-201): with front-to-back blending, the nearest
+      covering splat wins exactly.
     """
     center = data[..., 0:2]
     radius = data[..., 2]
     opacity = data[..., 3]
+    angle = data[..., 8]
+    ratio = jnp.maximum(data[..., 9], 1e-3)
 
     delta = pix - center
-    dist2 = jnp.sum(delta * delta, axis=-1)
     pad = radius * cfg.bounds_margin
     in_bounds = jnp.all(jnp.abs(delta) <= pad[..., None], axis=-1)
     big_enough = radius >= cfg.min_screen_radius
 
+    ca = jnp.cos(angle)
+    sa = jnp.sin(angle)
+    # foreshortening acts ALONG the angle direction (the surface normal's
+    # screen projection): that component is divided by the minor/major ratio
+    du = (ca * delta[..., 0] + sa * delta[..., 1]) / ratio
+    dv = -sa * delta[..., 0] + ca * delta[..., 1]
+    dist2 = du * du + dv * dv
+
     safe_r2 = jnp.maximum(radius * radius, 1e-12)
     nd2 = dist2 / safe_r2
-    gauss = jnp.exp(-0.5 * nd2 / (cfg.sigma * cfg.sigma))
-    return jnp.where(in_bounds & big_enough, opacity * gauss, 0.0)
+    if cfg.opaque:
+        shape = jnp.where(nd2 <= 1.0, 1.0, 0.0)
+    else:
+        shape = jnp.exp(-0.5 * nd2 / (cfg.sigma * cfg.sigma))
+    return jnp.where(in_bounds & big_enough, opacity * shape, 0.0)
 
 
 def segmented_exclusive_product(

@@ -1,0 +1,36 @@
+"""Batched multi-view rendering — the datagen front end.
+
+BASELINE.json config 5: "8 OrbitCameraController views per step, 2M splats at
+1080p, one fused XLA render program".  The reference has no multi-view
+anything; this is the TPU-native batch axis: one splat set rendered from V
+cameras inside a single jitted program.
+
+Views are mapped with lax.map (sequential on-device): rendering saturates the
+chip per view, so view-level parallelism buys nothing on one chip — it buys
+linear scaling across chips (parallel/sharding.render_views_* shard this same
+axis over a mesh).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..config import RenderConfig
+from ..points.properties import Splats
+from .pipeline import CameraArrays, render_splats
+
+
+def render_views(
+    splats: Splats,
+    cameras: CameraArrays,  # leaves with leading view axis V
+    rcfg: RenderConfig,
+    compositor: str = "auto",
+    blend_block: int = 128,
+) -> jnp.ndarray:
+    """Render one splat set from V cameras; returns (V, H, W, 3)."""
+
+    def one(camera: CameraArrays) -> jnp.ndarray:
+        return render_splats(splats, camera, rcfg, compositor, blend_block)
+
+    return jax.lax.map(one, cameras)

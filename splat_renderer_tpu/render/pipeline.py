@@ -63,7 +63,15 @@ def splat_screen_data(
         camera["view_proj"], camera["cam_pos"], splats["position"], splats["radius"], rcfg
     )
     return pack_splat_screen_data(
-        proj, splats["color"], splats["opacity"], splats["normal"], rcfg
+        proj,
+        splats["color"],
+        splats["opacity"],
+        splats["normal"],
+        rcfg,
+        view_proj=camera["view_proj"],
+        cam_pos=camera["cam_pos"],
+        positions=splats["position"],
+        radii=splats["radius"],
     )
 
 

@@ -88,6 +88,10 @@ def pack_splat_screen_data(
     opacity: jnp.ndarray,  # (N,)
     normals: jnp.ndarray,  # (N, 3)
     cfg: RenderConfig,
+    view_proj: jnp.ndarray | None = None,  # (4, 4), required if cfg.oriented
+    cam_pos: jnp.ndarray | None = None,  # (3,)
+    positions: jnp.ndarray | None = None,  # (N, 3) world positions
+    radii: jnp.ndarray | None = None,  # (N,) world radii
 ) -> jnp.ndarray:
     """Fuse projection + appearance into the (N, 8) render record consumed by
     the compositors: [cx, cy, radius, opacity, r*, g*, b*, depth] with the
@@ -104,6 +108,29 @@ def pack_splat_screen_data(
     light = light / jnp.linalg.norm(light)
     diffuse = jnp.maximum(jnp.sum(normals * light, axis=-1), 0.0)
     lit = color * (cfg.light_ambient + cfg.light_diffuse * diffuse)[:, None]
+
+    n = normals.shape[0]
+    if cfg.oriented:
+        # screen ellipse of a surface-oriented disc: minor axis along the
+        # screen projection of the normal, minor/major = |n . view| —
+        # a small-splat approximation of the reference's tangent-frame quads
+        # (src/Renderer.ts:90-117), which foreshorten the same way
+        if view_proj is None or positions is None:
+            raise ValueError("oriented splats need view_proj/cam_pos/positions")
+        view_dir = positions - cam_pos
+        view_dir = view_dir / jnp.maximum(
+            jnp.linalg.norm(view_dir, axis=-1, keepdims=True), 1e-8
+        )
+        cos_view = jnp.sum(normals * view_dir, axis=-1)
+        tip = positions + (radii[:, None] if radii is not None else 0.01) * normals
+        tip_screen, _ = _to_screen(tip, view_proj, cfg.width, cfg.height)
+        n_screen = tip_screen - projected["center"]
+        angle = jnp.arctan2(n_screen[:, 1], n_screen[:, 0])
+        ratio = jnp.clip(jnp.abs(cos_view), 0.05, 1.0)
+    else:
+        angle = jnp.zeros((n,), color.dtype)
+        ratio = jnp.ones((n,), color.dtype)
+
     data = jnp.concatenate(
         [
             projected["center"],
@@ -111,6 +138,8 @@ def pack_splat_screen_data(
             opacity[:, None],
             lit,
             projected["depth"][:, None],
+            angle[:, None],
+            ratio[:, None],
         ],
         axis=-1,
     )

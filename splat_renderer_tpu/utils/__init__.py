@@ -2,3 +2,6 @@ from .image import to_uint8, write_png
 from .timing import StageTimer, time_fn
 
 __all__ = ["StageTimer", "time_fn", "to_uint8", "write_png"]
+from .snapshot import load_splats, save_splats  # noqa: E402
+
+__all__ += ["load_splats", "save_splats"]

@@ -1,0 +1,3 @@
+from .turntable import render_turntable
+
+__all__ = ["render_turntable"]

@@ -26,16 +26,23 @@ from splat_renderer_tpu.render.projector import pack_splat_screen_data, project_
 CFG = RenderConfig(width=128, height=96, tiles_per_splat_cap=16)
 
 
-def _random_screen_splats(rng, n, cfg, r_lo=1.0, r_hi=12.0):
-    """Synthetic packed (N, 8) screen data scattered over the viewport."""
+def _random_screen_splats(rng, n, cfg, r_lo=1.0, r_hi=12.0, oriented=False):
+    """Synthetic packed (N, 10) screen data scattered over the viewport."""
     cx = rng.uniform(-10, cfg.width + 10, n)
     cy = rng.uniform(-10, cfg.height + 10, n)
     radius = rng.uniform(r_lo, r_hi, n)
     opacity = rng.uniform(0.3, 1.0, n)
     rgb = rng.uniform(0, 1, (n, 3))
     depth = rng.uniform(1.0, 10.0, n)
+    if oriented:
+        angle = rng.uniform(-np.pi, np.pi, n)
+        ratio = rng.uniform(0.1, 1.0, n)
+    else:
+        angle = np.zeros(n)
+        ratio = np.ones(n)
     return jnp.asarray(
-        np.column_stack([cx, cy, radius, opacity, rgb, depth]), jnp.float32
+        np.column_stack([cx, cy, radius, opacity, rgb, depth, angle, ratio]),
+        jnp.float32,
     )
 
 
@@ -111,7 +118,7 @@ class TestBlendAlgebra:
 
     def test_splat_alpha_center_and_falloff(self):
         cfg = CFG
-        data = jnp.array([[10.0, 10.0, 4.0, 0.8, 1, 1, 1, 5.0]])
+        data = jnp.array([[10.0, 10.0, 4.0, 0.8, 1, 1, 1, 5.0, 0.0, 1.0]])
         a_center = splat_alpha(data, jnp.array([10.0, 10.0]), cfg)
         assert a_center[0] == pytest.approx(0.8, abs=1e-6)
         a_off = splat_alpha(data, jnp.array([14.0, 10.0]), cfg)  # 1 radius away
@@ -121,7 +128,7 @@ class TestBlendAlgebra:
         assert a_out[0] == 0.0
 
     def test_tiny_splat_dropped(self):
-        data = jnp.array([[10.0, 10.0, 0.3, 0.8, 1, 1, 1, 5.0]])
+        data = jnp.array([[10.0, 10.0, 0.3, 0.8, 1, 1, 1, 5.0, 0.0, 1.0]])
         assert splat_alpha(data, jnp.array([10.0, 10.0]), CFG)[0] == 0.0
 
 
@@ -177,7 +184,7 @@ class TestBinning:
     def test_footprint_cap_respected(self, rng):
         cfg = CFG.replace(tiles_per_splat_cap=4)
         # one huge splat covering everything
-        data = jnp.array([[64.0, 48.0, 500.0, 1.0, 1, 1, 1, 2.0]])
+        data = jnp.array([[64.0, 48.0, 500.0, 1.0, 1, 1, 1, 2.0, 0.0, 1.0]])
         binned = bin_splats(data, cfg)
         total = int(binned["counts"].sum())
         assert total <= 4
@@ -220,7 +227,7 @@ class TestCompositorParity:
 
     def test_empty_scene_is_background(self):
         cfg = RenderConfig(width=32, height=32)
-        data = jnp.zeros((8, 8), jnp.float32)  # all radius-0 splats
+        data = jnp.zeros((8, 10), jnp.float32)  # all radius-0 splats
         img = render_oracle(data, cfg)
         np.testing.assert_allclose(img, np.broadcast_to(cfg.background, img.shape),
                                    atol=1e-6)
@@ -234,7 +241,7 @@ class TestCompositorParity:
         flipping depths flips the answer (ordering is real, not averaged)."""
         cfg = RenderConfig(width=32, height=32)
         mk = lambda rgbd: jnp.array([
-            [16.0, 16.0, 6.0, 0.9, *rgbd[:3], rgbd[3]],
+            [16.0, 16.0, 6.0, 0.9, *rgbd[:3], rgbd[3], 0.0, 1.0],
         ], jnp.float32)
         red_front = jnp.concatenate([mk([1, 0, 0, 1.0]), mk([0, 0, 1, 2.0])])
         blue_front = jnp.concatenate([mk([1, 0, 0, 2.0]), mk([0, 0, 1, 1.0])])
@@ -360,12 +367,14 @@ class TestPacking:
         np.testing.assert_allclose(q[:, 4:7], data[:, 4:7], atol=0.5 / 255 + 1e-6)
         # pack/unpack is bit-exact against the quantized values
         w_pos, w_ro, w_rgb = pack_records(q)
-        cx, cy, r, op, cr, cg, cb = unpack_words(w_pos, w_ro, w_rgb)
+        cx, cy, r, op, cr, cg, cb, ang, ratio = unpack_words(w_pos, w_ro, w_rgb)
         np.testing.assert_array_equal(cx, q[:, 0])
         np.testing.assert_array_equal(cy, q[:, 1])
         np.testing.assert_array_equal(r, q[:, 2])
         np.testing.assert_array_equal(op, q[:, 3])
         np.testing.assert_array_equal(np.stack([cr, cg, cb], -1), q[:, 4:7])
+        np.testing.assert_array_equal(ang, q[:, 8])
+        np.testing.assert_array_equal(ratio, q[:, 9])
 
     def test_depth_bits_monotonic(self, rng):
         from splat_renderer_tpu.render.packing import depth_bits
@@ -428,3 +437,83 @@ class TestPallasInterpret:
                                       interpret=True)
         # truncated contributions are bounded by the transmittance floor
         assert float(jnp.abs(img_eps - img_exact).max()) <= 0.0101
+
+
+class TestOrientedAndOpaque:
+    def test_elliptical_alpha_foreshortens(self):
+        """ratio < 1 shrinks the footprint along the minor axis only."""
+        cfg = RenderConfig(width=64, height=64)
+        # angle 0: minor axis = x
+        data = jnp.array([[32.0, 32.0, 8.0, 1.0, 1, 1, 1, 5.0, 0.0, 0.25]])
+        a_minor = splat_alpha(data, jnp.array([36.0, 32.0]), cfg)  # 4px along x
+        a_major = splat_alpha(data, jnp.array([32.0, 36.0]), cfg)  # 4px along y
+        assert a_minor[0] < a_major[0]
+        # rotate by 90 degrees: axes swap
+        data90 = data.at[0, 8].set(np.pi / 2)
+        b_minor = splat_alpha(data90, jnp.array([32.0, 36.0]), cfg)
+        np.testing.assert_allclose(b_minor, a_minor, rtol=1e-5)
+
+    def test_opaque_nearest_wins(self):
+        """Opaque mode: front splat fully hides the back one (z-buffer)."""
+        cfg = RenderConfig(width=32, height=32, opaque=True)
+        data = jnp.array([
+            [16.0, 16.0, 6.0, 1.0, 1, 0, 0, 1.0, 0.0, 1.0],  # red, near
+            [16.0, 16.0, 6.0, 1.0, 0, 0, 1, 2.0, 0.0, 1.0],  # blue, far
+        ], jnp.float32)
+        img = render_oracle(data, cfg)
+        np.testing.assert_allclose(img[16, 16], [1, 0, 0], atol=1e-5)
+        # tile pipeline agrees
+        _, _, ds = depth_sort(data[:, 7], data)
+        img_t = render_tiles(ds, bin_splats(ds, cfg), cfg, pair_chunk=8)
+        np.testing.assert_allclose(img_t, img, atol=1e-5)
+
+    def test_opaque_pallas_matches_oracle(self, rng):
+        from splat_renderer_tpu.render.binning import bin_splats_packed
+        from splat_renderer_tpu.render.packing import quantize_screen_data
+        from splat_renderer_tpu.ops.tile_blend import render_tiles_pallas
+
+        cfg = RenderConfig(width=48, height=48, opaque=True, oriented=True,
+                           tiles_per_splat_cap=16)
+        data = quantize_screen_data(
+            _random_screen_splats(rng, 100, cfg, r_lo=2.0, r_hi=8.0, oriented=True)
+        )
+        data = data.at[:, 3].set(1.0)  # opaque
+        img_o = render_oracle(data, cfg)
+        st = bin_splats_packed(data, cfg, block=8)
+        img_p = render_tiles_pallas(data, st, cfg, block=8, eps=0.0, interpret=True)
+        np.testing.assert_allclose(img_p, img_o, atol=2e-5)
+
+    def test_oriented_gaussian_pallas_matches_oracle(self, rng):
+        from splat_renderer_tpu.render.binning import bin_splats_packed
+        from splat_renderer_tpu.render.packing import quantize_screen_data
+        from splat_renderer_tpu.ops.tile_blend import render_tiles_pallas
+
+        cfg = RenderConfig(width=48, height=48, oriented=True,
+                           tiles_per_splat_cap=16)
+        data = quantize_screen_data(
+            _random_screen_splats(rng, 100, cfg, r_lo=2.0, r_hi=8.0, oriented=True)
+        )
+        img_o = render_oracle(data, cfg)
+        st = bin_splats_packed(data, cfg, block=8)
+        img_p = render_tiles_pallas(data, st, cfg, block=8, eps=0.0, interpret=True)
+        np.testing.assert_allclose(img_p, img_o, atol=2e-5)
+
+    def test_surface_preset_end_to_end(self, key):
+        """The reference's live path: opaque oriented surface splats
+        (src/Renderer.ts), rendered through the full pipeline."""
+        from splat_renderer_tpu.config import surface_render_config
+
+        scene = spt.SDFScene(
+            spt.union(spt.Sphere(id="a", radius=0.5), spt.Sphere(id="b", radius=0.5))
+        )
+        cfg = surface_render_config(64, 64, base_radius=0.05,
+                                    tiles_per_splat_cap=16)
+        pcfg = spt.PointConfig()
+        camera = {k: jnp.asarray(v) for k, v in spt.Camera().arrays().items()}
+        img = np.asarray(render_frame(scene, scene.params(), camera, key,
+                                      3000, pcfg, cfg, "tiles"))
+        assert np.all(np.isfinite(img))
+        bg = np.asarray(cfg.background)
+        # opaque surface: center pixels far from background, colors pastel
+        # (signed-normal coloring floors at 0.5 - 0.5 = 0)
+        assert np.mean(np.abs(img[28:36, 28:36] - bg)) > 0.1

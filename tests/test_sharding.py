@@ -113,13 +113,14 @@ class TestViewDP:
     def test_eight_views_sharded_match_loop(self, rng):
         rcfg = RenderConfig(width=32, height=32)
         n, v = 64, 8
-        data = np.zeros((v, n, 8), np.float32)
+        data = np.zeros((v, n, 10), np.float32)
         data[..., 0] = rng.uniform(0, 32, (v, n))
         data[..., 1] = rng.uniform(0, 32, (v, n))
         data[..., 2] = rng.uniform(1, 6, (v, n))
         data[..., 3] = rng.uniform(0.2, 1.0, (v, n))
         data[..., 4:7] = rng.uniform(0, 1, (v, n, 3))
         data[..., 7] = rng.uniform(1, 9, (v, n))
+        data[..., 9] = 1.0
         data = jnp.asarray(data)
 
         mesh = make_mesh(dp=8, sp=1)
