@@ -72,6 +72,35 @@ def main() -> None:
     full_j = jax.jit(full)
     t_full, _ = time_fn(full_j, splats, camera, warmup=2, iters=5)
 
+    # ---- BASELINE config 4: animated scene, modeler + render fused ----
+    def animated(p, c, k):
+        s = model_points(scene, p, k, 500_000, pcfg, rcfg)
+        d = splat_screen_data(s, c, rcfg)
+        return render_tiles_pallas(d, None, rcfg, block=BLOCK)
+
+    anim_j = jax.jit(animated)
+    t_anim, _ = time_fn(anim_j, params, camera, key, warmup=2, iters=5)
+
+    # ---- BASELINE config 5 (scaled): multi-view datagen, 4 views ----
+    from splat_renderer_tpu.render import render_views
+
+    cams4 = {k_: jnp.asarray(v) for k_, v in
+             spt.orbit_ring(4, aspect=WIDTH / HEIGHT).items()}
+    mv_j = jax.jit(lambda s, c: render_views(s, c, rcfg, "pallas", BLOCK))
+    t_mv, _ = time_fn(mv_j, splats, cams4, warmup=1, iters=3)
+
+    # ---- the reference's LIVE path: opaque oriented surface @1M ----
+    scfg = spt.surface_render_config(
+        WIDTH, HEIGHT, base_radius=0.004, tiles_per_splat_cap=4
+    )
+    def surface(p, c, k):
+        s = model_points(scene, p, k, N_SPLATS, pcfg, scfg)
+        d = splat_screen_data(s, c, scfg)
+        return render_tiles_pallas(d, None, scfg, block=BLOCK)
+
+    surf_j = jax.jit(surface)
+    t_surf, _ = time_fn(surf_j, params, camera, key, warmup=2, iters=5)
+
     fps = 1.0 / t_full
     result = {
         "metric": "fps_1080p_1m_splats",
@@ -85,6 +114,9 @@ def main() -> None:
         "bin_ms": round(t_bin * 1e3, 3),
         "blend_ms": round(t_blend * 1e3, 3),
         "model_stage_ms": round(t_model * 1e3, 3),
+        "animated_frame_ms_500k": round(t_anim * 1e3, 3),
+        "multiview4_ms": round(t_mv * 1e3, 3),
+        "surface_opaque_frame_ms_1m": round(t_surf * 1e3, 3),
         "n_splats": N_SPLATS,
         "resolution": f"{WIDTH}x{HEIGHT}",
         "device": str(jax.devices()[0]),

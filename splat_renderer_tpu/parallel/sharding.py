@@ -64,14 +64,20 @@ def _band_cfg(rcfg: RenderConfig, sp: int) -> RenderConfig:
 
 
 def render_band(
-    data: jnp.ndarray,  # (N, 8) packed screen data, replicated
+    data: jnp.ndarray,  # (N, 10) packed screen data, replicated
     band_index: jnp.ndarray,  # scalar int: which horizontal band this device owns
     band_cfg: RenderConfig,
+    compositor: str = "tiles",
 ) -> jnp.ndarray:
     """Render one horizontal image band: shift splats into the band frame and
-    run the ordinary single-device tile chain."""
+    run the ordinary single-device tile chain (Pallas on real TPU meshes,
+    the XLA compositor on the CPU dryrun mesh)."""
     y0 = band_index.astype(jnp.float32) * band_cfg.height
     data = data.at[:, 1].add(-y0)
+    if compositor == "pallas":
+        from ..ops.tile_blend import render_tiles_pallas
+
+        return render_tiles_pallas(data, None, band_cfg)
     _, _, data_sorted = depth_sort(data[:, 7], data)
     binned = bin_splats(data_sorted, band_cfg)
     return render_tiles(data_sorted, binned, band_cfg)
@@ -83,6 +89,7 @@ def multichip_frame_fn(
     n: int,
     pcfg: PointConfig,
     rcfg: RenderConfig,
+    compositor: str = "auto",
 ):
     """Build the jittable multi-chip frame step.
 
@@ -100,6 +107,10 @@ def multichip_frame_fn(
         raise ValueError(f"point count {n} must be divisible by {n_dev}")
     n_local = n // n_dev
     band_cfg = _band_cfg(rcfg, sp)
+    if compositor == "auto":
+        from ..render.pipeline import on_tpu
+
+        compositor = "pallas" if on_tpu() else "tiles"
 
     def local_step(params: Params, cameras: CameraArrays, key: jax.Array):
         # ---- modeler: points sharded over the whole mesh ----
@@ -124,7 +135,7 @@ def multichip_frame_fn(
 
         def one_view(camera: CameraArrays) -> jnp.ndarray:
             data = splat_screen_data(splats, camera, rcfg)
-            return render_band(data, band, band_cfg)
+            return render_band(data, band, band_cfg, compositor)
 
         return jax.vmap(one_view)(cameras)  # (V_local, H/sp, W, 3)
 

@@ -1,11 +1,12 @@
 from .curvature import curvature_probe
 from .projection import project_step, project_to_surface
-from .properties import Splats, derive_splats, num_splats
+from .properties import Splats, default_splats, derive_splats, num_splats
 from .seeding import point_count, seed_points, seed_scene_points
 
 __all__ = [
     "Splats",
     "curvature_probe",
+    "default_splats",
     "derive_splats",
     "num_splats",
     "point_count",

@@ -51,3 +51,18 @@ def derive_splats(
 
 def num_splats(splats: Splats) -> int:
     return splats["position"].shape[0]
+
+
+def default_splats(positions: jnp.ndarray, cfg: RenderConfig = RenderConfig()) -> Splats:
+    """CPU-default splat properties for positions without curvature data:
+    radius 0.04, white, opacity 0.7, +y normals
+    (src/SplatPropertyManager.ts:33-58)."""
+    n = positions.shape[0]
+    normals = jnp.zeros((n, 3), positions.dtype).at[:, 1].set(1.0)
+    return {
+        "position": positions,
+        "radius": jnp.full((n,), 0.04, positions.dtype),
+        "color": jnp.ones((n, 3), positions.dtype),
+        "opacity": jnp.full((n,), 0.7, positions.dtype),
+        "normal": normals,
+    }

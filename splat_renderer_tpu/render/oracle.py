@@ -60,7 +60,9 @@ def render_oracle(
         t_local = segmented_exclusive_product(1.0 - a, starts)  # (chunk, HW)
         weight = a * t_local * trans[None, :]  # (chunk, HW)
         rgb = chunk_data[:, 4:7]  # (chunk, 3)
-        color = color + jnp.einsum("cp,cd->pd", weight, rgb)
+        color = color + jnp.einsum(
+            "cp,cd->pd", weight, rgb, precision=jax.lax.Precision.HIGHEST
+        )
         trans = trans * jnp.prod(1.0 - a, axis=0)
         return (color, trans), None
 

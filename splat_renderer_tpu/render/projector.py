@@ -55,19 +55,47 @@ def project_splats(
       mark it invalid (divergence documented; invalid splats get depth=inf and
       are dropped by binning).
     """
-    center, w_center = _to_screen(positions, view_proj, cfg.width, cfg.height)
+    hom = jnp.concatenate([positions, jnp.ones_like(positions[..., :1])], axis=-1)
+    clip = hom @ view_proj.T  # (N, 4)
+    w_center = clip[:, 3]
+    safe_w = jnp.where(jnp.abs(w_center) < 1e-8, 1e-8, w_center)
+    half = jnp.array([0.5 * cfg.width, 0.5 * cfg.height], positions.dtype)
+    ndc = clip[:, :2] / safe_w[:, None]
+    center = jnp.stack(
+        [(ndc[:, 0] + 1.0) * half[0], (1.0 - ndc[:, 1]) * half[1]], axis=-1
+    )
     depth = jnp.linalg.norm(positions - cam_pos, axis=-1)
 
-    # 6 axial offsets, projected as one (N, 6, 3) batch
-    eye = jnp.eye(3, dtype=positions.dtype)
-    offsets = jnp.concatenate([eye, -eye], axis=0)  # (6, 3)
-    probe = positions[:, None, :] + radii[:, None, None] * offsets[None, :, :]
-    probe_screen, w_probe = _to_screen(probe, view_proj, cfg.width, cfg.height)
-    screen_radius = jnp.max(
-        jnp.linalg.norm(probe_screen - center[:, None, :], axis=-1), axis=-1
-    )
-
-    valid = (w_center > 1e-6) & jnp.all(w_probe > 1e-6, axis=-1)
+    # 6 axial offsets (+-r along each world axis): their clip coordinates are
+    # clip_center +- r * VP_column, so no extra matmuls or an (N, 6, 3)
+    # probe batch are needed — same max-over-6 semantics as
+    # src/SplatProjector.ts:91-113 at a sixth of the cost
+    screen_radius = jnp.zeros_like(depth)
+    valid = w_center > 1e-6
+    for axis in range(3):
+        col = view_proj[:, axis]  # clip-space delta per unit world axis step
+        for sign in (1.0, -1.0):
+            c = clip + (sign * radii)[:, None] * col[None, :]
+            wp = c[:, 3]
+            valid = valid & (wp > 1e-6)
+            safe_wp = jnp.where(jnp.abs(wp) < 1e-8, 1e-8, wp)
+            nx = c[:, 0] / safe_wp
+            ny = c[:, 1] / safe_wp
+            sx = (nx + 1.0) * half[0]
+            sy = (1.0 - ny) * half[1]
+            d = jnp.sqrt((sx - center[:, 0]) ** 2 + (sy - center[:, 1]) ** 2)
+            screen_radius = jnp.maximum(screen_radius, d)
+    # Cap the screen radius so the padded bounds box always fits inside
+    # tiles_per_splat_cap tiles: bbox side 2*margin*r spans at most
+    # floor(sqrt(cap)) tiles when r <= (k-1)*tile_size / (2*margin).
+    # Without this, over-cap footprints would have tiles silently dropped by
+    # the binner — an oracle-invisible divergence; clamping the radius in the
+    # record itself keeps every compositor (oracle included) consistent.
+    # (The reference has the same pathology class and merely warns,
+    # src/GPUTileBinner.ts:265-281.)
+    k = max(int(cfg.tiles_per_splat_cap**0.5), 2)
+    r_max = (k - 1) * cfg.tile_size / (2.0 * cfg.bounds_margin)
+    screen_radius = jnp.minimum(screen_radius, r_max)
     screen_radius = jnp.where(valid, screen_radius, 0.0)
     depth = jnp.where(valid, depth, jnp.inf)
 
