@@ -81,6 +81,7 @@ def _make_kernel(cfg: RenderConfig, block: int, eps: float):
     tp = cfg.tile_pixels
     ts = cfg.tile_size
     inv_2sigma2 = 0.5 / (cfg.sigma * cfg.sigma)
+    margin2 = cfg.bounds_margin * cfg.bounds_margin
     num_tiles = cfg.num_tiles
 
     def kernel(
@@ -135,9 +136,7 @@ def _make_kernel(cfg: RenderConfig, block: int, eps: float):
 
             dx = px - cx  # (block, tp)
             dy = py - cy
-            pad = r * cfg.bounds_margin
-            inside = (jnp.abs(dx) <= pad) & (jnp.abs(dy) <= pad)
-            ok = inside & (r >= cfg.min_screen_radius)
+            ok = r >= cfg.min_screen_radius  # (block, 1), broadcasts
             if cfg.oriented:
                 # distance in the splat's screen-ellipse frame
                 ang = u2f((w_ro >> 16) & 0xFF) / ANGLE_SCALE - PI
@@ -157,7 +156,10 @@ def _make_kernel(cfg: RenderConfig, block: int, eps: float):
                 # (front-to-back + alpha 1), src/Renderer.ts:189-201
                 shape = jnp.where(nd2 <= 1.0, 1.0, 0.0)
             else:
-                shape = jnp.exp(-inv_2sigma2 * nd2)
+                # disc support cutoff at bounds_margin * r (see blend.py)
+                shape = jnp.where(
+                    nd2 <= margin2, jnp.exp(-inv_2sigma2 * nd2), 0.0
+                )
             alpha = jnp.where(ok, op * shape, 0.0)
             # mask window rows outside this tile's run (lead-in overlap rows
             # belong to the previous tile; tail rows to the next)

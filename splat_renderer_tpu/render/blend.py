@@ -61,8 +61,6 @@ def splat_alpha(
     ratio = jnp.maximum(data[..., 9], 1e-3)
 
     delta = pix - center
-    pad = radius * cfg.bounds_margin
-    in_bounds = jnp.all(jnp.abs(delta) <= pad[..., None], axis=-1)
     big_enough = radius >= cfg.min_screen_radius
 
     ca = jnp.cos(angle)
@@ -75,11 +73,20 @@ def splat_alpha(
 
     safe_r2 = jnp.maximum(radius * radius, 1e-12)
     nd2 = dist2 / safe_r2
+    # Support cutoff: the reference tests the padded bounds BOX (1.5r,
+    # src/ComputeShaderRenderer.ts:117-121); we cut at the inscribed DISC of
+    # the same 1.5r support — the dropped box corners carry alpha <=
+    # exp(-0.5*(1.5*sqrt(2)/sigma)^2) ~ 1e-4, and a single nd2 compare
+    # replaces four abs/compare lanes in the hot kernel.  Applied uniformly
+    # (oracle included), so parity is exact.
+    margin2 = cfg.bounds_margin * cfg.bounds_margin
     if cfg.opaque:
         shape = jnp.where(nd2 <= 1.0, 1.0, 0.0)
     else:
-        shape = jnp.exp(-0.5 * nd2 / (cfg.sigma * cfg.sigma))
-    return jnp.where(in_bounds & big_enough, opacity * shape, 0.0)
+        shape = jnp.where(
+            nd2 <= margin2, jnp.exp(-0.5 * nd2 / (cfg.sigma * cfg.sigma)), 0.0
+        )
+    return jnp.where(big_enough, opacity * shape, 0.0)
 
 
 def segmented_exclusive_product(
