@@ -1,3 +1,4 @@
+from .serve import serve
 from .turntable import render_turntable
 
-__all__ = ["render_turntable"]
+__all__ = ["render_turntable", "serve"]
