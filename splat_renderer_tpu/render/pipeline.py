@@ -159,6 +159,9 @@ class Engine:
         h = self.scene.structure_hash()
         fn = self._cache.get(h)
         if fn is None:
+            from ..utils.log import log_rebuild
+
+            log_rebuild(h)
             scene, n, pcfg, rcfg, comp = (
                 self.scene, self.n, self.pcfg, self.rcfg, self.compositor,
             )

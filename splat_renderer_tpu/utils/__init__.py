@@ -5,3 +5,7 @@ __all__ = ["StageTimer", "time_fn", "to_uint8", "write_png"]
 from .snapshot import load_splats, save_splats  # noqa: E402
 
 __all__ += ["load_splats", "save_splats"]
+from .log import log_point_budget, log_rebuild, logger  # noqa: E402
+from .profiling import annotate, trace  # noqa: E402
+
+__all__ += ["annotate", "log_point_budget", "log_rebuild", "logger", "trace"]
