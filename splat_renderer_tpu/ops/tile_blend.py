@@ -79,6 +79,9 @@ def _exclusive_cumprod_rows(q: jnp.ndarray) -> jnp.ndarray:
     return x
 
 
+PI = math.pi
+
+
 def _make_kernel(cfg: RenderConfig, block: int, eps: float):
     tp = cfg.tile_pixels
     ts = cfg.tile_size

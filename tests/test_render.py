@@ -517,3 +517,73 @@ class TestOrientedAndOpaque:
         # opaque surface: center pixels far from background, colors pastel
         # (signed-normal coloring floors at 0.5 - 0.5 = 0)
         assert np.mean(np.abs(img[28:36, 28:36] - bg)) > 0.1
+
+
+class TestEdgeCases:
+    def test_packing_extreme_values(self):
+        """Clamp behavior at the fixed-point grid edges."""
+        from splat_renderer_tpu.render.packing import (
+            pack_records, quantize_screen_data, unpack_words,
+        )
+
+        data = jnp.array([
+            # cx far negative, cy far positive, huge radius, op>1, color>1
+            [-500.0, 5000.0, 1e6, 2.0, 1.5, -0.5, 0.5, 1.0, 0.0, 1.0],
+            # all zeros
+            [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0],
+        ], jnp.float32)
+        q = quantize_screen_data(data)
+        assert float(q[0, 0]) == -256.0  # POS_OFFSET floor
+        assert float(q[0, 3]) == 1.0  # opacity clamp
+        assert float(q[0, 4]) == 1.0 and float(q[0, 5]) == 0.0  # color clamp
+        w = pack_records(q)
+        un = unpack_words(*w)
+        np.testing.assert_array_equal(un[0], q[:, 0])
+        np.testing.assert_array_equal(un[3], q[:, 3])
+
+    def test_all_splats_behind_camera(self):
+        cam = spt.Camera(azimuth=0.0, elevation=0.0, distance=3.0)
+        vp = jnp.asarray(cam.view_projection_matrix())
+        cp = jnp.asarray(cam.position())
+        pos = jnp.broadcast_to(cp * 2.0, (16, 3))  # behind the eye
+        proj = project_splats(vp, cp, pos, jnp.full((16,), 0.05), CFG)
+        assert not bool(proj["valid"].any())
+        # full chain renders pure background
+        data = pack_splat_screen_data(
+            proj, jnp.ones((16, 3)), jnp.ones((16,)),
+            jnp.zeros((16, 3)).at[:, 2].set(1.0), CFG,
+        )
+        _, _, ds = depth_sort(data[:, 7], data)
+        img = render_tiles(ds, bin_splats(ds, CFG), CFG, pair_chunk=8)
+        np.testing.assert_allclose(
+            img, np.broadcast_to(CFG.background, img.shape), atol=1e-6
+        )
+
+    def test_single_splat_image(self):
+        cfg = RenderConfig(width=32, height=32)
+        data = jnp.array([[16.0, 16.0, 4.0, 1.0, 1, 0, 0, 2.0, 0.0, 1.0]],
+                         jnp.float32)
+        img = render_oracle(data, cfg)
+        # near-center pixel (offset 0.5px): alpha = exp(-0.5*nd2/sigma^2) ~ 0.94
+        a = float(np.exp(-0.5 * (0.5 / 16.0) / cfg.sigma**2))
+        expect = a * np.array([1, 0, 0]) + (1 - a) * np.asarray(cfg.background)
+        np.testing.assert_allclose(img[16, 16], expect, atol=1e-5)
+        np.testing.assert_allclose(img[0, 0], cfg.background, atol=1e-6)
+
+    def test_radius_cap_keeps_footprint_within_capacity(self, rng):
+        """After the projector's radius cap, no splat footprint can exceed
+        tiles_per_splat_cap, so binning never drops covered tiles."""
+        from splat_renderer_tpu.render.binning import _tile_footprint
+
+        cfg = RenderConfig(width=256, height=256, tiles_per_splat_cap=4)
+        cam = spt.Camera(distance=1.0)
+        vp = jnp.asarray(cam.view_projection_matrix())
+        cp = jnp.asarray(cam.position())
+        pos = jnp.asarray(rng.normal(0, 0.3, (64, 3)), jnp.float32)
+        proj = project_splats(vp, cp, pos, jnp.full((64,), 0.5), cfg)
+        data = pack_splat_screen_data(
+            proj, jnp.ones((64, 3)), jnp.ones((64,)),
+            jnp.zeros((64, 3)).at[:, 2].set(1.0), cfg,
+        )
+        tx0, ty0, w, h = _tile_footprint(data, cfg)
+        assert int(jnp.max(w * h)) <= cfg.tiles_per_splat_cap
