@@ -1,31 +1,47 @@
-"""Benchmark: 1M splats composited at 1080p on one TPU chip.
+"""Benchmark: the five BASELINE.json configs on one TPU chip.
 
 Prints ONE JSON line:
   {"metric": ..., "value": FPS, "unit": "fps", "vs_baseline": FPS/60, ...}
 
 Baseline: the reference's north-star target of 1M splats @ 60 FPS
 (3D_PLAN.md:379-382; BASELINE.md "Targets"), so vs_baseline = fps / 60.
-Extra fields carry the per-stage breakdown (project/sort/bin/blend ms) that
-BASELINE.json's metric asks for.
+Extra fields carry the per-stage breakdown (project/bin/sort/blend ms) plus
+all five BASELINE configs:
+  1. oracle_10k_256_ms      — SequentialRenderer parity config
+  2. frame_720p_100k_ms     — tile pipeline small
+  3. fps_1080p_1m_splats    — full GPU-pipeline parity (headline)
+  4. animated_120f_s        — 500k animated over 120 frames incl. host loop
+  5. multiview8_2m_ms       — 8 views x 2M splats @1080p, one fused program
+
+Stage accounting: bin_ms is the FULL binning pass (which contains the pair
+sort); sort_ms is the isolated pair sort so the sort's share is visible.
+blend_ms uses the steady-state capacity class (pipeline.Engine protocol) —
+the first frame per scene runs at the safe worst-case grid bound.
 """
 
 from __future__ import annotations
 
 import json
+import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 import splat_renderer_tpu as spt
 from splat_renderer_tpu.config import PointConfig, RenderConfig
 from splat_renderer_tpu.ops.tile_blend import render_tiles_pallas
 from splat_renderer_tpu.render.binning import bin_splats_packed
-from splat_renderer_tpu.render.pipeline import model_points, splat_screen_data
+from splat_renderer_tpu.render.pipeline import (
+    model_points,
+    render_splats,
+    splat_screen_data,
+)
 from splat_renderer_tpu.utils.timing import time_fn
 
 N_SPLATS = 1_000_000
 WIDTH, HEIGHT = 1920, 1080
-BLOCK = 256
+BLOCK = 1024
 
 
 def _demo_scene():
@@ -33,6 +49,14 @@ def _demo_scene():
     b1 = spt.Box(id="box1", position=(0.6, 0, 0), size=(0.3, 0.3, 0.3))
     s2 = spt.Sphere(id="sphere2", position=(0, 0.6, 0), radius=0.25)
     return spt.SDFScene(spt.smooth_union(0.1, spt.smooth_union(0.15, s1, b1), s2))
+
+
+def _capacity_class(data, rcfg, block=BLOCK, headroom=1.25) -> int:
+    """One safe-bound binning to size the steady-state blend capacity class
+    (1024-granular, mirroring pipeline.Engine's protocol)."""
+    binned = jax.jit(lambda d: bin_splats_packed(d, rcfg, block))(data)
+    used = int(np.asarray(binned["block_off"])[-1])
+    return max(1024, -(-int(used * headroom) // 1024) * 1024)
 
 
 def main() -> None:
@@ -48,55 +72,181 @@ def main() -> None:
     params = scene.params()
     key = jax.random.PRNGKey(0)
 
-    # ---- stage-isolated timings ----
+    # ---- stage-isolated timings (headline config 3) ----
     model_j = jax.jit(lambda p, k: model_points(scene, p, k, N_SPLATS, pcfg, rcfg))
     t_model, splats = time_fn(model_j, params, key, warmup=2, iters=5)
 
     project_j = jax.jit(lambda s, c: splat_screen_data(s, c, rcfg))
     t_project, data = time_fn(project_j, splats, camera, warmup=2, iters=5)
 
-    # depth sort is folded into the pair sort's secondary key (bin stage)
-    t_sort = 0.0
+    # radius-cap stats (the capacity clamp the reference merely warns about,
+    # src/GPUTileBinner.ts:265-281)
+    from splat_renderer_tpu.render.projector import project_splats
+
+    proj = jax.jit(
+        lambda s, c: project_splats(
+            c["view_proj"], c["cam_pos"], s["position"], s["radius"], rcfg
+        )
+    )(splats, camera)
+    kcap = max(int(rcfg.tiles_per_splat_cap**0.5), 2)
+    r_cap = (kcap - 1) * rcfg.tile_size / (2.0 * rcfg.bounds_margin)
+    r_raw = np.asarray(proj["radius_raw"])
+    clamp_frac = float((r_raw > r_cap).mean())
+    r_raw_max = float(r_raw.max())
+
+    # isolated pair sort (the stage the reference's RadixSorter owns)
+    from splat_renderer_tpu.render.packing import depth_bits, pack_records
+
+    cap = rcfg.tiles_per_splat_cap
+
+    def pair_sort(d):
+        dk = depth_bits(d[:, 7])
+        w0, w1, w2 = pack_records(d, rcfg)
+        tile = jnp.zeros((cap * N_SPLATS,), jnp.int32)
+
+        def bc(x):
+            return jnp.broadcast_to(x[None, :], (cap, N_SPLATS)).reshape(-1)
+
+        return jax.lax.sort(
+            (tile, bc(dk), bc(w0), bc(w1), bc(w2)), num_keys=5, is_stable=False
+        )[1]
+
+    t_sort, _ = time_fn(jax.jit(pair_sort), data, warmup=2, iters=5)
 
     bin_j = jax.jit(lambda d: bin_splats_packed(d, rcfg, BLOCK))
     t_bin, binned = time_fn(bin_j, data, warmup=2, iters=5)
+    blocks_used = int(np.asarray(binned["block_off"])[-1])
+    mb = max(1024, -(-int(blocks_used * 1.25) // 1024) * 1024)
 
-    blend_j = jax.jit(lambda d, b: render_tiles_pallas(d, b, rcfg, block=BLOCK))
+    blend_j = jax.jit(
+        lambda d, b: render_tiles_pallas(d, b, rcfg, block=BLOCK, max_blocks=mb)
+    )
     t_blend, img = time_fn(blend_j, data, binned, warmup=2, iters=5)
 
     # ---- full fused frame (render-only: splats -> image) ----
     def full(s, c):
         d = splat_screen_data(s, c, rcfg)
-        return render_tiles_pallas(d, None, rcfg, block=BLOCK)
+        return render_tiles_pallas(d, None, rcfg, block=BLOCK, max_blocks=mb)
 
     full_j = jax.jit(full)
     t_full, _ = time_fn(full_j, splats, camera, warmup=2, iters=5)
 
-    # ---- BASELINE config 4: animated scene, modeler + render fused ----
+    # ---- config 1: oracle, 10k splats @256x256 ----
+    ocfg = RenderConfig(width=256, height=256, base_radius=0.03)
+    from splat_renderer_tpu.render.oracle import render_oracle
+
+    o_splats = jax.jit(lambda p, k: model_points(scene, p, k, 10_000, pcfg, ocfg))(
+        params, key
+    )
+    ocam = {k_: jnp.asarray(v) for k_, v in spt.Camera(aspect=1.0).arrays().items()}
+    t_oracle, _ = time_fn(
+        jax.jit(lambda s, c: render_oracle(splat_screen_data(s, c, ocfg), ocfg)),
+        o_splats, ocam, warmup=1, iters=3,
+    )
+
+    # ---- config 2: tile pipeline small, 100k @720p ----
+    cfg720 = RenderConfig(width=1280, height=720, base_radius=0.02,
+                          tiles_per_splat_cap=4)
+    s100k = jax.jit(lambda p, k: model_points(scene, p, k, 100_000, pcfg, cfg720))(
+        params, key
+    )
+    cam720 = {k_: jnp.asarray(v) for k_, v in
+              spt.Camera(aspect=1280 / 720).arrays().items()}
+    d720 = jax.jit(lambda s, c: splat_screen_data(s, c, cfg720))(s100k, cam720)
+    mb720 = _capacity_class(d720, cfg720)
+    t_720, _ = time_fn(
+        jax.jit(lambda s, c: render_tiles_pallas(
+            splat_screen_data(s, c, cfg720), None, cfg720, block=BLOCK,
+            max_blocks=mb720)),
+        s100k, cam720, warmup=2, iters=5,
+    )
+
+    # ---- config 4: 500k animated over 120 frames (incl. host loop) ----
+    d500 = jax.jit(lambda s, c: splat_screen_data(s, c, rcfg))(
+        jax.jit(lambda p, k: model_points(scene, p, k, 500_000, pcfg, rcfg))(
+            params, key
+        ),
+        camera,
+    )
+    mb500 = _capacity_class(d500, rcfg)
+
     def animated(p, c, k):
         s = model_points(scene, p, k, 500_000, pcfg, rcfg)
         d = splat_screen_data(s, c, rcfg)
-        return render_tiles_pallas(d, None, rcfg, block=BLOCK)
+        return render_tiles_pallas(d, None, rcfg, block=BLOCK, max_blocks=mb500)
 
     anim_j = jax.jit(animated)
     t_anim, _ = time_fn(anim_j, params, camera, key, warmup=2, iters=5)
 
-    # ---- BASELINE config 5 (scaled): multi-view datagen, 4 views ----
+    # the honest 120-frame sequence: animate primitive params + orbit the
+    # camera every frame, host loop included (BASELINE config 4 verbatim)
+    acam = spt.Camera(aspect=WIDTH / HEIGHT)
+    out = None
+    t0 = time.perf_counter()
+    for i in range(120):
+        t = i / 60.0
+        scene["sphere2"].position[1] = 0.6 + 0.2 * np.sin(2 * np.pi * t)
+        acam.azimuth = 0.5 + 0.02 * i
+        c_i = {k_: jnp.asarray(v) for k_, v in acam.arrays(t).items()}
+        out = anim_j(scene.params(), c_i, jax.random.fold_in(key, i))
+    jax.device_get(out.ravel()[:1])
+    t_seq = time.perf_counter() - t0
+    scene["sphere2"].position[1] = 0.6  # restore
+
+    # ...and the fused form: all 120 frames in ONE lax.scan program
+    # (render/sequence.py) — the TPU datagen mode, zero host round trips
+    from splat_renderer_tpu.render.sequence import render_sequence
+
+    acam2 = spt.Camera(aspect=WIDTH / HEIGHT)
+    cam_list, par_list = [], []
+    for i in range(120):
+        t = i / 60.0
+        scene["sphere2"].position[1] = 0.6 + 0.2 * np.sin(2 * np.pi * t)
+        acam2.azimuth = 0.5 + 0.02 * i
+        cam_list.append({k_: jnp.asarray(v) for k_, v in acam2.arrays(t).items()})
+        par_list.append(scene.params())
+    scene["sphere2"].position[1] = 0.6
+    cam_stack = jax.tree.map(lambda *xs: jnp.stack(xs), *cam_list)
+    par_stack = jax.tree.map(lambda *xs: jnp.stack(xs), *par_list)
+    seq_j = jax.jit(
+        lambda p, c, k: render_sequence(
+            scene, p, c, k, 500_000, pcfg, rcfg, "pallas",
+            blend_max_blocks=mb500,
+        )
+    )
+    t_scan, _ = time_fn(seq_j, par_stack, cam_stack, key, warmup=1, iters=2)
+
+    # ---- config 5: 8 views x 2M splats @1080p, one fused program ----
     from splat_renderer_tpu.render import render_views
 
-    cams4 = {k_: jnp.asarray(v) for k_, v in
-             spt.orbit_ring(4, aspect=WIDTH / HEIGHT).items()}
-    mv_j = jax.jit(lambda s, c: render_views(s, c, rcfg, "pallas", BLOCK))
-    t_mv, _ = time_fn(mv_j, splats, cams4, warmup=1, iters=3)
+    s2m = jax.jit(lambda p, k: model_points(scene, p, k, 2_000_000, pcfg, rcfg))(
+        params, key
+    )
+    cams8 = {k_: jnp.asarray(v) for k_, v in
+             spt.orbit_ring(8, aspect=WIDTH / HEIGHT).items()}
+    d2m = jax.jit(lambda s, c: splat_screen_data(s, c, rcfg))(s2m, camera)
+    mb2m = _capacity_class(d2m, rcfg)
+    mv_j = jax.jit(
+        lambda s, c: render_views(s, c, rcfg, "pallas", BLOCK, blend_max_blocks=mb2m)
+    )
+    t_mv, _ = time_fn(mv_j, s2m, cams8, warmup=1, iters=3)
 
     # ---- the reference's LIVE path: opaque oriented surface @1M ----
     scfg = spt.surface_render_config(
         WIDTH, HEIGHT, base_radius=0.004, tiles_per_splat_cap=4
     )
+    dsurf = jax.jit(lambda s, c: splat_screen_data(s, c, scfg))(
+        jax.jit(lambda p, k: model_points(scene, p, k, N_SPLATS, pcfg, scfg))(
+            params, key
+        ),
+        camera,
+    )
+    mbs = _capacity_class(dsurf, scfg)
+
     def surface(p, c, k):
         s = model_points(scene, p, k, N_SPLATS, pcfg, scfg)
         d = splat_screen_data(s, c, scfg)
-        return render_tiles_pallas(d, None, scfg, block=BLOCK)
+        return render_tiles_pallas(d, None, scfg, block=BLOCK, max_blocks=mbs)
 
     surf_j = jax.jit(surface)
     t_surf, _ = time_fn(surf_j, params, camera, key, warmup=2, iters=5)
@@ -114,9 +264,19 @@ def main() -> None:
         "bin_ms": round(t_bin * 1e3, 3),
         "blend_ms": round(t_blend * 1e3, 3),
         "model_stage_ms": round(t_model * 1e3, 3),
+        "oracle_10k_256_ms": round(t_oracle * 1e3, 3),
+        "frame_720p_100k_ms": round(t_720 * 1e3, 3),
         "animated_frame_ms_500k": round(t_anim * 1e3, 3),
-        "multiview4_ms": round(t_mv * 1e3, 3),
+        "animated_120f_s": round(t_seq, 3),
+        "animated_120f_fps": round(120.0 / t_seq, 2),
+        "animated_120f_scan_s": round(t_scan, 3),
+        "animated_120f_scan_fps": round(120.0 / t_scan, 2),
+        "multiview8_2m_ms": round(t_mv * 1e3, 3),
         "surface_opaque_frame_ms_1m": round(t_surf * 1e3, 3),
+        "blend_blocks_used": blocks_used,
+        "blend_capacity_class": mb,
+        "radius_clamped_frac": round(clamp_frac, 5),
+        "radius_raw_max_px": round(r_raw_max, 2),
         "n_splats": N_SPLATS,
         "resolution": f"{WIDTH}x{HEIGHT}",
         "device": str(jax.devices()[0]),

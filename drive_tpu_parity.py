@@ -1,0 +1,139 @@
+"""On-device parity gate: oracle vs Pallas vs XLA tiles on the REAL TPU.
+
+The CPU test suite runs the Pallas kernel in interpreter mode only; Mosaic
+lowering differences (transcendental ulps, MXU passes, roll lowering) can
+only be caught on hardware.  This script renders the demo scene through all
+three compositors on the attached chip and exits nonzero on drift:
+
+    PYTHONPATH=/root/repo:/root/.axon_site python drive_tpu_parity.py
+
+Round-2 history: this gate caught two real on-device divergences —
+  1. the oracle applied the ellipse rotation in isotropic mode (the quantized
+     angle grid has no exact zero), flipping hard-cutoff boundary pixels
+     (max diff 0.015); splat_alpha now branches on cfg.oriented.
+  2. backend cos/sin differ by ulps between libm/XLA-CPU/Mosaic; the shared
+     fixed-polynomial blend.ellipse_cos_sin removes the divergence.
+
+Also exercises parallel.sharding.render_band's Pallas branch on a 1-device
+mesh (untested anywhere else).
+"""
+
+from __future__ import annotations
+
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import splat_renderer_tpu as spt
+from splat_renderer_tpu.config import PointConfig, RenderConfig, surface_render_config
+from splat_renderer_tpu.ops.tile_blend import render_tiles_pallas
+from splat_renderer_tpu.render.binning import bin_splats, canonical_sort_data
+from splat_renderer_tpu.render.compositor import render_tiles
+from splat_renderer_tpu.render.oracle import render_oracle
+from splat_renderer_tpu.render.pipeline import model_points, splat_screen_data
+
+ATOL = 2e-5  # the fp32 fidelity gate (BASELINE.json; few-ulp headroom)
+
+
+def _scene():
+    return spt.SDFScene(
+        spt.smooth_union(
+            0.1,
+            spt.Sphere(id="s1", radius=0.5),
+            spt.Box(id="b1", position=(0.6, 0, 0), size=(0.3, 0.3, 0.3)),
+        )
+    )
+
+
+def check(name: str, cfg: RenderConfig, n: int, key: int = 0) -> bool:
+    scene = _scene()
+    cam = spt.Camera(aspect=cfg.width / cfg.height)
+    camera = {k: jnp.asarray(v) for k, v in cam.arrays().items()}
+    splats = jax.jit(lambda p, k: model_points(scene, p, k, n, PointConfig(), cfg))(
+        scene.params(), jax.random.PRNGKey(key)
+    )
+    data = jax.jit(lambda s, c: splat_screen_data(s, c, cfg))(splats, camera)
+    img_o = np.asarray(jax.jit(lambda d: render_oracle(d, cfg))(data))
+    img_p = np.asarray(
+        jax.jit(lambda d: render_tiles_pallas(d, None, cfg, eps=0.0))(data)
+    )
+
+    def tiles(d):
+        ds = canonical_sort_data(d, cfg)
+        return render_tiles(ds, bin_splats(ds, cfg), cfg)
+
+    img_t = np.asarray(jax.jit(tiles)(data))
+    dp = np.abs(img_p - img_o).max()
+    dt = np.abs(img_t - img_o).max()
+    ok = dp < ATOL and dt < ATOL
+    print(
+        f"{name:>24}: pallas|oracle={dp:.2e}  tiles|oracle={dt:.2e}  "
+        f"{'OK' if ok else 'FAIL (atol %.0e)' % ATOL}"
+    )
+    return ok
+
+
+def check_render_band() -> bool:
+    """render_band's Pallas branch on a 1-device mesh vs the full-frame path."""
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    scene = _scene()
+    cfg = RenderConfig(width=256, height=128, base_radius=0.03,
+                       tiles_per_splat_cap=16)
+    cam = spt.Camera(aspect=cfg.width / cfg.height)
+    camera = {k: jnp.asarray(v) for k, v in cam.arrays().items()}
+    splats = jax.jit(
+        lambda p, k: model_points(scene, p, k, 5_000, PointConfig(), cfg)
+    )(scene.params(), jax.random.PRNGKey(0))
+    data = jax.jit(lambda s, c: splat_screen_data(s, c, cfg))(splats, camera)
+
+    from splat_renderer_tpu.parallel.sharding import _band_cfg, render_band
+
+    band_cfg = _band_cfg(cfg, 1)
+    mesh = Mesh(np.asarray(jax.devices()[:1]), ("sp",))
+    fn = jax.jit(
+        jax.shard_map(
+            lambda d: render_band(d, jnp.int32(0), band_cfg, "pallas"),
+            mesh=mesh, in_specs=P(), out_specs=P(), check_vma=False,
+        )
+    )
+    img_band = np.asarray(fn(data))
+    img_ref = np.asarray(
+        jax.jit(lambda d: render_tiles_pallas(d, None, cfg))(data)
+    )
+    d = np.abs(img_band - img_ref).max()
+    ok = d < ATOL
+    print(f"{'render_band pallas sp=1':>24}: band|full={d:.2e}  "
+          f"{'OK' if ok else 'FAIL'}")
+    return ok
+
+
+def main() -> int:
+    print(f"device: {jax.devices()[0]}")
+    ok = True
+    ok &= check(
+        "isotropic 1080p",
+        RenderConfig(width=1920, height=1080, base_radius=0.03,
+                     tiles_per_splat_cap=4),
+        20_000,
+    )
+    ok &= check(
+        "oriented-alpha 360p",
+        RenderConfig(width=640, height=368, base_radius=0.03,
+                     tiles_per_splat_cap=16, oriented=True),
+        20_000,
+    )
+    ok &= check(
+        "opaque-surface 360p",
+        surface_render_config(640, 368, base_radius=0.02, tiles_per_splat_cap=16),
+        20_000,
+    )
+    ok &= check_render_band()
+    print("PARITY GATE:", "PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -91,6 +91,31 @@ class RenderConfig:
     blend_chunk: int = 32
 
     @property
+    def pos_offset(self) -> float:
+        """Origin shift of the u16 fixed-point screen grid: centers down to
+        -256 px (clipped splats; radii are capped far below this)."""
+        return 256.0
+
+    @property
+    def pos_scale(self) -> float:
+        """Subpixel scale of the u16 fixed-point screen grid (1/scale px).
+
+        The largest power of two whose u16 range [0, 65535] covers
+        [-pos_offset, max(width, height) + pos_offset] px, capped at 32
+        (1/32 px).  Sizing the grid to the frame fixes the silent clamp the
+        fixed 1/32 grid had beyond 1791 px at 1920-wide frames."""
+        span = max(self.width, self.height) + 2.0 * self.pos_offset
+        scale = 32.0
+        while scale > 1.0 and span * scale > 65535.0:
+            scale /= 2.0
+        if span * scale > 65535.0:
+            raise ValueError(
+                f"frame {self.width}x{self.height} exceeds the u16 screen "
+                "grid even at 1 px resolution (max ~65023 px per axis)"
+            )
+        return scale
+
+    @property
     def tiles_x(self) -> int:
         return _cdiv(self.width, self.tile_size)
 

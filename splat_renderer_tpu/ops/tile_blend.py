@@ -7,24 +7,28 @@ workgroups walking a tile's splat list with an `alpha >= 0.99` break).
 TPU shape of the same computation — a *streaming* kernel over the tile-sorted
 packed pair stream produced by render/binning.bin_splats_packed:
 
-  The grid walks fixed-size windows of the stream.  Window element offsets
-  come from a scalar-prefetched block->tile map: each tile's run is read in
-  `block`-row windows based at the run start rounded down to the 8-row
-  sublane tile (windows overlap run boundaries; leading/trailing rows are
-  masked).  Mosaic pipelines the window DMAs double-buffered; there is no
-  gather, no scatter, and no re-layout of the stream anywhere.
+  The stream arrives as (rows, 128) u32 planes; the grid walks fixed-size
+  windows of `block` records (block/128 rows).  Window bases are per-tile run
+  starts rounded DOWN to a multiple of `block` (lead rows masked), so every
+  window is a plain contiguous full-lane block — the round-1 (P, 1) layout
+  paid ~25 ms/frame of strided DMA (one useful lane in 128); this one is
+  bandwidth-trivial.  Empty tiles get no windows at all.
 
-  Records arrive packed (3 x u32, render/packing.py) and are unpacked with
-  shifts on the VPU — 16 bytes of DMA per record instead of 36.
+  In-kernel layout: RECORDS LIVE IN LANES, PIXELS IN SUBLANES.  Each window
+  is processed as block/128 groups of 128 records; a group's fields unpack to
+  (1, 128) vectors that broadcast against the (tile_pixels, 1) pixel columns
+  into (tile_pixels, 128) alpha panels — no transpose of the stream, full
+  VPU width everywhere.
 
-  The (8, tile_pixels) accumulator block stays resident in VMEM while
-  consecutive grid steps hit the same tile (the stream is tile-monotonic) and
-  is flushed to HBM exactly once per tile.
+  Per group: the exclusive transmittance prefix runs ALONG LANES by
+  log-doubling (7 masked roll-multiplies), and the color fold is three
+  lane-reductions of alpha-weighted (tp, 128) panels.
 
-  Per window: an (block, tile_pixels) alpha matrix on the VPU, an exclusive
-  transmittance prefix by log-depth doubling (shifted multiplies instead of a
-  serial loop), and the premultiplied color fold as one (3, block) x (block,
-  tile_pixels) f32 matmul.
+  The per-tile accumulator is a (tile_pixels, 4) VMEM scratch [r, g, b,
+  transmittance] that lives across the tile's windows and is transposed into
+  the (1, 8, tp) output block once, on the tile's LAST window (the out block
+  is revisited across the tile's windows, so Mosaic flushes it to HBM exactly
+  once per tile).
 
   Early termination: the reference's per-pixel `break` becomes a per-tile
   window-granular predicate — compute is skipped once every pixel's
@@ -32,9 +36,10 @@ packed pair stream produced by render/binning.bin_splats_packed:
   termination in a SIMD world"); the stream keeps flowing, so no dynamic
   control flow reaches the pipeline.
 
-Order-correctness was bought entirely by the binner's (tile, depth) two-key
-sort: runs are exactly depth-ordered, so the kernel needs no sorting and no
-atomics.
+Order-correctness was bought entirely by the binner's canonical multi-key
+sort ((tile, depth_bits, record-words) — see binning.canonical_sort_data):
+runs are exactly depth-ordered with value-determined ties, so the kernel
+needs no sorting and no atomics.
 """
 
 from __future__ import annotations
@@ -50,172 +55,198 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..config import RenderConfig
 from ..render.binning import Binned, bin_splats_packed
+from ..render.blend import ellipse_cos_sin
 from ..render.compositor import tiles_to_image
-from ..render.packing import ANGLE_SCALE, COLOR_SCALE, POS_OFFSET, POS_SCALE, RATIO_SCALE
+from ..render.packing import ANGLE_SCALE, COLOR_SCALE, RATIO_SCALE
 
-
-def _row_shift_down(x: jnp.ndarray, k: int) -> jnp.ndarray:
-    """Shift rows down by k (row i <- row i-k), filling the top k rows with 1."""
-    rolled = pltpu.roll(x, shift=k, axis=0)
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
-    return jnp.where(row_ids >= k, rolled, 1.0)
+PI = math.pi
 
 
 def _exclusive_cumprod_rows(q: jnp.ndarray) -> jnp.ndarray:
     """Exclusive cumulative product along axis 0 (rows) via Hillis-Steele
-    doubling: out[i] = prod_{j<i} q[j].  Rows must be a power of two.
-
-    (A two-level grouped variant is ~1.8x faster in isolation but shows no
-    end-to-end gain — the kernel is bound by per-grid-step overheads, not
-    VPU ops; keeping the simple form.  See NOTES.md perf levers.)
-    """
+    doubling: out[i] = prod_{j<i} q[j].  Row count must be a power of two
+    (128 here).  Sublane rolls — lane-axis rolls measured ~3x slower."""
     c = q.shape[0]
-    assert (c & (c - 1)) == 0, "block size must be a power of two"
-    x = _row_shift_down(q, 1)
+    assert (c & (c - 1)) == 0, "row count must be a power of two"
+    row = jax.lax.broadcasted_iota(jnp.int32, q.shape, 0)
+    x = jnp.where(row >= 1, pltpu.roll(q, shift=1, axis=0), 1.0)
     k = 1
     while k < c:
-        x = x * _row_shift_down(x, k)
+        x = x * jnp.where(row >= k, pltpu.roll(x, shift=k, axis=0), 1.0)
         k *= 2
     return x
-
-
-PI = math.pi
 
 
 def _make_kernel(cfg: RenderConfig, block: int, eps: float):
     tp = cfg.tile_pixels
     ts = cfg.tile_size
+    pos_scale, pos_offset = cfg.pos_scale, cfg.pos_offset
     inv_2sigma2 = 0.5 / (cfg.sigma * cfg.sigma)
     margin2 = cfg.bounds_margin * cfg.bounds_margin
     num_tiles = cfg.num_tiles
+    groups = block // 128
 
     def kernel(
-        block_tile_ref,  # (n_blocks_cap,) owning tile per block
+        block_tile_ref,  # (n_blocks_cap,) owning tile per grid block
         block_first_ref,  # (n_blocks_cap,) 1 at each tile's first block
-        start8_ref,  # (T+1,) 8-aligned window base per tile
-        block_off_ref,  # (T+1,) first block index per tile
-        offsets_ref,  # (T+1,) run starts in the pair stream
-        counts_ref,  # (T+1,) run lengths (last entry 0)
-        w_pos_ref,  # (block, 1) u32 packed position window, auto-pipelined
-        w_ro_ref,  # (block, 1) u32 radius|opacity window
-        w_rgb_ref,  # (block, 1) u32 color window
+        block_window_ref,  # (n_blocks_cap,) stream window index per block
+        block_local0_ref,  # (n_blocks_cap,) window start - run start
+        block_count_ref,  # (n_blocks_cap,) owning tile's run length
+        w_ref,  # (block//128, 384) u32: lanes 0-127 pos, 128-255 ro, 256-383 rgb
         out_ref,  # (1, 8, tp): rows 0-2 color, 3 transmittance
-        trans_ref,  # VMEM scratch (1, tp)
+        acc_ref,  # VMEM scratch (8, tp): rows 0-2 color, 3 transmittance
     ):
         b = pl.program_id(0)
+        nb = pl.num_programs(0)
         t = block_tile_ref[b]
         is_trash = t >= num_tiles
 
         @pl.when(jnp.logical_and(block_first_ref[b] == 1, jnp.logical_not(is_trash)))
         def _():
-            trans_ref[...] = jnp.ones((1, tp), jnp.float32)
-            out_ref[0, 0:4, :] = jnp.zeros((4, tp), jnp.float32)
-            out_ref[0, 4:8, :] = jnp.zeros((4, tp), jnp.float32)
+            acc_ref[0:3, :] = jnp.zeros((3, tp), jnp.float32)
+            acc_ref[3:8, :] = jnp.concatenate(
+                [jnp.ones((1, tp), jnp.float32), jnp.zeros((4, tp), jnp.float32)]
+            )
 
-        trans = trans_ref[...]
-        live = jnp.logical_and(jnp.logical_not(is_trash), jnp.max(trans) > eps)
+        live = jnp.logical_and(
+            jnp.logical_not(is_trash), jnp.max(acc_ref[3:4, :]) > eps
+        )
 
         @pl.when(live)
         def _():
-            # tile-constant pixel coordinates
+            # tile-constant pixel coordinates, pixels along LANES
             lane = jax.lax.broadcasted_iota(jnp.int32, (1, tp), 1)
             origin_x = ((t % cfg.tiles_x) * ts).astype(jnp.float32)
             origin_y = ((t // cfg.tiles_x) * ts).astype(jnp.float32)
             px = origin_x + (lane % ts).astype(jnp.float32) + 0.5
             py = origin_y + (lane // ts).astype(jnp.float32) + 0.5
 
-            # unpack records (render/packing.py layout)
-            w_pos = w_pos_ref[:]  # (block, 1) u32
-            w_ro = w_ro_ref[:]
-            w_rgb = w_rgb_ref[:]
+            local0 = block_local0_ref[b]
+            cnt = block_count_ref[b]
+            row = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
+
+            # records arrive packed in lanes (contiguous full-lane DMA);
+            # one cheap vreg transpose per plane puts them in SUBLANES so
+            # per-record fields become (128, 1) columns that broadcast
+            # against the (1, tp) pixel rows (~30 ns/window, measured)
+            w_all = w_ref[:]
+            tw_pos = w_all[:, 0:128].T  # (128, groups) u32
+            tw_ro = w_all[:, 128:256].T
+            tw_rgb = w_all[:, 256:384].T
 
             def u2f(x):
                 # Mosaic lacks a direct u32->f32 cast; all unpacked fields
                 # fit in 16 bits, so hop through int32
                 return x.astype(jnp.int32).astype(jnp.float32)
 
-            cx = u2f(w_pos & 0xFFFF) / POS_SCALE - POS_OFFSET
-            cy = u2f(w_pos >> 16) / POS_SCALE - POS_OFFSET
-            r = u2f(w_ro & 0xFFFF) / POS_SCALE
-            op = u2f(w_rgb >> 24) / COLOR_SCALE
-
-            dx = px - cx  # (block, tp)
-            dy = py - cy
-            ok = r >= cfg.min_screen_radius  # (block, 1), broadcasts
-            if cfg.oriented:
-                # distance in the splat's screen-ellipse frame
-                ang = u2f((w_ro >> 16) & 0xFF) / ANGLE_SCALE - PI
-                ratio = jnp.maximum(u2f(w_ro >> 24) / RATIO_SCALE, 1e-3)
-                ca = jnp.cos(ang)
-                sa = jnp.sin(ang)
-                # minor axis lies along the angle direction (see blend.py)
-                du = (ca * dx + sa * dy) / ratio
-                dv = -sa * dx + ca * dy
-                d2 = du * du + dv * dv
-            else:
-                d2 = dx * dx + dy * dy
-            inv_r2 = 1.0 / jnp.maximum(r * r, 1e-12)
-            nd2 = d2 * inv_r2
-            if cfg.opaque:
-                # z-buffer semantics: nearest covering splat wins exactly
-                # (front-to-back + alpha 1), src/Renderer.ts:189-201
-                shape = jnp.where(nd2 <= 1.0, 1.0, 0.0)
-            else:
-                # disc support cutoff at bounds_margin * r (see blend.py)
-                shape = jnp.where(
-                    nd2 <= margin2, jnp.exp(-inv_2sigma2 * nd2), 0.0
+            for g in range(groups):
+                # group-level skip: lead-in groups (before the run start),
+                # tail groups (past the run end), and saturated-tile groups
+                # cost nothing — a finer-grained version of the reference's
+                # per-pixel break (src/ComputeShaderRenderer.ts:188-190)
+                g_lo = local0 + g * 128
+                trans = acc_ref[3:4, :]  # (1, tp)
+                g_active = jnp.logical_and(
+                    jnp.logical_and(g_lo + 128 > 0, g_lo < cnt),
+                    jnp.max(trans) > eps,
                 )
-            alpha = jnp.where(ok, op * shape, 0.0)
-            # mask window rows outside this tile's run (lead-in overlap rows
-            # belong to the previous tile; tail rows to the next)
-            elem_start = start8_ref[t] + (b - block_off_ref[t]) * block
-            local0 = elem_start - offsets_ref[t]
-            row = jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0)
-            local = row + local0
-            alpha = jnp.where(
-                jnp.logical_and(local >= 0, local < counts_ref[t]), alpha, 0.0
-            )
 
-            q = 1.0 - alpha
-            t_excl = _exclusive_cumprod_rows(q)  # (block, tp)
-            weight = alpha * t_excl * trans  # trans broadcasts (1, tp)
-            rgb = (
-                u2f(
-                    jnp.concatenate(
-                        [w_rgb & 0xFF, (w_rgb >> 8) & 0xFF, (w_rgb >> 16) & 0xFF],
-                        axis=1,
+                @pl.when(g_active)
+                def _(g=g, g_lo=g_lo, trans=trans):
+                    w_pos = tw_pos[:, g : g + 1]  # (128, 1) u32
+                    w_ro = tw_ro[:, g : g + 1]
+                    w_rgb = tw_rgb[:, g : g + 1]
+
+                    cx = u2f(w_pos & 0xFFFF) / pos_scale - pos_offset
+                    cy = u2f(w_pos >> 16) / pos_scale - pos_offset
+                    r = u2f(w_ro & 0xFFFF) / pos_scale
+                    op = u2f(w_rgb >> 24) / COLOR_SCALE
+                    # fold the run mask and the min-radius cull into the
+                    # (128, 1) opacity column — record-scale, not panel-scale
+                    local = g_lo + row
+                    ok = jnp.logical_and(
+                        jnp.logical_and(local >= 0, local < cnt),
+                        r >= cfg.min_screen_radius,
                     )
-                )
-                / COLOR_SCALE
-            )  # (block, 3)
-            # HIGHEST: default f32 dots run as bf16 MXU passes (1e-3 error);
-            # the oracle-parity gate needs full f32 (tiny M=3 dot, cost ~0)
-            out_ref[0, 0:3, :] += jnp.dot(
-                rgb.T,
-                weight,
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            new_trans = trans * t_excl[block - 1 :, :] * q[block - 1 :, :]
-            trans_ref[...] = new_trans
-            out_ref[0, 3:4, :] = new_trans
+                    op = jnp.where(ok, op, 0.0)
+
+                    dx = px - cx  # (128, tp)
+                    dy = py - cy
+                    if cfg.oriented:
+                        # distance in the splat's screen-ellipse frame;
+                        # fixed-polynomial trig shared with blend.splat_alpha
+                        # (backend cos/sin ulps flip hard-cutoff pixels)
+                        ang = u2f((w_ro >> 16) & 0xFF) / ANGLE_SCALE - PI
+                        ratio = jnp.maximum(u2f(w_ro >> 24) / RATIO_SCALE, 1e-3)
+                        ca, sa = ellipse_cos_sin(ang)
+                        du = (ca * dx + sa * dy) / ratio
+                        dv = -sa * dx + ca * dy
+                        d2 = du * du + dv * dv
+                    else:
+                        d2 = dx * dx + dy * dy
+                    inv_r2 = 1.0 / jnp.maximum(r * r, 1e-12)
+                    nd2 = d2 * inv_r2
+                    if cfg.opaque:
+                        # z-buffer semantics: nearest covering splat wins
+                        # exactly (front-to-back + alpha 1),
+                        # src/Renderer.ts:189-201
+                        shape = jnp.where(nd2 <= 1.0, 1.0, 0.0)
+                    else:
+                        # disc support cutoff at bounds_margin * r (blend.py)
+                        shape = jnp.where(
+                            nd2 <= margin2, jnp.exp(-inv_2sigma2 * nd2), 0.0
+                        )
+                    alpha = op * shape  # (128, tp)
+
+                    q = 1.0 - alpha
+                    t_excl = _exclusive_cumprod_rows(q)
+                    weight = (alpha * t_excl) * trans  # (1, tp) row bcast
+                    # color fold on the MXU: contract the 128 record rows —
+                    # (128, 3)^T x (128, tp), a K=128 contraction (the
+                    # (tp,128)x(128,3) N=3 form wastes the MXU: 6.8 ms/frame)
+                    rgb = jnp.concatenate(
+                        [
+                            u2f(w_rgb & 0xFF),
+                            u2f((w_rgb >> 8) & 0xFF),
+                            u2f((w_rgb >> 16) & 0xFF),
+                        ],
+                        axis=1,
+                    ) * (1.0 / COLOR_SCALE)  # (128, 3)
+                    contrib = jax.lax.dot_general(
+                        rgb,
+                        weight,
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )  # (3, tp)
+                    acc_ref[0:3, :] += contrib
+                    acc_ref[3:4, :] = trans * (
+                        t_excl[127:128, :] * q[127:128, :]
+                    )
+
+        # flush on the tile's LAST window (the out block is revisited across
+        # the tile's windows; Mosaic writes it to HBM once, on block change)
+        nxt = block_tile_ref[jnp.minimum(b + 1, nb - 1)]
+        is_last = jnp.logical_or(b + 1 >= nb, nxt != t)
+
+        @pl.when(jnp.logical_and(is_last, jnp.logical_not(is_trash)))
+        def _():
+            out_ref[0] = acc_ref[:]
 
     return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "block", "eps", "interpret"))
 def pallas_blend_tiles(
-    pair_w0: jnp.ndarray,  # (P + block, 1) u32 tile-sorted packed positions
-    pair_w1: jnp.ndarray,  # (P + block, 1) u32 radius|opacity
-    pair_w2: jnp.ndarray,  # (P + block, 1) u32 colors
+    pair_w: jnp.ndarray,  # (rows, 384) u32 fused record planes (pos|ro|rgb)
     block_tile: jnp.ndarray,  # (n_blocks_cap,)
     block_first: jnp.ndarray,  # (n_blocks_cap,)
-    start8: jnp.ndarray,  # (T+1,)
-    block_off: jnp.ndarray,  # (T+1,)
-    offsets: jnp.ndarray,  # (T+1,)
+    block_window: jnp.ndarray,  # (n_blocks_cap,)
+    block_local0: jnp.ndarray,  # (n_blocks_cap,)
+    block_count: jnp.ndarray,  # (n_blocks_cap,)
     counts: jnp.ndarray,  # (T,)
     cfg: RenderConfig,
-    block: int = 128,
+    block: int = 1024,
     eps: float = -1.0,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -228,36 +259,36 @@ def pallas_blend_tiles(
     if eps < 0:
         eps = cfg.transmittance_eps
     tp = cfg.tile_pixels
-    if tp % 128:
-        raise ValueError("tile_pixels must be a multiple of 128 (tile_size 16 ok)")
+    if tp % 8:
+        raise ValueError("tile_pixels must be a multiple of 8")
+    if block % 1024:
+        raise ValueError(
+            "block must be a multiple of 1024 (Mosaic block shapes need the "
+            "sublane dim divisible by 8: windows are block/128 x 128)"
+        )
     num_tiles = cfg.num_tiles
     n_blocks_cap = block_tile.shape[0]
-    counts_padded = jnp.concatenate([counts, jnp.zeros((1,), counts.dtype)])
+    bw = block // 128
 
-    def data_index(b, bt, bf, s8, bo, off, cn):
-        t = bt[b]
-        # trash blocks (t == num_tiles) pin to offset 0: the revisited window
-        # lets the pipeline skip their DMAs entirely
-        elem = jnp.where(t >= num_tiles, 0, s8[t] + (b - bo[t]) * block)
-        return (pl.multiple_of(elem, 8), 0)
+    def data_index(b, bt, bf, bwin, bl0, bcnt):
+        return (bwin[b], 0)
 
-    word_spec = pl.BlockSpec((pl.Element(block), pl.Element(1)), data_index)
+    word_spec = pl.BlockSpec((bw, 384), data_index)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
+        num_scalar_prefetch=5,
         grid=(n_blocks_cap,),
-        in_specs=[word_spec, word_spec, word_spec],
+        in_specs=[word_spec],
         out_specs=pl.BlockSpec(
-            (1, 8, tp), lambda b, bt, bf, s8, bo, off, cn: (bt[b], 0, 0)
+            (1, 8, tp), lambda b, bt, bf, bwin, bl0, bcnt: (bt[b], 0, 0)
         ),
-        scratch_shapes=[pltpu.VMEM((1, tp), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((8, tp), jnp.float32)],
     )
     out = pl.pallas_call(
         _make_kernel(cfg, block, eps),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((num_tiles + 1, 8, tp), jnp.float32),
         interpret=interpret,
-    )(block_tile, block_first, start8, block_off, offsets, counts_padded,
-      pair_w0, pair_w1, pair_w2)
+    )(block_tile, block_first, block_window, block_local0, block_count, pair_w)
 
     out = out[:num_tiles]
     # tiles with no splats are never visited by the stream: mask them clear
@@ -271,32 +302,51 @@ def render_tiles_pallas(
     splat_data_quantized: jnp.ndarray,
     binned: Binned | None,
     cfg: RenderConfig,
-    block: int = 128,
+    block: int = 1024,
     eps: float = -1.0,
     interpret: bool = False,
+    max_blocks: int | None = None,
+    return_stats: bool = False,
 ) -> jnp.ndarray:
     """Drop-in replacement for render/compositor.render_tiles on TPU.
 
-    `splat_data_quantized` is the UNSORTED (N, 8) output of
+    `splat_data_quantized` is the UNSORTED (N, 10) output of
     projector.pack_splat_screen_data (already on the quantization grids);
     `binned` must come from bin_splats_packed(splat_data_quantized, cfg,
     block), or pass None to compute it here.
+
+    max_blocks: static grid-capacity class.  The safe worst-case bound
+    (P/block + 2*num_tiles) spends ~0.3 us per UNUSED grid step (measured
+    ~4 ms/frame at the bench shape); a steady-state caller (Engine, bench)
+    sizes this to the scene's actual window count instead.  Tiles whose
+    windows fall beyond the capacity render as empty and are flagged in the
+    returned stats — the caller re-renders at a bigger class (capacity-growth
+    protocol, pipeline.Engine).  None = the safe bound (never overflows).
     """
-    if binned is None or "pair_w0" not in binned:
+    if binned is None or "pair_w" not in binned:
         binned = bin_splats_packed(splat_data_quantized, cfg, block)
+    mb = binned["block_tile"].shape[0] if max_blocks is None else max_blocks
     tile_color, tile_alpha = pallas_blend_tiles(
-        binned["pair_w0"],
-        binned["pair_w1"],
-        binned["pair_w2"],
-        binned["block_tile"],
-        binned["block_first"],
-        binned["start8"],
-        binned["block_off"],
-        binned["offsets"],
+        binned["pair_w"],
+        binned["block_tile"][:mb],
+        binned["block_first"][:mb],
+        binned["block_window"][:mb],
+        binned["block_local0"][:mb],
+        binned["block_count"][:mb],
         binned["counts"],
         cfg,
         block=block,
         eps=eps,
         interpret=interpret,
     )
-    return tiles_to_image(tile_color, tile_alpha, cfg)
+    used = binned["block_off"][-1]
+    if max_blocks is not None:
+        # tiles whose last window fell beyond the capacity class hold partial
+        # accumulations: render them empty (background) instead of garbage
+        ok = binned["block_off"][1:] <= mb
+        tile_color = jnp.where(ok[:, None, None], tile_color, 0.0)
+        tile_alpha = jnp.where(ok[:, None], tile_alpha, 0.0)
+    img = tiles_to_image(tile_color, tile_alpha, cfg)
+    if return_stats:
+        return img, {"blocks_used": used, "overflow": used > mb}
+    return img

@@ -35,7 +35,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..config import PointConfig, RenderConfig
 from ..points import curvature_probe, derive_splats, project_to_surface, seed_scene_points
 from ..sdf.scene import Params, SDFScene
-from ..render.binning import bin_splats, depth_sort
+from ..render.binning import bin_splats, canonical_sort_data
 from ..render.compositor import render_tiles
 from ..render.pipeline import CameraArrays, splat_screen_data
 
@@ -78,7 +78,7 @@ def render_band(
         from ..ops.tile_blend import render_tiles_pallas
 
         return render_tiles_pallas(data, None, band_cfg)
-    _, _, data_sorted = depth_sort(data[:, 7], data)
+    data_sorted = canonical_sort_data(data, band_cfg)
     binned = bin_splats(data_sorted, band_cfg)
     return render_tiles(data_sorted, binned, band_cfg)
 
@@ -160,7 +160,7 @@ def render_views_data_parallel(
     vmesh = Mesh(flat_devices, ("v",))
 
     def one(data):
-        _, _, ds = depth_sort(data[:, 7], data)
+        ds = canonical_sort_data(data, rcfg)
         return render_tiles(ds, bin_splats(ds, rcfg), rcfg)
 
     fn = jax.shard_map(

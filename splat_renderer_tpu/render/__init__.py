@@ -1,4 +1,10 @@
-from .binning import bin_splats, bin_splats_stream, depth_sort, depth_sort_data
+from .binning import (
+    bin_splats,
+    bin_splats_stream,
+    canonical_sort_data,
+    depth_sort,
+    depth_sort_data,
+)
 from .blend import (
     composite_over_background,
     over_merge,
@@ -38,3 +44,6 @@ __all__ = [
 from .multiview import render_views  # noqa: E402
 
 __all__.append("render_views")
+from .sequence import render_sequence  # noqa: E402
+
+__all__.append("render_sequence")

@@ -28,6 +28,45 @@ from ..config import RenderConfig
 DATA_DIM = 10
 
 
+def ellipse_cos_sin(angle: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """cos/sin of the quantized ellipse angle by a FIXED polynomial.
+
+    The support cutoff `nd2 <= margin^2` is a hard threshold: any ulp-level
+    difference in the rotated distance between two compositors flips boundary
+    pixels and the alpha jumps by exp(-margin^2/(2 sigma^2)) ~ 0.011 (measured
+    on-TPU, round 2).  Backend `cos`/`sin` (libm on CPU, Mosaic approx on TPU)
+    differ by ulps, so every compositor must run the SAME arithmetic: these
+    odd/even minimax polynomials (|err| < 2e-7 on [-pi, pi], far below the u8
+    angle grid of render/packing.py) are IEEE mul/add chains that produce
+    bit-identical results on every backend.
+    """
+    x = angle  # in [-pi, pi] from the u8 grid
+    x2 = x * x
+    # sin: degree-11 odd least-squares fit on [-pi, pi], |err| < 3.1e-7
+    s = x * (
+        9.999997070e-01
+        + x2 * (
+            -1.666657722e-01
+            + x2 * (
+                8.332558118e-03
+                + x2 * (-1.981257552e-04 + x2 * (2.704051213e-06 + x2 * -2.053424453e-08))
+            )
+        )
+    )
+    # cos: degree-12 even least-squares fit on [-pi, pi], |err| < 3.6e-8
+    c = 9.999999923e-01 + x2 * (
+        -4.999999177e-01
+        + x2 * (
+            4.166652436e-02
+            + x2 * (
+                -1.388797039e-03
+                + x2 * (2.477342375e-05 + x2 * (-2.711336876e-07 + x2 * 1.736911667e-09))
+            )
+        )
+    )
+    return c, s
+
+
 def splat_alpha(
     data: jnp.ndarray,  # (..., 10)
     pix: jnp.ndarray,  # (..., 2) broadcastable against data[..., :2]
@@ -57,19 +96,28 @@ def splat_alpha(
     center = data[..., 0:2]
     radius = data[..., 2]
     opacity = data[..., 3]
-    angle = data[..., 8]
-    ratio = jnp.maximum(data[..., 9], 1e-3)
 
     delta = pix - center
     big_enough = radius >= cfg.min_screen_radius
 
-    ca = jnp.cos(angle)
-    sa = jnp.sin(angle)
-    # foreshortening acts ALONG the angle direction (the surface normal's
-    # screen projection): that component is divided by the minor/major ratio
-    du = (ca * delta[..., 0] + sa * delta[..., 1]) / ratio
-    dv = -sa * delta[..., 0] + ca * delta[..., 1]
-    dist2 = du * du + dv * dv
+    if cfg.oriented:
+        angle = data[..., 8]
+        ratio = jnp.maximum(data[..., 9], 1e-3)
+        # same fixed-polynomial trig as the Pallas kernel — the hard support
+        # cutoff demands bit-identical arithmetic across compositors
+        ca, sa = ellipse_cos_sin(angle)
+        # foreshortening acts ALONG the angle direction (the surface normal's
+        # screen projection): that component is divided by the minor/major ratio
+        du = (ca * delta[..., 0] + sa * delta[..., 1]) / ratio
+        dv = -sa * delta[..., 0] + ca * delta[..., 1]
+        dist2 = du * du + dv * dv
+    else:
+        # isotropic path: NO rotation, even though the quantized angle grid
+        # has no exact zero (angle 0 quantizes to pi/255) — a rotated distance
+        # differs by ~1e-7 relative fp error, which flips pixels across the
+        # hard cutoff below (measured 0.015 diffs on-TPU, round 2).  Must stay
+        # the exact op sequence of the kernel's isotropic branch.
+        dist2 = delta[..., 0] * delta[..., 0] + delta[..., 1] * delta[..., 1]
 
     safe_r2 = jnp.maximum(radius * radius, 1e-12)
     nd2 = dist2 / safe_r2

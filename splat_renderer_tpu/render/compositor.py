@@ -52,7 +52,7 @@ def tiles_to_image(
 
 
 def render_tiles(
-    splat_data_sorted: jnp.ndarray,  # (N, 8) depth-ascending packed data
+    splat_data_sorted: jnp.ndarray,  # (N, 10) depth-ascending packed data
     binned: Binned,
     cfg: RenderConfig,
     pair_chunk: int = 1024,

@@ -26,11 +26,15 @@ def render_views(
     cameras: CameraArrays,  # leaves with leading view axis V
     rcfg: RenderConfig,
     compositor: str = "auto",
-    blend_block: int = 128,
+    blend_block: int = 1024,
+    blend_max_blocks: int | None = None,
 ) -> jnp.ndarray:
     """Render one splat set from V cameras; returns (V, H, W, 3)."""
 
     def one(camera: CameraArrays) -> jnp.ndarray:
-        return render_splats(splats, camera, rcfg, compositor, blend_block)
+        return render_splats(
+            splats, camera, rcfg, compositor, blend_block,
+            blend_max_blocks=blend_max_blocks,
+        )
 
     return jax.lax.map(one, cameras)

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 from ..config import RenderConfig
 from .blend import composite_over_background, segmented_exclusive_product, splat_alpha
-from .binning import depth_sort
+from .binning import canonical_sort_data
 
 
 def pixel_grid(cfg: RenderConfig) -> jnp.ndarray:
@@ -30,15 +30,16 @@ def pixel_grid(cfg: RenderConfig) -> jnp.ndarray:
 
 
 def render_oracle(
-    splat_data: jnp.ndarray,  # (N, 8) packed screen data, ANY order
+    splat_data: jnp.ndarray,  # (N, 10) packed screen data, ANY order
     cfg: RenderConfig,
     chunk: int | None = None,
 ) -> jnp.ndarray:
     """Render the exact image (H, W, 3), blending all N splats front-to-back
     against every pixel."""
     chunk = chunk or cfg.blend_chunk
-    depth = splat_data[:, 7]
-    _, _, data = depth_sort(depth, splat_data)
+    # canonical compositing order: (depth_bits, packed-record) lexicographic
+    # — shared with the tile paths so bit-equal depth ties agree exactly
+    data = canonical_sort_data(splat_data, cfg)
 
     n = data.shape[0]
     pad = (-n) % chunk

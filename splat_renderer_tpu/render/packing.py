@@ -5,7 +5,9 @@ Production rasterizers quantize at exactly this boundary (the reference
 ultimately writes rgba8unorm pixels, src/ComputeShaderRenderer.ts:197, and
 rasterizes on fixed-point hardware); we adopt:
 
-  - screen positions and radii on a 1/32-pixel fixed-point grid (u16)
+  - screen positions and radii on a fixed-point subpixel grid (u16) sized to
+    the frame: 1/cfg.pos_scale px, the finest power-of-two grid (up to 1/32)
+    whose u16 range covers the whole frame plus the -256 px clip margin
   - color and opacity on the u8 grid of the output format
   - ellipse angle on a u8 grid (1.4 degree steps), minor/major ratio on u8
 
@@ -16,8 +18,8 @@ remains exact.  `pack_records`/`unpack_words` round-trip the quantized values
 bit-exactly.
 
 Packed payload, 3 x u32 per record (the tile/depth sort keys ride separately):
-  w_pos: cx_fx (u16, px*32, offset +256 px) | cy_fx << 16
-  w_ro:  radius_fx (u16, px*32) | angle_u8 << 16 | ratio_u8 << 24
+  w_pos: cx_fx (u16, px*pos_scale, offset +256 px) | cy_fx << 16
+  w_ro:  radius_fx (u16, px*pos_scale) | angle_u8 << 16 | ratio_u8 << 24
   w_rgb: r8 | g8 << 8 | b8 << 16 | opacity_u8 << 24
 """
 
@@ -29,34 +31,36 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-# fixed-point parameters
-POS_SCALE = 32.0  # subpixel grid: 1/32 px
-POS_OFFSET = 256.0  # allows centers down to -256 px (clipped splats)
+from ..config import RenderConfig
+
+# fixed-point parameters (position grid scale/offset live on RenderConfig:
+# cfg.pos_scale is frame-sized, cfg.pos_offset = 256 px)
 POS_MAX = 65535.0
 COLOR_SCALE = 255.0
 ANGLE_SCALE = 255.0 / (2.0 * math.pi)  # angle+pi -> [0, 255]
 RATIO_SCALE = 255.0
 
 
-def quantize_screen_data(data: jnp.ndarray) -> jnp.ndarray:
+def quantize_screen_data(data: jnp.ndarray, cfg: RenderConfig) -> jnp.ndarray:
     """Snap the (N, 10) packed screen records onto the pipeline grids.
 
     Record: [cx, cy, radius, opacity, r, g, b, depth, angle, ratio].
     Keeps f32 dtype; every compositor consumes this, so quantization is part
     of the rendering semantics (like hardware fixed-point raster grids).
     """
-    cx = jnp.round(jnp.clip((data[:, 0] + POS_OFFSET) * POS_SCALE, 0, POS_MAX))
-    cy = jnp.round(jnp.clip((data[:, 1] + POS_OFFSET) * POS_SCALE, 0, POS_MAX))
-    r = jnp.round(jnp.clip(data[:, 2] * POS_SCALE, 0, POS_MAX))
+    ps, po = cfg.pos_scale, cfg.pos_offset
+    cx = jnp.round(jnp.clip((data[:, 0] + po) * ps, 0, POS_MAX))
+    cy = jnp.round(jnp.clip((data[:, 1] + po) * ps, 0, POS_MAX))
+    r = jnp.round(jnp.clip(data[:, 2] * ps, 0, POS_MAX))
     op = jnp.round(jnp.clip(data[:, 3], 0.0, 1.0) * COLOR_SCALE)
     rgb = jnp.round(jnp.clip(data[:, 4:7], 0.0, 1.0) * COLOR_SCALE)
     ang = jnp.round((data[:, 8] + math.pi) * ANGLE_SCALE) % 256.0
     ratio = jnp.round(jnp.clip(data[:, 9], 1.0 / RATIO_SCALE, 1.0) * RATIO_SCALE)
     return jnp.stack(
         [
-            cx / POS_SCALE - POS_OFFSET,
-            cy / POS_SCALE - POS_OFFSET,
-            r / POS_SCALE,
+            cx / ps - po,
+            cy / ps - po,
+            r / ps,
             op / COLOR_SCALE,
             rgb[:, 0] / COLOR_SCALE,
             rgb[:, 1] / COLOR_SCALE,
@@ -69,20 +73,19 @@ def quantize_screen_data(data: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def pack_records(data_quantized: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
+def pack_records(
+    data_quantized: jnp.ndarray, cfg: RenderConfig
+) -> Tuple[jnp.ndarray, ...]:
     """(N, 10) quantized f32 -> three u32 payload words (w_pos, w_ro, w_rgb).
 
     Uses round (not truncate): the quantized f32 values are k/SCALE which may
     be inexact for non-power-of-two scales; rounding recovers k exactly.
     """
     q = data_quantized
-    cx = jnp.round(jnp.clip((q[:, 0] + POS_OFFSET) * POS_SCALE, 0, POS_MAX)).astype(
-        jnp.uint32
-    )
-    cy = jnp.round(jnp.clip((q[:, 1] + POS_OFFSET) * POS_SCALE, 0, POS_MAX)).astype(
-        jnp.uint32
-    )
-    r = jnp.round(jnp.clip(q[:, 2] * POS_SCALE, 0, POS_MAX)).astype(jnp.uint32)
+    ps, po = cfg.pos_scale, cfg.pos_offset
+    cx = jnp.round(jnp.clip((q[:, 0] + po) * ps, 0, POS_MAX)).astype(jnp.uint32)
+    cy = jnp.round(jnp.clip((q[:, 1] + po) * ps, 0, POS_MAX)).astype(jnp.uint32)
+    r = jnp.round(jnp.clip(q[:, 2] * ps, 0, POS_MAX)).astype(jnp.uint32)
     op = jnp.round(jnp.clip(q[:, 3] * COLOR_SCALE, 0, COLOR_SCALE)).astype(jnp.uint32)
     rgb = jnp.round(jnp.clip(q[:, 4:7] * COLOR_SCALE, 0, COLOR_SCALE)).astype(
         jnp.uint32
@@ -106,15 +109,16 @@ def depth_bits(depth: jnp.ndarray) -> jnp.ndarray:
 
 
 def unpack_words(
-    w_pos: jnp.ndarray, w_ro: jnp.ndarray, w_rgb: jnp.ndarray
+    w_pos: jnp.ndarray, w_ro: jnp.ndarray, w_rgb: jnp.ndarray, cfg: RenderConfig
 ) -> Tuple[jnp.ndarray, ...]:
     """Inverse of pack_records.
 
     Returns (cx, cy, radius, opacity, r, g, b, angle, ratio) f32 —
     bit-identical to the quantized f32 values."""
-    cx = (w_pos & 0xFFFF).astype(jnp.float32) / POS_SCALE - POS_OFFSET
-    cy = (w_pos >> 16).astype(jnp.float32) / POS_SCALE - POS_OFFSET
-    r = (w_ro & 0xFFFF).astype(jnp.float32) / POS_SCALE
+    ps, po = cfg.pos_scale, cfg.pos_offset
+    cx = (w_pos & 0xFFFF).astype(jnp.float32) / ps - po
+    cy = (w_pos >> 16).astype(jnp.float32) / ps - po
+    r = (w_ro & 0xFFFF).astype(jnp.float32) / ps
     ang = ((w_ro >> 16) & 0xFF).astype(jnp.float32) / ANGLE_SCALE - math.pi
     ratio = (w_ro >> 24).astype(jnp.float32) / RATIO_SCALE
     cr = (w_rgb & 0xFF).astype(jnp.float32) / COLOR_SCALE

@@ -31,7 +31,7 @@ from ..points import (
 )
 from ..points.properties import Splats
 from ..sdf.scene import Params, SDFScene
-from .binning import bin_splats, depth_sort
+from .binning import bin_splats, canonical_sort_data
 from .compositor import render_tiles
 from .oracle import render_oracle
 from .projector import pack_splat_screen_data, project_splats
@@ -58,7 +58,7 @@ def model_points(
 def splat_screen_data(
     splats: Splats, camera: CameraArrays, rcfg: RenderConfig
 ) -> jnp.ndarray:
-    """Project + light + pack into the (N, 8) render record (depth-unsorted)."""
+    """Project + light + pack into the (N, 10) render record (depth-unsorted)."""
     proj = project_splats(
         camera["view_proj"], camera["cam_pos"], splats["position"], splats["radius"], rcfg
     )
@@ -84,29 +84,41 @@ def render_splats(
     camera: CameraArrays,
     rcfg: RenderConfig,
     compositor: str = "auto",
-    blend_block: int = 128,
-) -> jnp.ndarray:
+    blend_block: int = 1024,
+    blend_max_blocks: Optional[int] = None,
+    return_stats: bool = False,
+):
     """Splat chain: project -> depth sort -> bin -> composite -> (H, W, 3).
 
     compositor:
       - "auto": Pallas streaming kernel on TPU, XLA scan compositor elsewhere
       - "pallas" / "tiles": force one of the above
       - "oracle": exact sequential compositor (fidelity ground truth)
+
+    blend_max_blocks: static grid-capacity class for the Pallas blend (see
+    ops.tile_blend.render_tiles_pallas); with return_stats=True the Pallas
+    path returns (image, {"blocks_used", "overflow"}) so callers can run the
+    capacity-growth protocol (Engine does this automatically).
     """
     data = splat_screen_data(splats, camera, rcfg)
     if compositor == "oracle":
-        return render_oracle(data, rcfg)
+        img = render_oracle(data, rcfg)
+        return (img, None) if return_stats else img
     if compositor == "auto":
         compositor = "pallas" if on_tpu() else "tiles"
     if compositor == "pallas":
         from ..ops.tile_blend import render_tiles_pallas
 
-        # no separate depth sort: bin_splats_packed folds depth into the
-        # pair sort's secondary key
-        return render_tiles_pallas(data, None, rcfg, block=blend_block)
-    _, _, data_sorted = depth_sort(data[:, 7], data)
+        # no separate depth sort: bin_splats_packed folds the canonical
+        # compositing order into the pair sort's secondary keys
+        return render_tiles_pallas(
+            data, None, rcfg, block=blend_block,
+            max_blocks=blend_max_blocks, return_stats=return_stats,
+        )
+    data_sorted = canonical_sort_data(data, rcfg)
     binned = bin_splats(data_sorted, rcfg)
-    return render_tiles(data_sorted, binned, rcfg)
+    img = render_tiles(data_sorted, binned, rcfg)
+    return (img, None) if return_stats else img
 
 
 def render_frame(
@@ -125,7 +137,8 @@ def render_frame(
 
 
 class Engine:
-    """Jitted-frame cache with structure-hash keying.
+    """Jitted-frame cache with structure-hash keying and blend-capacity
+    classes.
 
     Usage:
         eng = Engine(scene, pcfg, rcfg)
@@ -134,7 +147,18 @@ class Engine:
         img = eng.frame(...)                 # no recompile
         scene.set_root(new_tree)             # structure change
         img = eng.frame(...)                 # retrace happens here
+
+    Capacity classes: the Pallas blend's grid size is static under jit; the
+    safe worst-case bound wastes ~0.3 us per unused grid step (~3 ms/frame at
+    1M splats).  The first frame per structure runs at the safe bound, then
+    the engine re-jits at a 1024-granular class sized to 1.25x the observed
+    window count.  If a later frame overflows its class (flagged by
+    render_tiles_pallas — affected tiles render empty, never garbage), the
+    engine grows the class and re-renders that frame.  The cache is bounded:
+    oldest entries are evicted beyond `cache_size` structures.
     """
+
+    CLASS_HEADROOM = 1.25
 
     def __init__(
         self,
@@ -143,21 +167,29 @@ class Engine:
         rcfg: RenderConfig = RenderConfig(),
         n: Optional[int] = None,
         compositor: str = "auto",
+        cache_size: int = 8,
     ):
         self.scene = scene
         self.pcfg = pcfg
         self.rcfg = rcfg
         self.compositor = compositor
         self._n = n
-        self._cache: Dict[str, Callable] = {}
+        self._cache: Dict[Tuple[str, Optional[int]], Callable] = {}
+        self._class: Dict[str, Optional[int]] = {}
+        self._cache_size = cache_size
 
     @property
     def n(self) -> int:
         return self._n if self._n is not None else point_count(self.scene, self.pcfg)
 
-    def _fn(self) -> Callable:
+    def _uses_pallas(self) -> bool:
+        return self.compositor == "pallas" or (
+            self.compositor == "auto" and on_tpu()
+        )
+
+    def _fn(self, mb: Optional[int]) -> Callable:
         h = self.scene.structure_hash()
-        fn = self._cache.get(h)
+        fn = self._cache.get((h, mb))
         if fn is None:
             from ..utils.log import log_rebuild
 
@@ -168,11 +200,37 @@ class Engine:
 
             @jax.jit
             def frame(params, camera, key):
-                return render_frame(scene, params, camera, key, n, pcfg, rcfg, comp)
+                splats = model_points(scene, params, key, n, pcfg, rcfg)
+                return render_splats(
+                    splats, camera, rcfg, comp,
+                    blend_max_blocks=mb, return_stats=True,
+                )
 
             fn = frame
-            self._cache[h] = fn
+            while len(self._cache) >= self._cache_size:
+                self._cache.pop(next(iter(self._cache)))
+            self._cache[(h, mb)] = fn
         return fn
 
     def frame(self, camera: CameraArrays, key: jax.Array) -> jnp.ndarray:
-        return self._fn()(self.scene.params(), camera, key)
+        h = self.scene.structure_hash()
+        mb = self._class.get(h)
+        img, stats = self._fn(mb)(self.scene.params(), camera, key)
+        if stats is not None and self._uses_pallas():
+            used = int(stats["blocks_used"])
+            if mb is not None and used > mb:
+                # capacity overflow: grow the class and re-render this frame
+                self._class[h] = _capacity_class(used, self.CLASS_HEADROOM)
+                return self.frame(camera, key)
+            if mb is None:
+                # first frame ran at the safe bound; adopt a tight class
+                self._class[h] = _capacity_class(used, self.CLASS_HEADROOM)
+        return img
+
+
+def _capacity_class(used: int, headroom: float = 1.25) -> int:
+    """Round the needed window count up to a 1024-granular class with
+    headroom — coarse enough that camera motion rarely crosses a class
+    boundary (each crossing retraces), fine enough not to pay the ~0.3 us
+    per unused grid step for thousands of trash steps."""
+    return max(1024, -(-int(used * headroom) // 1024) * 1024)

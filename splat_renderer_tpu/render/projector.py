@@ -95,6 +95,7 @@ def project_splats(
     # src/GPUTileBinner.ts:265-281.)
     k = max(int(cfg.tiles_per_splat_cap**0.5), 2)
     r_max = (k - 1) * cfg.tile_size / (2.0 * cfg.bounds_margin)
+    radius_raw = jnp.where(valid, screen_radius, 0.0)  # pre-clamp, for stats
     screen_radius = jnp.minimum(screen_radius, r_max)
     screen_radius = jnp.where(valid, screen_radius, 0.0)
     depth = jnp.where(valid, depth, jnp.inf)
@@ -104,6 +105,7 @@ def project_splats(
         "center": center,
         "depth": depth,
         "radius": screen_radius,
+        "radius_raw": radius_raw,
         "bounds_min": center - padded[:, None],
         "bounds_max": center + padded[:, None],
         "valid": valid,
@@ -121,7 +123,7 @@ def pack_splat_screen_data(
     positions: jnp.ndarray | None = None,  # (N, 3) world positions
     radii: jnp.ndarray | None = None,  # (N,) world radii
 ) -> jnp.ndarray:
-    """Fuse projection + appearance into the (N, 8) render record consumed by
+    """Fuse projection + appearance into the (N, 10) render record consumed by
     the compositors: [cx, cy, radius, opacity, r*, g*, b*, depth] with the
     lambert lighting term pre-folded into rgb.
 
@@ -174,4 +176,4 @@ def pack_splat_screen_data(
     # snap onto the pipeline's fixed-point raster grids (render/packing.py);
     # every compositor consumes the same quantized values, so oracle parity
     # is preserved exactly
-    return quantize_screen_data(data)
+    return quantize_screen_data(data, cfg)

@@ -20,7 +20,7 @@ def time_fn(
     warmup: int = 2,
     iters: int = 10,
 ) -> Tuple[float, object]:
-    """Median wall-clock seconds per call of jitted `fn(*args)` (device-synced).
+    """Mean wall-clock seconds per call of jitted `fn(*args)` (device-synced).
 
     Returns (seconds, last_result)."""
     def sync(x):

@@ -36,31 +36,46 @@ _PAGE = """<!doctype html>
 <html><head><title>splat_renderer_tpu</title><style>
 body { margin:0; background:#0d0d1a; overflow:hidden; }
 img { width:100vw; height:100vh; object-fit:contain; display:block; cursor:grab; }
-#hud { position:fixed; top:8px; left:8px; color:#8fa; font:12px monospace; }
+#hud { position:fixed; top:8px; left:8px; color:#8fa; font:12px monospace;
+       white-space:pre; }
 </style></head><body>
 <img id="v" draggable="false"><div id="hud"></div>
 <script>
-let az = 0.5, el = 0.5, dist = 3.0, t0 = performance.now(), inflight = false, dirty = true;
+let az = 0.5, el = 0.5, dist = 3.0, px = 0, py = 0;
+let t0 = performance.now(), inflight = false, dirty = true;
 const img = document.getElementById('v'), hud = document.getElementById('hud');
 const clamp = (x, a, b) => Math.max(a, Math.min(b, x));
-let drag = null;
-img.onmousedown = e => { drag = [e.clientX, e.clientY]; e.preventDefault(); };
+let drag = null, panning = false;
+// left drag rotates; middle/right drag pans (src/OrbitCameraController.ts:41-53)
+img.onmousedown = e => {
+  drag = [e.clientX, e.clientY]; panning = e.button !== 0; e.preventDefault();
+};
+img.oncontextmenu = e => e.preventDefault();
 window.onmouseup = () => drag = null;
 window.onmousemove = e => {
   if (!drag) return;
-  az -= (e.clientX - drag[0]) * 0.005;           // ROTATE_SPEED
-  el = clamp(el + (e.clientY - drag[1]) * 0.005, -1.56, 1.56);
+  const dx = e.clientX - drag[0], dy = e.clientY - drag[1];
+  if (panning) {                                 // PAN_SPEED
+    px -= dx * 0.002; py += dy * 0.002;
+  } else {                                       // ROTATE_SPEED
+    az -= dx * 0.005;
+    el = clamp(el + dy * 0.005, -1.56, 1.56);
+  }
   drag = [e.clientX, e.clientY]; dirty = true;
 };
 window.onwheel = e => { dist = clamp(dist + e.deltaY * 0.001 * dist, 0.5, 20); dirty = true; };
+let prevUrl = null;
 async function loop() {
   if (dirty && !inflight) {
     dirty = false; inflight = true;
     const t = (performance.now() - t0) / 1000;
-    const r = await fetch(`/frame?az=${az}&el=${el}&d=${dist}&t=${t}`);
+    const r = await fetch(`/frame?az=${az}&el=${el}&d=${dist}&px=${px}&py=${py}&t=${t}`);
     const ms = r.headers.get('x-render-ms');
-    img.src = URL.createObjectURL(await r.blob());
-    hud.textContent = `render ${ms} ms  az=${az.toFixed(2)} el=${el.toFixed(2)} d=${dist.toFixed(2)}`;
+    const stages = r.headers.get('x-stage-ms') || '';
+    const url = URL.createObjectURL(await r.blob());
+    img.onload = () => { if (prevUrl) URL.revokeObjectURL(prevUrl); prevUrl = url; };
+    img.src = url;
+    hud.textContent = `render ${ms} ms  ${stages}\\naz=${az.toFixed(2)} el=${el.toFixed(2)} d=${dist.toFixed(2)} pan=(${px.toFixed(2)},${py.toFixed(2)})`;
     inflight = false;
   }
   requestAnimationFrame(loop);
@@ -109,6 +124,13 @@ def serve(
                     np.clip(float(q.get("d", [3.0])[0]), cam.MIN_DISTANCE,
                             cam.MAX_DISTANCE)
                 )
+                # pan: client accumulates camera-plane offsets (the
+                # reference's middle/right-drag, src/OrbitCameraController.ts:50-53)
+                cam.target = np.zeros(3, np.float32)
+                pan_x = float(q.get("px", [0.0])[0])
+                pan_y = float(q.get("py", [0.0])[0])
+                if pan_x or pan_y:
+                    cam.pan(pan_x, pan_y)
                 t = float(q.get("t", [0.0])[0])
                 if animate is not None:
                     animate(t)
@@ -121,12 +143,17 @@ def serve(
                 arr = to_uint8(np.asarray(img))
                 ms = (time.perf_counter() - t0) * 1e3
             buf = io.BytesIO()
+            t1 = time.perf_counter()
             _write_png_bytes(buf, arr)
+            encode_ms = (time.perf_counter() - t1) * 1e3
             body = buf.getvalue()
             self.send_response(200)
             self.send_header("Content-Type", "image/png")
             self.send_header("Content-Length", str(len(body)))
             self.send_header("X-Render-Ms", f"{ms:.1f}")
+            self.send_header(
+                "X-Stage-Ms", f"device={ms:.1f} png={encode_ms:.1f}"
+            )
             self.end_headers()
             self.wfile.write(body)
 

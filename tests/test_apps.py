@@ -137,3 +137,43 @@ class TestViewerHandler:
         png = r.read()
         assert png[:8] == b"\x89PNG\r\n\x1a\n"
         assert "X-Render-Ms".lower() in {k.lower() for k in r.headers.keys()}
+
+
+class TestSequence:
+    def test_fused_scan_matches_per_frame(self, key):
+        """render_sequence (one lax.scan program) must reproduce the
+        per-frame loop exactly (same params/camera/key per frame)."""
+        import numpy as np
+
+        from splat_renderer_tpu.render import render_splats
+        from splat_renderer_tpu.render.pipeline import model_points
+        from splat_renderer_tpu.render.sequence import render_sequence
+
+        scene = spt.SDFScene(spt.Sphere(id="a", radius=0.5))
+        cfg = spt.RenderConfig(width=64, height=48, base_radius=0.06,
+                               tiles_per_splat_cap=16)
+        pcfg = spt.PointConfig(descent_steps=2)
+        frames = 3
+        cam = spt.Camera(aspect=cfg.width / cfg.height)
+        cams, params_stack = [], []
+        for i in range(frames):
+            cam.azimuth = 0.5 + 0.3 * i
+            cams.append({k: jnp.asarray(v) for k, v in cam.arrays(i / 60).items()})
+            scene["a"].position[0] = 0.1 * i
+            params_stack.append(scene.params())
+        cam_stack = jax.tree.map(lambda *xs: jnp.stack(xs), *cams)
+        par_stack = jax.tree.map(lambda *xs: jnp.stack(xs), *params_stack)
+
+        seq = jax.jit(
+            lambda p, c, k: render_sequence(
+                scene, p, c, k, 2000, pcfg, cfg, as_uint8=False
+            )
+        )(par_stack, cam_stack, key)
+        assert seq.shape == (frames, cfg.height, cfg.width, 3)
+        for i in range(frames):
+            splats = model_points(
+                scene, params_stack[i], jax.random.fold_in(key, i), 2000, pcfg, cfg
+            )
+            ref = render_splats(splats, cams[i], cfg)
+            np.testing.assert_allclose(np.asarray(seq[i]), np.asarray(ref),
+                                       atol=1e-5)

@@ -360,14 +360,14 @@ class TestPacking:
         )
 
         data = _random_screen_splats(rng, 256, CFG)
-        q = quantize_screen_data(data)
+        q = quantize_screen_data(data, CFG)
         # quantization error bounds: 1/64 px positions, 1/255 colors
         np.testing.assert_allclose(q[:, 0:2], data[:, 0:2], atol=1 / 64 + 1e-6)
         np.testing.assert_allclose(q[:, 2], data[:, 2], atol=1 / 64 + 1e-6)
         np.testing.assert_allclose(q[:, 4:7], data[:, 4:7], atol=0.5 / 255 + 1e-6)
         # pack/unpack is bit-exact against the quantized values
-        w_pos, w_ro, w_rgb = pack_records(q)
-        cx, cy, r, op, cr, cg, cb, ang, ratio = unpack_words(w_pos, w_ro, w_rgb)
+        w_pos, w_ro, w_rgb = pack_records(q, CFG)
+        cx, cy, r, op, cr, cg, cb, ang, ratio = unpack_words(w_pos, w_ro, w_rgb, CFG)
         np.testing.assert_array_equal(cx, q[:, 0])
         np.testing.assert_array_equal(cy, q[:, 1])
         np.testing.assert_array_equal(r, q[:, 2])
@@ -393,10 +393,10 @@ class TestPacking:
         from splat_renderer_tpu.render.packing import quantize_screen_data
 
         cfg = CFG
-        data = quantize_screen_data(_random_screen_splats(rng, 150, cfg))
+        data = quantize_screen_data(_random_screen_splats(rng, 150, cfg), cfg)
         ds = depth_sort(data[:, 7], data)[2]
         base = bin_splats(ds, cfg)
-        packed = bin_splats_packed(data, cfg, block=8)
+        packed = bin_splats_packed(data, cfg, block=1024)
         np.testing.assert_array_equal(packed["offsets"], base["offsets"])
         np.testing.assert_array_equal(packed["counts"], base["counts"])
 
@@ -414,13 +414,43 @@ class TestPallasInterpret:
 
         cfg = RenderConfig(width=64, height=48, tiles_per_splat_cap=16)
         data = quantize_screen_data(
-            _random_screen_splats(rng, 120, cfg, r_lo=1.0, r_hi=8.0)
+            _random_screen_splats(rng, 120, cfg, r_lo=1.0, r_hi=8.0), cfg
         )
-        st = bin_splats_packed(data, cfg, block=8)
-        img_p = render_tiles_pallas(data, st, cfg, block=8, eps=0.0, interpret=True)
+        st = bin_splats_packed(data, cfg, block=1024)
+        img_p = render_tiles_pallas(data, st, cfg, block=1024, eps=0.0, interpret=True)
         ds = depth_sort_data(data)
         img_x = render_tiles(ds, bin_splats(ds, cfg), cfg, pair_chunk=32)
         np.testing.assert_allclose(img_p, img_x, atol=2e-5)
+
+    def test_capacity_class_overflow_is_safe_and_flagged(self, rng):
+        """A too-small blend capacity class must render affected tiles EMPTY
+        (never garbage) and raise the overflow flag (Engine growth protocol)."""
+        from splat_renderer_tpu.render.binning import bin_splats_packed
+        from splat_renderer_tpu.render.packing import quantize_screen_data
+        from splat_renderer_tpu.ops.tile_blend import render_tiles_pallas
+
+        cfg = RenderConfig(width=64, height=48, tiles_per_splat_cap=16)
+        data = quantize_screen_data(
+            _random_screen_splats(rng, 200, cfg, r_lo=1.0, r_hi=8.0), cfg
+        )
+        st = bin_splats_packed(data, cfg, block=1024)
+        used = int(st["block_off"][-1])
+        full, stats = render_tiles_pallas(
+            data, st, cfg, block=1024, eps=0.0, interpret=True,
+            max_blocks=used, return_stats=True,
+        )
+        assert not bool(stats["overflow"]) and int(stats["blocks_used"]) == used
+        small, stats2 = render_tiles_pallas(
+            data, st, cfg, block=1024, eps=0.0, interpret=True,
+            max_blocks=max(used // 2, 1), return_stats=True,
+        )
+        assert bool(stats2["overflow"])
+        assert np.all(np.isfinite(np.asarray(small)))
+        # overflowed tiles fall back to the background, full-class matches
+        # the unconstrained render
+        ref = render_tiles_pallas(data, st, cfg, block=1024, eps=0.0,
+                                  interpret=True)
+        np.testing.assert_allclose(full, ref, atol=1e-6)
 
     def test_early_exit_close_to_exact(self, rng):
         from splat_renderer_tpu.render.binning import bin_splats_packed
@@ -429,11 +459,11 @@ class TestPallasInterpret:
 
         cfg = RenderConfig(width=32, height=32, tiles_per_splat_cap=16)
         data = _random_screen_splats(rng, 200, cfg, r_lo=3.0, r_hi=10.0)
-        data = quantize_screen_data(data.at[:, 3].set(0.99))  # near-opaque
-        st = bin_splats_packed(data, cfg, block=8)
-        img_exact = render_tiles_pallas(data, st, cfg, block=8, eps=0.0,
+        data = quantize_screen_data(data.at[:, 3].set(0.99), cfg)  # near-opaque
+        st = bin_splats_packed(data, cfg, block=1024)
+        img_exact = render_tiles_pallas(data, st, cfg, block=1024, eps=0.0,
                                         interpret=True)
-        img_eps = render_tiles_pallas(data, st, cfg, block=8, eps=0.01,
+        img_eps = render_tiles_pallas(data, st, cfg, block=1024, eps=0.01,
                                       interpret=True)
         # truncated contributions are bounded by the transmittance floor
         assert float(jnp.abs(img_eps - img_exact).max()) <= 0.0101
@@ -441,8 +471,11 @@ class TestPallasInterpret:
 
 class TestOrientedAndOpaque:
     def test_elliptical_alpha_foreshortens(self):
-        """ratio < 1 shrinks the footprint along the minor axis only."""
-        cfg = RenderConfig(width=64, height=64)
+        """ratio < 1 shrinks the footprint along the minor axis only.
+
+        cfg.oriented now gates the ellipse math in splat_alpha (the isotropic
+        branch must be the exact op sequence of the kernel's — see blend.py)."""
+        cfg = RenderConfig(width=64, height=64, oriented=True)
         # angle 0: minor axis = x
         data = jnp.array([[32.0, 32.0, 8.0, 1.0, 1, 1, 1, 5.0, 0.0, 0.25]])
         a_minor = splat_alpha(data, jnp.array([36.0, 32.0]), cfg)  # 4px along x
@@ -475,12 +508,13 @@ class TestOrientedAndOpaque:
         cfg = RenderConfig(width=48, height=48, opaque=True, oriented=True,
                            tiles_per_splat_cap=16)
         data = quantize_screen_data(
-            _random_screen_splats(rng, 100, cfg, r_lo=2.0, r_hi=8.0, oriented=True)
+            _random_screen_splats(rng, 100, cfg, r_lo=2.0, r_hi=8.0, oriented=True),
+            cfg,
         )
         data = data.at[:, 3].set(1.0)  # opaque
         img_o = render_oracle(data, cfg)
-        st = bin_splats_packed(data, cfg, block=8)
-        img_p = render_tiles_pallas(data, st, cfg, block=8, eps=0.0, interpret=True)
+        st = bin_splats_packed(data, cfg, block=1024)
+        img_p = render_tiles_pallas(data, st, cfg, block=1024, eps=0.0, interpret=True)
         np.testing.assert_allclose(img_p, img_o, atol=2e-5)
 
     def test_oriented_gaussian_pallas_matches_oracle(self, rng):
@@ -491,11 +525,12 @@ class TestOrientedAndOpaque:
         cfg = RenderConfig(width=48, height=48, oriented=True,
                            tiles_per_splat_cap=16)
         data = quantize_screen_data(
-            _random_screen_splats(rng, 100, cfg, r_lo=2.0, r_hi=8.0, oriented=True)
+            _random_screen_splats(rng, 100, cfg, r_lo=2.0, r_hi=8.0, oriented=True),
+            cfg,
         )
         img_o = render_oracle(data, cfg)
-        st = bin_splats_packed(data, cfg, block=8)
-        img_p = render_tiles_pallas(data, st, cfg, block=8, eps=0.0, interpret=True)
+        st = bin_splats_packed(data, cfg, block=1024)
+        img_p = render_tiles_pallas(data, st, cfg, block=1024, eps=0.0, interpret=True)
         np.testing.assert_allclose(img_p, img_o, atol=2e-5)
 
     def test_surface_preset_end_to_end(self, key):
@@ -532,14 +567,37 @@ class TestEdgeCases:
             # all zeros
             [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0],
         ], jnp.float32)
-        q = quantize_screen_data(data)
-        assert float(q[0, 0]) == -256.0  # POS_OFFSET floor
+        q = quantize_screen_data(data, CFG)
+        assert float(q[0, 0]) == -256.0  # pos_offset floor
         assert float(q[0, 3]) == 1.0  # opacity clamp
         assert float(q[0, 4]) == 1.0 and float(q[0, 5]) == 0.0  # color clamp
-        w = pack_records(q)
-        un = unpack_words(*w)
+        w = pack_records(q, CFG)
+        un = unpack_words(*w, CFG)
         np.testing.assert_array_equal(un[0], q[:, 0])
         np.testing.assert_array_equal(un[3], q[:, 3])
+
+    def test_pos_grid_covers_wide_frames(self):
+        """Regression: the fixed 1/32 px grid only reached 1791.97 px, silently
+        clamping splats on the right third of a 1920-wide frame.  The grid is
+        now sized to the frame (cfg.pos_scale)."""
+        from splat_renderer_tpu.render.packing import (
+            pack_records, quantize_screen_data, unpack_words,
+        )
+
+        cfg = RenderConfig(width=1920, height=1080)
+        assert cfg.pos_scale == 16.0  # (1920 + 512) * 16 <= 65535
+        data = jnp.array(
+            [[1900.0, 1070.0, 3.0, 1.0, 1, 1, 1, 2.0, 0.0, 1.0]], jnp.float32
+        )
+        q = quantize_screen_data(data, cfg)
+        assert abs(float(q[0, 0]) - 1900.0) <= 1 / 32 + 1e-5  # no clamp
+        un = unpack_words(*pack_records(q, cfg), cfg)
+        np.testing.assert_array_equal(un[0], q[:, 0])
+        # small frames keep the finest 1/32 px grid
+        assert RenderConfig(width=256, height=256).pos_scale == 32.0
+        # absurd frames fail loudly instead of clamping
+        with pytest.raises(ValueError):
+            _ = RenderConfig(width=100_000, height=100).pos_scale
 
     def test_all_splats_behind_camera(self):
         cam = spt.Camera(azimuth=0.0, elevation=0.0, distance=3.0)
