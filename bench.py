@@ -94,7 +94,9 @@ def main() -> None:
     clamp_frac = float((r_raw > r_cap).mean())
     r_raw_max = float(r_raw.max())
 
-    # isolated pair sort (the stage the reference's RadixSorter owns)
+    # isolated sorts (the stage the reference's RadixSorter owns): the
+    # record-rank sort at N plus the (tile, rank) pair sort at N*cap with the
+    # 2-word payload — exactly bin_splats_packed's sort structure
     from splat_renderer_tpu.render.packing import depth_bits, pack_records
 
     cap = rcfg.tiles_per_splat_cap
@@ -102,14 +104,18 @@ def main() -> None:
     def pair_sort(d):
         dk = depth_bits(d[:, 7])
         w0, w1, w2 = pack_records(d, rcfg)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (N_SPLATS, 1), 0)[:, 0]
+        _, _, w0, w1, w2 = jax.lax.sort(
+            (dk, iota, w0, w1, w2), num_keys=2, is_stable=False
+        )
         tile = jnp.zeros((cap * N_SPLATS,), jnp.int32)
 
         def bc(x):
             return jnp.broadcast_to(x[None, :], (cap, N_SPLATS)).reshape(-1)
 
         return jax.lax.sort(
-            (tile, bc(dk), bc(w0), bc(w1), bc(w2)), num_keys=5, is_stable=False
-        )[1]
+            (tile, bc(iota), bc(w0), bc(w2)), num_keys=2, is_stable=False
+        )[2]
 
     t_sort, _ = time_fn(jax.jit(pair_sort), data, warmup=2, iters=5)
 

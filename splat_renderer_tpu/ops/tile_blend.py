@@ -36,10 +36,11 @@ packed pair stream produced by render/binning.bin_splats_packed:
   termination in a SIMD world"); the stream keeps flowing, so no dynamic
   control flow reaches the pipeline.
 
-Order-correctness was bought entirely by the binner's canonical multi-key
-sort ((tile, depth_bits, record-words) — see binning.canonical_sort_data):
-runs are exactly depth-ordered with value-determined ties, so the kernel
-needs no sorting and no atomics.
+Order-correctness was bought entirely by the binner's rank-keyed pair sort
+((tile, canonical rank) where rank = the record's row in the (depth_bits,
+input index) record sort — see binning.bin_splats_packed): runs are exactly
+depth-ordered with deterministic ties, so the kernel needs no sorting and no
+atomics.
 """
 
 from __future__ import annotations
@@ -77,10 +78,15 @@ def _exclusive_cumprod_rows(q: jnp.ndarray) -> jnp.ndarray:
     return x
 
 
-def _make_kernel(cfg: RenderConfig, block: int, eps: float):
+def _make_kernel(cfg: RenderConfig, block: int, eps: float, spec=None):
+    """Kernel factory.  spec=None: global 3-word records (pos|ro|rgb lane
+    thirds).  spec=two_word_spec(cfg): tile-relative 2-word records (w_a|rgb
+    halves) — all coordinates tile-local, so the kernel touches no global
+    screen positions at all (and one fewer plane transpose per window)."""
     tp = cfg.tile_pixels
     ts = cfg.tile_size
     pos_scale, pos_offset = cfg.pos_scale, cfg.pos_offset
+    inv_ps = 1.0 / pos_scale
     inv_2sigma2 = 0.5 / (cfg.sigma * cfg.sigma)
     margin2 = cfg.bounds_margin * cfg.bounds_margin
     num_tiles = cfg.num_tiles
@@ -116,10 +122,17 @@ def _make_kernel(cfg: RenderConfig, block: int, eps: float):
         def _():
             # tile-constant pixel coordinates, pixels along LANES
             lane = jax.lax.broadcasted_iota(jnp.int32, (1, tp), 1)
-            origin_x = ((t % cfg.tiles_x) * ts).astype(jnp.float32)
-            origin_y = ((t // cfg.tiles_x) * ts).astype(jnp.float32)
-            px = origin_x + (lane % ts).astype(jnp.float32) + 0.5
-            py = origin_y + (lane // ts).astype(jnp.float32) + 0.5
+            if spec is None:
+                origin_x = ((t % cfg.tiles_x) * ts).astype(jnp.float32)
+                origin_y = ((t // cfg.tiles_x) * ts).astype(jnp.float32)
+                px = origin_x + (lane % ts).astype(jnp.float32) + 0.5
+                py = origin_y + (lane // ts).astype(jnp.float32) + 0.5
+            else:
+                # tile-local frame: pixel coords offset by the pad_rel
+                # origin shift baked into the w_a fields (binning.two_word_spec)
+                pad_px = spec["pad_rel"] * inv_ps
+                px = (lane % ts).astype(jnp.float32) + (0.5 + pad_px)
+                py = (lane // ts).astype(jnp.float32) + (0.5 + pad_px)
 
             local0 = block_local0_ref[b]
             cnt = block_count_ref[b]
@@ -130,9 +143,14 @@ def _make_kernel(cfg: RenderConfig, block: int, eps: float):
             # per-record fields become (128, 1) columns that broadcast
             # against the (1, tp) pixel rows (~30 ns/window, measured)
             w_all = w_ref[:]
-            tw_pos = w_all[:, 0:128].T  # (128, groups) u32
-            tw_ro = w_all[:, 128:256].T
-            tw_rgb = w_all[:, 256:384].T
+            if spec is None:
+                tw_pos = w_all[:, 0:128].T  # (128, groups) u32
+                tw_ro = w_all[:, 128:256].T
+                tw_rgb = w_all[:, 256:384].T
+            else:
+                tw_pos = w_all[:, 0:128].T  # w_a: cy_rel:11 | cx_rel:11 | r:10
+                tw_ro = None
+                tw_rgb = w_all[:, 128:256].T
 
             def u2f(x):
                 # Mosaic lacks a direct u32->f32 cast; all unpacked fields
@@ -154,12 +172,20 @@ def _make_kernel(cfg: RenderConfig, block: int, eps: float):
                 @pl.when(g_active)
                 def _(g=g, g_lo=g_lo, trans=trans):
                     w_pos = tw_pos[:, g : g + 1]  # (128, 1) u32
-                    w_ro = tw_ro[:, g : g + 1]
                     w_rgb = tw_rgb[:, g : g + 1]
 
-                    cx = u2f(w_pos & 0xFFFF) / pos_scale - pos_offset
-                    cy = u2f(w_pos >> 16) / pos_scale - pos_offset
-                    r = u2f(w_ro & 0xFFFF) / pos_scale
+                    if spec is None:
+                        w_ro = tw_ro[:, g : g + 1]
+                        cx = u2f(w_pos & 0xFFFF) / pos_scale - pos_offset
+                        cy = u2f(w_pos >> 16) / pos_scale - pos_offset
+                        r = u2f(w_ro & 0xFFFF) / pos_scale
+                    else:
+                        # tile-relative fields: the same grid points as the
+                        # global path shifted by the tile's padded origin,
+                        # so dx/dy below are bit-identical
+                        cx = u2f((w_pos >> 10) & 0x7FF) * inv_ps
+                        cy = u2f(w_pos >> 21) * inv_ps
+                        r = u2f(w_pos & 0x3FF) * inv_ps
                     op = u2f(w_rgb >> 24) / COLOR_SCALE
                     # fold the run mask and the min-radius cull into the
                     # (128, 1) opacity column — record-scale, not panel-scale
@@ -269,11 +295,17 @@ def pallas_blend_tiles(
     num_tiles = cfg.num_tiles
     n_blocks_cap = block_tile.shape[0]
     bw = block // 128
+    lanes = pair_w.shape[1]  # 256 = 2-word tile-relative, 384 = 3-word global
+    from ..render.binning import two_word_spec
+
+    spec = two_word_spec(cfg) if lanes == 256 else None
+    if lanes == 256 and spec is None:
+        raise ValueError("2-word pair stream but cfg does not allow the layout")
 
     def data_index(b, bt, bf, bwin, bl0, bcnt):
         return (bwin[b], 0)
 
-    word_spec = pl.BlockSpec((bw, 384), data_index)
+    word_spec = pl.BlockSpec((bw, lanes), data_index)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(n_blocks_cap,),
@@ -284,7 +316,7 @@ def pallas_blend_tiles(
         scratch_shapes=[pltpu.VMEM((8, tp), jnp.float32)],
     )
     out = pl.pallas_call(
-        _make_kernel(cfg, block, eps),
+        _make_kernel(cfg, block, eps, spec),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((num_tiles + 1, 8, tp), jnp.float32),
         interpret=interpret,
@@ -299,7 +331,7 @@ def pallas_blend_tiles(
 
 
 def render_tiles_pallas(
-    splat_data_quantized: jnp.ndarray,
+    splat_data_quantized: jnp.ndarray | None,
     binned: Binned | None,
     cfg: RenderConfig,
     block: int = 1024,

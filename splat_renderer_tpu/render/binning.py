@@ -7,11 +7,13 @@ PerTileSorter (SURVEY.md section 7 "Design translation"):
 - WebGPU: radix-sort splats by depth, atomicAdd-count tile overlaps, readback
   total, prefix-sum offsets, atomicAdd-fill lists (order only approximately
   sorted across workgroups — SURVEY.md section 3.3 footnote).
-- TPU (no atomics, static shapes): sort splats by depth once; expand each
-  splat into (tile, splat) pairs with a static per-splat capacity; stable-sort
-  pairs by tile id.  Stability makes per-tile runs **exactly** depth-ordered
-  by construction.  Offsets are a searchsorted over the sorted keys — the
-  reference's scan-size cliff (CPU fallback above 512 tiles,
+- TPU (no atomics, static shapes): sort splats by (depth, input index) once —
+  each record's sorted row is its canonical *rank* — then expand each splat
+  into (tile, splat) pairs with a static per-splat capacity and sort pairs by
+  (tile, rank) (fused into one u32 key when the bits fit).  Ranks are unique
+  within a tile, so per-tile runs are **exactly** depth-ordered with
+  deterministic ties.  Offsets come from an MXU rectangle-coverage histogram
+  + cumsum — the reference's scan-size cliff (CPU fallback above 512 tiles,
   src/PrefixSumScanner.ts:80-87) does not exist.
 
 The single GPU->CPU readback the reference kept (sizing the tile-index buffer,
@@ -20,6 +22,7 @@ src/GPUTileBinner.ts:244-263) is gone by construction: capacity = N * cap.
 
 from __future__ import annotations
 
+import math
 from typing import Dict, Tuple
 
 import jax
@@ -49,6 +52,23 @@ def _tile_footprint(
     splat_data: jnp.ndarray,  # (N, 10) packed screen data (see blend.py)
     cfg: RenderConfig,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Clamped tile ranges (tx0, ty0, w, h) per splat — see _footprint_cols."""
+    return _footprint_cols(
+        splat_data[:, 0],
+        splat_data[:, 1],
+        splat_data[:, 2],
+        jnp.isfinite(splat_data[:, 7]),
+        cfg,
+    )
+
+
+def _footprint_cols(
+    cx: jnp.ndarray,
+    cy: jnp.ndarray,
+    radius: jnp.ndarray,
+    depth_valid: jnp.ndarray,
+    cfg: RenderConfig,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Clamped tile ranges (tx0, ty0, w, h) per splat.
 
     Bounds = center +- bounds_margin * radius (src/SplatProjector.ts:115-121).
@@ -58,9 +78,7 @@ def _tile_footprint(
     below min_screen_radius contribute nothing anywhere
     (src/ComputeShaderRenderer.ts:127-129), so they are dropped here.
     """
-    center = splat_data[:, 0:2]
-    radius = splat_data[:, 2]
-    depth = splat_data[:, 7]
+    center = jnp.stack([cx, cy], axis=-1)
     pad = radius * cfg.bounds_margin
     bmin = center - pad[:, None]
     bmax = center + pad[:, None]
@@ -72,7 +90,7 @@ def _tile_footprint(
     ty1 = jnp.clip(jnp.floor(bmax[:, 1] / ts), 0, cfg.tiles_y - 1).astype(jnp.int32)
 
     alive = (
-        jnp.isfinite(depth)
+        depth_valid
         & (radius >= cfg.min_screen_radius)
         & (bmax[:, 0] >= 0)
         & (bmax[:, 1] >= 0)
@@ -152,27 +170,26 @@ def bin_splats(splat_data_sorted: jnp.ndarray, cfg: RenderConfig) -> Binned:
 
 def canonical_sort_data(splat_data: jnp.ndarray, cfg: RenderConfig) -> jnp.ndarray:
     """Sort (N, 10) records into the pipeline's canonical compositing order:
-    ascending (depth_bits, w_pos, w_ro, w_rgb) — depth order with a
-    deterministic full-record lexicographic tie-break on the packed words
-    (render/packing.py).  Records tied on all four keys are bit-identical, so
-    their relative order is unobservable.
+    ascending **(depth_bits, input index)** — depth order with ties at
+    bit-equal depth broken by the record's position in the input array.
 
     Every compositor (oracle, XLA tiles, Pallas stream) adopts this order:
     bit-equal depths are COMMON on symmetric scenes (circles of points
     equidistant from the camera — measured 58 tie groups, one of 334 records,
-    on the demo scene), and an input-order tie-break cannot survive the packed
-    pair sort, so the tie-break must be value-determined.  The reference's
-    radix sort has the same hazard and leaves tie order to submission order
-    (src/RadixSorter.ts:197-264).
-    """
-    from .packing import depth_bits, pack_records
+    on the demo scene), so the tie-break must be part of the pipeline
+    semantics.  Input order is exactly the reference's behavior (its radix
+    sort is LSD-stable over submission order, src/RadixSorter.ts:197-264 /
+    src/shaders/radix-sort.wgsl:205-512), and — the TPU reason — it lets the
+    packed pair sort use the record's depth-sorted ROW INDEX as a single
+    unique u32 secondary key instead of 3 word-tie-break keys: measured on
+    v5e at 4M pairs, (tile, rank) num_keys=2 costs 12.0 ms where the round-2
+    word-tie-break 5-key sort cost 22.2 ms (benchmarks/probe_sort_variants.py).
 
-    dk = depth_bits(splat_data[:, 7])
-    w0, w1, w2 = pack_records(splat_data, cfg)
-    d = splat_data.shape[1]
-    cols = tuple(splat_data[:, k] for k in range(d))
-    res = jax.lax.sort((dk, w0, w1, w2) + cols, num_keys=4, is_stable=False)
-    return jnp.stack(res[4:], axis=-1)
+    The sort here is identical to depth_sort_data (stable by depth); the cfg
+    arg is kept for API stability.
+    """
+    del cfg
+    return depth_sort_data(splat_data)
 
 
 def depth_sort_data(splat_data: jnp.ndarray) -> jnp.ndarray:
@@ -311,50 +328,124 @@ def _coverage_counts(
     return counts2d.reshape(-1).astype(jnp.int32)
 
 
+def _ceil_log2(x: int) -> int:
+    return max(int(x) - 1, 0).bit_length()
+
+
+def two_word_spec(cfg: RenderConfig):
+    """Static constants of the tile-relative 2-word pair payload, or None.
+
+    For isotropic profiles whose projector-capped radii fit the bit budget,
+    a pair record packs into ONE u32 `w_a` = cy_rel:11 | cx_rel:11 | r_fx:10
+    (positions relative to the owning tile's padded origin, on the cfg
+    fixed-point grid) next to the usual w_rgb.  One payload word fewer in the
+    pair sort and a third less blend-kernel DMA than the global 3-word
+    layout.  Requires radii respecting the projector's tiles_per_splat_cap
+    clamp (render/projector.py) — guaranteed in-pipeline; radii beyond the
+    r:10 field are clamped defensively.
+    """
+    if cfg.oriented:
+        return None
+    ps = cfg.pos_scale
+    ts = cfg.tile_size
+    k = max(int(cfg.tiles_per_splat_cap**0.5), 2)
+    r_cap_fx = round((k - 1) * ts / (2.0 * cfg.bounds_margin) * ps)
+    pad_rel = math.ceil(cfg.bounds_margin * r_cap_fx)
+    if r_cap_fx > 1023 or ts * ps + 2 * pad_rel > 2047:
+        return None
+    return {"pad_rel": int(pad_rel), "r_cap_fx": int(r_cap_fx)}
+
+
 def bin_splats_packed(
     splat_data_quantized: jnp.ndarray, cfg: RenderConfig, block: int
 ) -> Binned:
-    """Fastest binning path: packed 16-byte records, one fused multi-key sort.
+    """Fastest binning path: packed records, rank-keyed two-stage sort.
 
-    Takes UNSORTED quantized records (see render/packing.py): the canonical
-    compositing order is folded into the pair sort as secondary keys
-    (lexicographic (tile, depth_bits, w_pos, w_ro, w_rgb)), so the separate
-    global depth sort disappears entirely.  Payload is 3 packed u32 words
-    instead of 10 f32 columns — sort cost scales with record bytes.
+    Takes UNSORTED quantized records (see render/packing.py).  Two sorts:
 
-    Round-2 layout (the round-1 (P, 1) planes cost ~25 ms of pure strided DMA
-    in the blend kernel — one useful lane in 128):
-      - pair_w0/1/2: (rows, 128) u32 planes — a FREE reshape of the sort
-        output; every kernel window is a contiguous full-lane block.
-      - per-tile window bases are rounded down to a multiple of `block`, so
-        window index maps are plain block indices (no element-granular DMA);
-        the kernel masks the lead-in rows.
-      - empty tiles get NO windows (round 1 spent ~40% of grid steps on them).
-      - offsets/counts come from the MXU coverage histogram (_coverage_counts),
-        not a searchsorted over the sorted stream.
+    1. **Record stage** (N rows): one num_keys=2 sort by (depth_bits, input
+       index) — the canonical compositing order (canonical_sort_data) — with
+       the three packed words as payload.  Each record's sorted ROW INDEX is
+       its unique canonical *rank*.
+    2. **Pair stage** (N*cap rows): expand footprint tiles and sort pairs by
+       (tile, rank).  Ranks are unique within a tile, so two u32 keys give a
+       fully deterministic canonical order; when tile_bits + rank_bits <= 32
+       the two keys FUSE into one u32 (tile << shift | rank) and the sort
+       runs num_keys=1.  Measured v5e @4M pairs: 9.1 ms fused / 12.0 ms
+       num_keys=2, vs 22.2 ms for the round-2 single-stage 5-key word-tie
+       sort (benchmarks/probe_sort_variants.py) — XLA variadic sort cost is
+       dominated by the number of KEY columns (~3 ms/key) while payload
+       columns ride for ~0.5 ms each.
+
+    Payload layout: the 2-word tile-relative form when two_word_spec(cfg)
+    allows (isotropic), else the global 3-word (w_pos, w_ro, w_rgb).
+
+    Stream layout (unchanged from round 2): pair_w is one fused (rows,
+    128*n_words) u32 plane; per-tile window bases are rounded down to a
+    multiple of `block` so every kernel window is a contiguous full-lane
+    block; empty tiles get NO windows; offsets/counts come from the MXU
+    coverage histogram (_coverage_counts), not a searchsorted.
 
     Returns:
-      pair_w0/1/2 (rows, 128) u32; offsets (T+1,); counts (T,);
+      pair_w (rows, 128*n_words) u32; offsets (T+1,); counts (T,);
       start_units (T+1,): first window index (in units of `block`) per tile;
       block_off (T+1,): first grid-block per tile; block_tile (n_blocks_cap,):
       owning tile per grid block (T = trash); block_first: 1 at each tile's
-      first grid block.
+      first grid block; block_window/local0/count: per-block scalar tables.
     """
     from .packing import depth_bits, pack_records
 
+    dkeys = depth_bits(splat_data_quantized[:, 7])
+    w_pos, w_ro, w_rgb = pack_records(splat_data_quantized, cfg)
+    return bin_packed_words(dkeys, w_pos, w_ro, w_rgb, cfg, block)
+
+
+def bin_packed_words(
+    dkeys: jnp.ndarray,  # (N,) u32 depth keys (packing.depth_bits)
+    w_pos: jnp.ndarray,  # (N,) u32 cx_fx | cy_fx << 16
+    w_ro: jnp.ndarray,  # (N,) u32 r_fx | ang8 << 16 | ratio8 << 24
+    w_rgb: jnp.ndarray,  # (N,) u32 r8 | g8 << 8 | b8 << 16 | op8 << 24
+    cfg: RenderConfig,
+    block: int,
+) -> Binned:
+    """Core of bin_splats_packed, taking the packed u32 columns directly —
+    the projector's SoA fast path (projector.splat_screen_words) feeds this
+    without ever materializing the (N, 10) record array."""
     if block % 1024:
         raise ValueError(
             "block must be a multiple of 1024 (the blend kernel's windows are "
             "block/128 x 128 Mosaic blocks; sublane dim must divide by 8)"
         )
-    tx0, ty0, w, h = _tile_footprint(splat_data_quantized, cfg)
-    n = tx0.shape[0]
+    n = dkeys.shape[0]
     cap = cfg.tiles_per_splat_cap
     num_tiles = cfg.num_tiles
     p = n * cap
+    ps = cfg.pos_scale
+    po = cfg.pos_offset
 
-    # slot-major (cap, n) expansion: broadcasts become contiguous tiled
-    # copies (~3x faster on TPU than the element-repeat of (n, cap) layout)
+    # ---- record stage: canonical rank via one (dkey, iota) sort ----
+    # explicit unique iota key instead of is_stable=True: XLA's stable sort
+    # costs ~2.5x the iota-keyed one (6.4 vs 2.6 ms @1M, v5e)
+    iota_n = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+    dk_s, _, w_pos, w_ro, w_rgb = jax.lax.sort(
+        (dkeys, iota_n, w_pos, w_ro, w_rgb), num_keys=2, is_stable=False
+    )
+
+    # footprints from the sorted words (unpacked values are grid-exact f32)
+    cx_fx = (w_pos & 0xFFFF).astype(jnp.int32)
+    cy_fx = (w_pos >> 16).astype(jnp.int32)
+    r_fx = (w_ro & 0xFFFF).astype(jnp.int32)
+    inv_ps = 1.0 / ps
+    tx0, ty0, w, h = _footprint_cols(
+        cx_fx.astype(jnp.float32) * inv_ps - po,
+        cy_fx.astype(jnp.float32) * inv_ps - po,
+        r_fx.astype(jnp.float32) * inv_ps,
+        dk_s < jnp.uint32(0xFF800000),  # depth finite (< +inf key)
+        cfg,
+    )
+
+    # ---- pair stage: slot-major (cap, n) expansion (broadcasts become
+    # contiguous tiled copies, ~3x faster than (n, cap) element-repeats) ----
     c = jax.lax.broadcasted_iota(jnp.int32, (cap, n), 0)
     wb = w[None, :]
     # dy = c // w without integer division (TPU has no vector int divide):
@@ -363,39 +454,62 @@ def bin_splats_packed(
     for k in range(1, cap):
         dy = dy + (c >= k * wb).astype(jnp.int32)
     dx = c - dy * wb
-    tile = (ty0[None, :] + dy) * cfg.tiles_x + (tx0[None, :] + dx)
+    tile_x = tx0[None, :] + dx
+    tile_y = ty0[None, :] + dy
+    tile = tile_y * cfg.tiles_x + tile_x
     active = c < (w * h)[None, :]
-    tile = jnp.where(active, tile, num_tiles).reshape(-1)
-
-    dkeys = depth_bits(splat_data_quantized[:, 7])
-    w_pos, w_ro, w_rgb = pack_records(splat_data_quantized, cfg)
+    tile = jnp.where(active, tile, num_tiles)
 
     def bc(x):
         return jnp.broadcast_to(x[None, :], (cap, n)).reshape(-1)
 
-    # all-columns-as-keys sort: primary tile id, then full-precision depth
-    # bits, then the packed payload words as lexicographic tie-breaks — the
-    # canonical compositing order (see canonical_sort_data).  Bit-equal
-    # depths occur on real scenes (equidistant circles); value-determined
-    # ties keep every compositor in exact agreement.  num_keys=5 costs
-    # ~+2.7 ms over num_keys=2 at 4M pairs (measured v5e), the cheapest of
-    # the deterministic options (vs +3.1 ms for a carried index column).
-    res = jax.lax.sort(
-        (tile, bc(dkeys), bc(w_pos), bc(w_ro), bc(w_rgb)),
-        num_keys=5,
-        is_stable=False,
-    )
+    spec = two_word_spec(cfg)
+    if spec is not None:
+        # tile-relative packing: cx_rel = cx_fx - ((tx*ts + po)*ps - pad_rel)
+        pad_rel = spec["pad_rel"]
+        tsps = cfg.tile_size * ps
+        r_cl = jnp.minimum(r_fx, 1023)  # defensive: contract is r <= r_cap_fx
+        cx_rel = cx_fx[None, :] - tile_x * int(tsps) + int(pad_rel - po * ps)
+        cy_rel = cy_fx[None, :] - tile_y * int(tsps) + int(pad_rel - po * ps)
+        w_a = (
+            (cy_rel.astype(jnp.uint32) << 21)
+            | (cx_rel.astype(jnp.uint32) << 10)
+            | r_cl.astype(jnp.uint32)[None, :]
+        )
+        w_a = jnp.where(active, w_a, 0).reshape(-1)
+        payload = (w_a, bc(w_rgb))
+    else:
+        payload = (bc(w_pos), bc(w_ro), bc(w_rgb))
+
+    tile_bits = _ceil_log2(num_tiles + 1)
+    rank_bits = _ceil_log2(max(n, 2))
+    if tile_bits + rank_bits <= 32:
+        # single fused u32 key: (tile << shift) | rank — ranks unique per
+        # tile, so num_keys=1 is fully deterministic (no tie groups at all)
+        shift = 32 - tile_bits
+        rank = jnp.broadcast_to(
+            iota_n.astype(jnp.uint32)[None, :], (cap, n)
+        ).reshape(-1)
+        fused = (tile.reshape(-1).astype(jnp.uint32) << shift) | rank
+        res = jax.lax.sort((fused,) + payload, num_keys=1, is_stable=False)
+        sorted_payload = res[1:]
+    else:
+        rank = jnp.broadcast_to(iota_n[None, :], (cap, n)).reshape(-1)
+        res = jax.lax.sort(
+            (tile.reshape(-1), rank) + payload, num_keys=2, is_stable=False
+        )
+        sorted_payload = res[2:]
+
     # pad so the last tile's final window never reads past the end, then
-    # reinterpret as (rows, 128) planes — a FREE reshape (same linear order)
+    # reinterpret as (rows, 128) planes — a FREE reshape (same linear order).
+    # One fused (rows, 128*n_words) plane: a single kernel input halves the
+    # Mosaic per-grid-step index_map/DMA work vs separate planes (the concat
+    # is 128-lane-aligned block copies, not an interleave)
     rows = (p + block + 127) // 128
     pad = rows * 128 - p
     zpad = jnp.zeros((pad,), jnp.uint32)
-    # one fused (rows, 384) plane: lanes 0-127 = w_pos, 128-255 = w_ro,
-    # 256-383 = w_rgb.  A single kernel input halves the Mosaic per-grid-step
-    # index_map/DMA-descriptor work vs three planes (the concat is 128-lane-
-    # aligned block copies, not an interleave)
     pair_w = jnp.concatenate(
-        [jnp.concatenate([col, zpad]).reshape(rows, 128) for col in res[2:]],
+        [jnp.concatenate([col, zpad]).reshape(rows, 128) for col in sorted_payload],
         axis=1,
     )
 

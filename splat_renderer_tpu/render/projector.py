@@ -112,7 +112,7 @@ def project_splats(
     }
 
 
-def pack_splat_screen_data(
+def _screen_columns(
     projected: Projected,
     color: jnp.ndarray,  # (N, 3)
     opacity: jnp.ndarray,  # (N,)
@@ -122,17 +122,22 @@ def pack_splat_screen_data(
     cam_pos: jnp.ndarray | None = None,  # (3,)
     positions: jnp.ndarray | None = None,  # (N, 3) world positions
     radii: jnp.ndarray | None = None,  # (N,) world radii
-) -> jnp.ndarray:
-    """Fuse projection + appearance into the (N, 10) render record consumed by
-    the compositors: [cx, cy, radius, opacity, r*, g*, b*, depth] with the
-    lambert lighting term pre-folded into rgb.
+) -> Dict[str, jnp.ndarray]:
+    """Appearance + fixed-point quantization, structure-of-arrays.
+
+    Returns the integer grid columns of the render record (render/packing.py
+    grids): cx_fx/cy_fx/r_fx (u32, 1/pos_scale px), op8/r8/g8/b8/ang8/ratio8
+    (u32, u8 grids) plus depth (f32).  Shared by the (N, 10) record builder
+    and the packed-words fast path; both therefore quantize identically.
 
     Lighting: litColor = color * (ambient + diffuse * max(dot(n, L), 0))
     (src/ComputeShaderRenderer.ts:143-145) depends only on per-splat normals,
     so it moves out of the per-pixel loop entirely — the reference recomputes
     it per (pixel, splat) pair.
     """
-    from .packing import quantize_screen_data
+    import math as _math
+
+    from .packing import ANGLE_SCALE, COLOR_SCALE, POS_MAX, RATIO_SCALE
 
     light = jnp.asarray(cfg.light_dir, dtype=color.dtype)
     light = light / jnp.linalg.norm(light)
@@ -161,19 +166,105 @@ def pack_splat_screen_data(
         angle = jnp.zeros((n,), color.dtype)
         ratio = jnp.ones((n,), color.dtype)
 
-    data = jnp.concatenate(
+    ps, po = cfg.pos_scale, cfg.pos_offset
+    center = projected["center"]
+    q = lambda v: jnp.round(jnp.clip((v + po) * ps, 0, POS_MAX)).astype(jnp.uint32)
+    return {
+        "cx_fx": q(center[:, 0]),
+        "cy_fx": q(center[:, 1]),
+        "r_fx": jnp.round(jnp.clip(projected["radius"] * ps, 0, POS_MAX)).astype(
+            jnp.uint32
+        ),
+        "op8": jnp.round(jnp.clip(opacity, 0.0, 1.0) * COLOR_SCALE).astype(
+            jnp.uint32
+        ),
+        "rgb8": jnp.round(jnp.clip(lit, 0.0, 1.0) * COLOR_SCALE).astype(jnp.uint32),
+        "ang8": (
+            jnp.round((angle + _math.pi) * ANGLE_SCALE).astype(jnp.int32) % 256
+        ).astype(jnp.uint32),
+        "ratio8": jnp.round(
+            jnp.clip(ratio, 1.0 / RATIO_SCALE, 1.0) * RATIO_SCALE
+        ).astype(jnp.uint32),
+        "depth": projected["depth"],
+    }
+
+
+def pack_splat_screen_data(
+    projected: Projected,
+    color: jnp.ndarray,  # (N, 3)
+    opacity: jnp.ndarray,  # (N,)
+    normals: jnp.ndarray,  # (N, 3)
+    cfg: RenderConfig,
+    view_proj: jnp.ndarray | None = None,  # (4, 4), required if cfg.oriented
+    cam_pos: jnp.ndarray | None = None,  # (3,)
+    positions: jnp.ndarray | None = None,  # (N, 3) world positions
+    radii: jnp.ndarray | None = None,  # (N,) world radii
+) -> jnp.ndarray:
+    """Fuse projection + appearance into the (N, 10) render record consumed by
+    the compositors: [cx, cy, radius, opacity, r*, g*, b*, depth, angle,
+    ratio] with the lambert lighting term pre-folded into rgb, snapped onto
+    the pipeline's fixed-point raster grids (render/packing.py) — every
+    compositor consumes the same quantized values, so oracle parity is exact.
+    """
+    import math as _math
+
+    from .packing import ANGLE_SCALE, COLOR_SCALE, RATIO_SCALE
+
+    c = _screen_columns(
+        projected, color, opacity, normals, cfg,
+        view_proj=view_proj, cam_pos=cam_pos, positions=positions, radii=radii,
+    )
+    ps, po = cfg.pos_scale, cfg.pos_offset
+    f = lambda v: v.astype(jnp.float32)
+    return jnp.stack(
         [
-            projected["center"],
-            projected["radius"][:, None],
-            opacity[:, None],
-            lit,
-            projected["depth"][:, None],
-            angle[:, None],
-            ratio[:, None],
+            f(c["cx_fx"]) / ps - po,
+            f(c["cy_fx"]) / ps - po,
+            f(c["r_fx"]) / ps,
+            f(c["op8"]) / COLOR_SCALE,
+            f(c["rgb8"][:, 0]) / COLOR_SCALE,
+            f(c["rgb8"][:, 1]) / COLOR_SCALE,
+            f(c["rgb8"][:, 2]) / COLOR_SCALE,
+            c["depth"],
+            f(c["ang8"]) / ANGLE_SCALE - _math.pi,
+            f(c["ratio8"]) / RATIO_SCALE,
         ],
         axis=-1,
     )
-    # snap onto the pipeline's fixed-point raster grids (render/packing.py);
-    # every compositor consumes the same quantized values, so oracle parity
-    # is preserved exactly
-    return quantize_screen_data(data, cfg)
+
+
+def splat_screen_words(
+    projected: Projected,
+    color: jnp.ndarray,
+    opacity: jnp.ndarray,
+    normals: jnp.ndarray,
+    cfg: RenderConfig,
+    view_proj: jnp.ndarray | None = None,
+    cam_pos: jnp.ndarray | None = None,
+    positions: jnp.ndarray | None = None,
+    radii: jnp.ndarray | None = None,
+) -> Dict[str, jnp.ndarray]:
+    """SoA fast path: projection + appearance straight to the packed u32
+    words consumed by binning.bin_packed_words — bit-identical to
+    pack_records(pack_splat_screen_data(...)) without ever materializing the
+    (N, 10) record array (the interleaving stack + column re-slices cost
+    ~2 ms/frame at 1M splats on v5e — the CLAUDE.md relayout rule).
+
+    Returns {"dk", "w_pos", "w_ro", "w_rgb", "depth"}.
+    """
+    from .packing import depth_bits
+
+    c = _screen_columns(
+        projected, color, opacity, normals, cfg,
+        view_proj=view_proj, cam_pos=cam_pos, positions=positions, radii=radii,
+    )
+    return {
+        "dk": depth_bits(c["depth"]),
+        "w_pos": c["cx_fx"] | (c["cy_fx"] << 16),
+        "w_ro": c["r_fx"] | (c["ang8"] << 16) | (c["ratio8"] << 24),
+        "w_rgb": c["rgb8"][:, 0]
+        | (c["rgb8"][:, 1] << 8)
+        | (c["rgb8"][:, 2] << 16)
+        | (c["op8"] << 24),
+        "depth": c["depth"],
+    }

@@ -469,6 +469,154 @@ class TestPallasInterpret:
         assert float(jnp.abs(img_eps - img_exact).max()) <= 0.0101
 
 
+class TestTwoWordLayout:
+    """The tile-relative 2-word pair payload (binning.two_word_spec) must be
+    bit-exact against the 3-word/global paths: same runs, same image."""
+
+    CFG4 = RenderConfig(width=128, height=96, tiles_per_splat_cap=4)
+
+    def _capped_data(self, rng, n, cfg):
+        """Random records honoring the projector's radius cap (the 2-word
+        layout's contract, render/projector.py:88-99)."""
+        from splat_renderer_tpu.render.packing import quantize_screen_data
+
+        k = max(int(cfg.tiles_per_splat_cap**0.5), 2)
+        r_max = (k - 1) * cfg.tile_size / (2.0 * cfg.bounds_margin)
+        return quantize_screen_data(
+            _random_screen_splats(rng, n, cfg, r_lo=0.6, r_hi=r_max), cfg
+        )
+
+    def test_spec_gating(self):
+        from splat_renderer_tpu.render.binning import two_word_spec
+
+        assert two_word_spec(self.CFG4) is not None
+        assert two_word_spec(self.CFG4.replace(oriented=True)) is None
+        # 1080p (pos_scale 16): fits comfortably
+        assert two_word_spec(
+            RenderConfig(width=1920, height=1080, tiles_per_splat_cap=4)
+        ) is not None
+
+    def test_counts_match_reference_binning(self, rng):
+        from splat_renderer_tpu.render.binning import (
+            bin_splats_packed, depth_sort_data,
+        )
+
+        cfg = self.CFG4
+        data = self._capped_data(rng, 150, cfg)
+        ds = depth_sort_data(data)
+        base = bin_splats(ds, cfg)
+        packed = bin_splats_packed(data, cfg, block=1024)
+        assert packed["pair_w"].shape[1] == 256  # 2-word stream
+        np.testing.assert_array_equal(packed["offsets"], base["offsets"])
+        np.testing.assert_array_equal(packed["counts"], base["counts"])
+
+    def test_two_word_stream_roundtrip(self, rng):
+        """Unpacking w_a with each pair's tile origin must reproduce the
+        quantized global record values exactly."""
+        from splat_renderer_tpu.render.binning import (
+            bin_splats, bin_splats_packed, depth_sort_data, two_word_spec,
+        )
+
+        cfg = self.CFG4
+        spec = two_word_spec(cfg)
+        data = self._capped_data(rng, 120, cfg)
+        ds = depth_sort_data(data)
+        base = bin_splats(ds, cfg)
+        packed = bin_splats_packed(data, cfg, block=1024)
+        ps, po, tsps = cfg.pos_scale, cfg.pos_offset, cfg.tile_size * cfg.pos_scale
+        pw = np.asarray(packed["pair_w"])
+        w_a = pw[:, 0:128].reshape(-1)
+        w_rgb = pw[:, 128:256].reshape(-1)
+        off = np.asarray(base["offsets"])
+        expect = np.asarray(ds)[np.asarray(base["pair_splat"])]
+        for t in range(cfg.num_tiles):
+            lo, hi = off[t], off[t + 1]
+            if lo == hi:
+                continue
+            wa = w_a[lo:hi]
+            base_fx = (t % cfg.tiles_x) * tsps - spec["pad_rel"] + po * ps
+            base_fy = (t // cfg.tiles_x) * tsps - spec["pad_rel"] + po * ps
+            cx = (((wa >> 10) & 0x7FF).astype(np.float64) + base_fx) / ps - po
+            cy = ((wa >> 21).astype(np.float64) + base_fy) / ps - po
+            r = (wa & 0x3FF).astype(np.float64) / ps
+            np.testing.assert_allclose(cx, expect[lo:hi, 0], atol=0, err_msg=f"tile {t} cx")
+            np.testing.assert_allclose(cy, expect[lo:hi, 1], atol=0, err_msg=f"tile {t} cy")
+            np.testing.assert_allclose(r, expect[lo:hi, 2], atol=0, err_msg=f"tile {t} r")
+            op = (w_rgb[lo:hi] >> 24).astype(np.float64) / 255.0
+            np.testing.assert_allclose(op, expect[lo:hi, 3], atol=0)
+
+    def test_two_word_blend_matches_oracle(self, rng):
+        from splat_renderer_tpu.render.binning import bin_splats_packed
+        from splat_renderer_tpu.ops.tile_blend import render_tiles_pallas
+
+        cfg = self.CFG4
+        data = self._capped_data(rng, 200, cfg)
+        st = bin_splats_packed(data, cfg, block=1024)
+        img_p = render_tiles_pallas(data, st, cfg, block=1024, eps=0.0,
+                                    interpret=True)
+        img_o = render_oracle(data, cfg)
+        np.testing.assert_allclose(img_p, img_o, atol=2e-5)
+
+    def test_soa_words_bit_equal_records_path(self):
+        """projector.splat_screen_words must equal pack_records(
+        pack_splat_screen_data(...)) bit-for-bit, isotropic and oriented."""
+        from splat_renderer_tpu.config import PointConfig
+        from splat_renderer_tpu.render.packing import depth_bits, pack_records
+        from splat_renderer_tpu.render.projector import splat_screen_words
+
+        scene = spt.SDFScene(
+            spt.smooth_union(
+                0.1,
+                spt.Sphere(id="s", radius=0.5),
+                spt.Box(id="b", position=(0.5, 0, 0), size=(0.3, 0.3, 0.3)),
+            )
+        )
+        for cfg in (self.CFG4, self.CFG4.replace(oriented=True)):
+            cam = spt.Camera(aspect=cfg.width / cfg.height)
+            camera = {k: jnp.asarray(v) for k, v in cam.arrays().items()}
+            splats = model_points(
+                scene, scene.params(), jax.random.PRNGKey(3), 2000,
+                PointConfig(), cfg,
+            )
+            recs = splat_screen_data(splats, camera, cfg)
+            w0, w1, w2 = pack_records(recs, cfg)
+            proj = project_splats(
+                camera["view_proj"], camera["cam_pos"],
+                splats["position"], splats["radius"], cfg,
+            )
+            words = splat_screen_words(
+                proj, splats["color"], splats["opacity"], splats["normal"],
+                cfg, view_proj=camera["view_proj"], cam_pos=camera["cam_pos"],
+                positions=splats["position"], radii=splats["radius"],
+            )
+            np.testing.assert_array_equal(words["w_pos"], w0)
+            np.testing.assert_array_equal(words["w_ro"], w1)
+            np.testing.assert_array_equal(words["w_rgb"], w2)
+            np.testing.assert_array_equal(words["dk"], depth_bits(recs[:, 7]))
+
+    def test_bit_equal_depth_ties_agree(self, rng):
+        """Canonical order is (depth_bits, input index): records at bit-equal
+        depth must composite identically in oracle / XLA tiles / Pallas."""
+        from splat_renderer_tpu.render.binning import (
+            bin_splats, bin_splats_packed, depth_sort_data,
+        )
+        from splat_renderer_tpu.ops.tile_blend import render_tiles_pallas
+
+        cfg = self.CFG4
+        data = self._capped_data(rng, 96, cfg)
+        # force heavy depth ties: 4 distinct depths across 96 records
+        depths = jnp.asarray(np.tile([2.0, 3.0, 4.0, 5.0], 24), jnp.float32)
+        data = data.at[:, 7].set(depths)
+        img_o = render_oracle(data, cfg)
+        ds = depth_sort_data(data)
+        img_t = render_tiles(ds, bin_splats(ds, cfg), cfg, pair_chunk=16)
+        st = bin_splats_packed(data, cfg, block=1024)
+        img_p = render_tiles_pallas(data, st, cfg, block=1024, eps=0.0,
+                                    interpret=True)
+        np.testing.assert_allclose(img_t, img_o, atol=2e-5)
+        np.testing.assert_allclose(img_p, img_o, atol=2e-5)
+
+
 class TestOrientedAndOpaque:
     def test_elliptical_alpha_foreshortens(self):
         """ratio < 1 shrinks the footprint along the minor axis only.
