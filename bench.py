@@ -131,11 +131,19 @@ def main() -> None:
 
     # ---- full fused frame (render-only: splats -> image) ----
     def full(s, c):
-        d = splat_screen_data(s, c, rcfg)
-        return render_tiles_pallas(d, None, rcfg, block=BLOCK, max_blocks=mb)
+        return render_splats(s, c, rcfg, "pallas", BLOCK, blend_max_blocks=mb)
 
     full_j = jax.jit(full)
     t_full, _ = time_fn(full_j, splats, camera, warmup=2, iters=5)
+
+    # ---- fast profile (cfg.fast_math): coarse-rank fused pair sort +
+    # log-space MXU transmittance; PSNR-gated, opt-in ----
+    rcfg_fast = rcfg.replace(fast_math=True)
+
+    def full_fast(s, c):
+        return render_splats(s, c, rcfg_fast, "pallas", BLOCK, blend_max_blocks=mb)
+
+    t_fast, _ = time_fn(jax.jit(full_fast), splats, camera, warmup=2, iters=5)
 
     # ---- config 1: oracle, 10k splats @256x256 ----
     ocfg = RenderConfig(width=256, height=256, base_radius=0.03)
@@ -265,6 +273,8 @@ def main() -> None:
         "vs_baseline": round(fps / 60.0, 4),
         "msplats_per_sec": round(N_SPLATS * fps / 1e6, 2),
         "frame_ms": round(t_full * 1e3, 3),
+        "frame_ms_fast": round(t_fast * 1e3, 3),
+        "fps_fast": round(1.0 / t_fast, 2),
         "project_ms": round(t_project * 1e3, 3),
         "sort_ms": round(t_sort * 1e3, 3),
         "bin_ms": round(t_bin * 1e3, 3),

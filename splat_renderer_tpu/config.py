@@ -81,6 +81,19 @@ class RenderConfig:
     # normal (the reference's tangent-frame quads, src/Renderer.ts:90-117).
     # False = isotropic discs (the reference's splat pipeline).
     oriented: bool = False
+    # Fast profile (opt-in): permits ONE bounded, documented deviation from
+    # the exact oracle in exchange for ~3 ms/frame at 1M @1080p — the pair
+    # sort coarsens the canonical rank just enough to fuse (tile, rank) into
+    # ONE u32 key (measured v5e: nk1 9.1 ms vs nk2 12.0 ms @4M pairs).
+    # Records within the same 2^coarse-row band of the depth sort (coarse <=
+    # 4 bits) may composite in arbitrary order inside one tile — a
+    # sub-quantization-step order deviation.  At scales where the exact key
+    # already fits 32 bits, the flag changes nothing.  The exact profile
+    # (default) stays bit-gated against the oracle.  The reference has no
+    # analogous mode — this is the standard production-rasterizer trade.
+    # (A blend-kernel log-space MXU fast path was tried and REMOVED: 4.6x
+    # slower, see ops/tile_blend.py.)
+    fast_math: bool = False
     # Splat base color from the surface normal:
     #   "normal_abs":    |n| * 0.8 + 0.2  (splat pipeline,
     #                    src/SplatPropertyManager.ts:97-98)

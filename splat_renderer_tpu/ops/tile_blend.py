@@ -78,11 +78,248 @@ def _exclusive_cumprod_rows(q: jnp.ndarray) -> jnp.ndarray:
     return x
 
 
-def _make_kernel(cfg: RenderConfig, block: int, eps: float, spec=None):
+def _blend_window(cfg, spec, eps, sat_every, w_all, acc_ref, local0, cnt, px, py):
+    """Fold one `block`-record window (w_all: (block//128, lanes) u32 values)
+    into the tile accumulator — shared by the flat (grid-per-window) and
+    tile-major (grid-per-tile) kernels.
+
+    Records arrive packed in lanes (contiguous full-lane DMA); one cheap vreg
+    transpose per plane puts them in SUBLANES so per-record fields become
+    (128, 1) columns that broadcast against the (1, tp) pixel rows
+    (~30 ns/window, measured)."""
+    pos_scale, pos_offset = cfg.pos_scale, cfg.pos_offset
+    inv_ps = 1.0 / pos_scale
+    inv_2sigma2 = 0.5 / (cfg.sigma * cfg.sigma)
+    margin2 = cfg.bounds_margin * cfg.bounds_margin
+    groups = w_all.shape[0]
+    row = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
+
+    if spec is None:
+        tw_pos = w_all[:, 0:128].T  # (128, groups) u32
+        tw_ro = w_all[:, 128:256].T
+        tw_rgb = w_all[:, 256:384].T
+    else:
+        tw_pos = w_all[:, 0:128].T  # w_a: cy_rel:11 | cx_rel:11 | r:10
+        tw_ro = None
+        tw_rgb = w_all[:, 128:256].T
+
+    def u2f(x):
+        # Mosaic lacks a direct u32->f32 cast; all unpacked fields fit in
+        # 21 bits, so hop through int32
+        return x.astype(jnp.int32).astype(jnp.float32)
+
+    for g in range(groups):
+        # group-level skip: lead-in groups (before the run start), tail
+        # groups (past the run end), and saturated-tile groups cost
+        # nothing — a finer-grained version of the reference's per-pixel
+        # break (src/ComputeShaderRenderer.ts:188-190)
+        g_lo = local0 + g * 128
+        trans = acc_ref[3:4, :]  # (1, tp)
+        g_active = jnp.logical_and(g_lo + 128 > 0, g_lo < cnt)
+        if g % sat_every == 0 and g > 0:
+            # scalar saturation re-check (the caller's window-level
+            # predicate already covered g == 0)
+            g_active = jnp.logical_and(g_active, jnp.max(trans) > eps)
+
+        @pl.when(g_active)
+        def _(g=g, g_lo=g_lo, trans=trans):
+            w_pos = tw_pos[:, g : g + 1]  # (128, 1) u32
+            w_rgb = tw_rgb[:, g : g + 1]
+
+            if spec is None:
+                w_ro = tw_ro[:, g : g + 1]
+                cx = u2f(w_pos & 0xFFFF) / pos_scale - pos_offset
+                cy = u2f(w_pos >> 16) / pos_scale - pos_offset
+                r = u2f(w_ro & 0xFFFF) / pos_scale
+            else:
+                # tile-relative fields: the same grid points as the global
+                # path shifted by the tile's padded origin, so dx/dy below
+                # are bit-identical
+                cx = u2f((w_pos >> 10) & 0x7FF) * inv_ps
+                cy = u2f(w_pos >> 21) * inv_ps
+                r = u2f(w_pos & 0x3FF) * inv_ps
+            op = u2f(w_rgb >> 24) / COLOR_SCALE
+            # fold the run mask and the min-radius cull into the (128, 1)
+            # opacity column — record-scale, not panel-scale
+            local = g_lo + row
+            ok = jnp.logical_and(
+                jnp.logical_and(local >= 0, local < cnt),
+                r >= cfg.min_screen_radius,
+            )
+            op = jnp.where(ok, op, 0.0)
+
+            dx = px - cx  # (128, tp)
+            dy = py - cy
+            if cfg.oriented:
+                # distance in the splat's screen-ellipse frame;
+                # fixed-polynomial trig shared with blend.splat_alpha
+                # (backend cos/sin ulps flip hard-cutoff pixels)
+                ang = u2f((w_ro >> 16) & 0xFF) / ANGLE_SCALE - PI
+                ratio = jnp.maximum(u2f(w_ro >> 24) / RATIO_SCALE, 1e-3)
+                ca, sa = ellipse_cos_sin(ang)
+                du = (ca * dx + sa * dy) / ratio
+                dv = -sa * dx + ca * dy
+                d2 = du * du + dv * dv
+            else:
+                d2 = dx * dx + dy * dy
+            inv_r2 = 1.0 / jnp.maximum(r * r, 1e-12)
+            nd2 = d2 * inv_r2
+            if cfg.opaque:
+                # z-buffer semantics: nearest covering splat wins exactly
+                # (front-to-back + alpha 1), src/Renderer.ts:189-201
+                shape = jnp.where(nd2 <= 1.0, 1.0, 0.0)
+            else:
+                # disc support cutoff at bounds_margin * r (blend.py)
+                shape = jnp.where(nd2 <= margin2, jnp.exp(-inv_2sigma2 * nd2), 0.0)
+            alpha = op * shape  # (128, tp)
+
+            q = 1.0 - alpha
+            # NOTE (measured, v5e, benchmarks/probe_tm.py): a log-space MXU
+            # prefix (exp(Ltri @ log q)) replacing these roll-multiplies is a
+            # 4.6x REGRESSION (81.6 vs 17.7 ms/frame) — two transcendentals
+            # per (128, tp) panel element dwarf the 7 multiplies they save.
+            t_excl = _exclusive_cumprod_rows(q)
+            weight = (alpha * t_excl) * trans  # (1, tp) row bcast
+            # color fold on the MXU: contract the 128 record rows —
+            # (128, 3)^T x (128, tp), a K=128 contraction (the
+            # (tp,128)x(128,3) N=3 form wastes the MXU: 6.8 ms/frame)
+            rgb = jnp.concatenate(
+                [
+                    u2f(w_rgb & 0xFF),
+                    u2f((w_rgb >> 8) & 0xFF),
+                    u2f((w_rgb >> 16) & 0xFF),
+                ],
+                axis=1,
+            ) * (1.0 / COLOR_SCALE)  # (128, 3)
+            contrib = jax.lax.dot_general(
+                rgb,
+                weight,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # (3, tp)
+            acc_ref[0:3, :] += contrib
+            acc_ref[3:4, :] = trans * (t_excl[127:128, :] * q[127:128, :])
+
+
+def _tile_pixel_coords(cfg, spec, t):
+    """Per-tile pixel-center coordinates, pixels along LANES: (1, tp) px/py."""
+    tp = cfg.tile_pixels
+    ts = cfg.tile_size
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, tp), 1)
+    if spec is None:
+        origin_x = ((t % cfg.tiles_x) * ts).astype(jnp.float32)
+        origin_y = ((t // cfg.tiles_x) * ts).astype(jnp.float32)
+        px = origin_x + (lane % ts).astype(jnp.float32) + 0.5
+        py = origin_y + (lane // ts).astype(jnp.float32) + 0.5
+    else:
+        # tile-local frame: pixel coords offset by the pad_rel origin shift
+        # baked into the w_a fields (binning.two_word_spec)
+        pad_px = spec["pad_rel"] / cfg.pos_scale
+        px = (lane % ts).astype(jnp.float32) + (0.5 + pad_px)
+        py = (lane // ts).astype(jnp.float32) + (0.5 + pad_px)
+    return px, py
+
+
+def _make_tile_kernel(cfg: RenderConfig, block: int, eps: float, spec,
+                      sat_every: int):
+    """Tile-major streaming kernel: ONE grid step per nonempty tile, manual
+    double-buffered DMA over the tile's consecutive stream windows, and a
+    while-loop saturation exit that stops both compute AND DMA.
+
+    Motivation (measured, v5e, benchmarks/probe_blend2.py): the flat
+    grid-per-window kernel pays ~1.8 us of Mosaic per-step scaffolding even
+    for an EMPTY body — ~7 ms at the bench shape's 4037 windows.  Collapsing
+    to ~1.4k tile steps cuts that floor ~3x, and saturated silhouette tiles
+    stop fetching windows entirely (the flat kernel still DMA'd them)."""
+    tp = cfg.tile_pixels
+    num_tiles = cfg.num_tiles
+    bw = block // 128
+
+    def kernel(
+        tile_ref,  # (n_class,) tile id per slot (num_tiles = padding)
+        win0_ref,  # (n_class,) first stream-window unit of the tile's run
+        nwin_ref,  # (n_class,) number of windows
+        local0_ref,  # (n_class,) win0*block - run offset (lead-in, <= 0)
+        count_ref,  # (n_class,) run length
+        w_hbm,  # (rows, lanes) u32 pair stream, stays in HBM
+        out_ref,  # (1, 8, tp) block at row tile_ref[i]
+        acc_ref,  # VMEM (8, tp)
+        wbuf_ref,  # VMEM (2, bw, lanes) u32 double buffer
+        sem_ref,  # DMA semaphores (2,)
+    ):
+        i = pl.program_id(0)
+        t = tile_ref[i]
+
+        @pl.when(t < num_tiles)
+        def _():
+            px, py = _tile_pixel_coords(cfg, spec, t)
+            acc_ref[0:3, :] = jnp.zeros((3, tp), jnp.float32)
+            acc_ref[3:8, :] = jnp.concatenate(
+                [jnp.ones((1, tp), jnp.float32), jnp.zeros((4, tp), jnp.float32)]
+            )
+            win0 = win0_ref[i]
+            nw = nwin_ref[i]
+            local0_t = local0_ref[i]
+            cnt = count_ref[i]
+
+            def dma(slot, w):
+                row0 = pl.multiple_of((win0 + w) * bw, 8)
+                return pltpu.make_async_copy(
+                    w_hbm.at[pl.ds(row0, bw), :],
+                    wbuf_ref.at[slot],
+                    sem_ref.at[slot],
+                )
+
+            dma(0, 0).start()
+
+            def cond(state):
+                w, live = state
+                return jnp.logical_and(w < nw, live)
+
+            def body(state):
+                w, _ = state
+
+                @pl.when(w + 1 < nw)
+                def _():
+                    dma((w + 1) % 2, w + 1).start()
+
+                dma(w % 2, w).wait()
+                _blend_window(
+                    cfg, spec, eps, sat_every, wbuf_ref[w % 2], acc_ref,
+                    local0_t + w * block, cnt, px, py,
+                )
+                return w + 1, jnp.max(acc_ref[3:4, :]) > eps
+
+            final_w, _ = jax.lax.while_loop(
+                cond, body, (jnp.int32(0), jnp.bool_(eps < 1.0))
+            )
+
+            # early exit leaves exactly one DMA in flight (for window
+            # final_w, started in the previous iteration — or the warm-up
+            # when final_w == 0); drain it so the semaphore stays balanced
+            @pl.when(final_w < nw)
+            def _():
+                dma(final_w % 2, final_w).wait()
+
+            out_ref[0] = acc_ref[:]
+
+    return kernel
+
+
+def _make_kernel(cfg: RenderConfig, block: int, eps: float, spec=None,
+                 sat_every: int = 1, _strip: int = 0):
     """Kernel factory.  spec=None: global 3-word records (pos|ro|rgb lane
     thirds).  spec=two_word_spec(cfg): tile-relative 2-word records (w_a|rgb
     halves) — all coordinates tile-local, so the kernel touches no global
-    screen positions at all (and one fewer plane transpose per window)."""
+    screen positions at all (and one fewer plane transpose per window).
+
+    sat_every: check the saturation predicate on every k-th 128-record group
+    (always at window level too).  The (1,1) max-reduce inside pl.when costs
+    ~0.1 us of scalar/vector sync per group; coarser checks trade a little
+    skipped work on saturated silhouette tiles for less sync overhead.
+    Rendering is exact for ANY value (skipping fewer groups only ADDS
+    contributions below the transmittance floor)."""
     tp = cfg.tile_pixels
     ts = cfg.tile_size
     pos_scale, pos_offset = cfg.pos_scale, cfg.pos_offset
@@ -107,149 +344,36 @@ def _make_kernel(cfg: RenderConfig, block: int, eps: float, spec=None):
         t = block_tile_ref[b]
         is_trash = t >= num_tiles
 
-        @pl.when(jnp.logical_and(block_first_ref[b] == 1, jnp.logical_not(is_trash)))
-        def _():
-            acc_ref[0:3, :] = jnp.zeros((3, tp), jnp.float32)
-            acc_ref[3:8, :] = jnp.concatenate(
-                [jnp.ones((1, tp), jnp.float32), jnp.zeros((4, tp), jnp.float32)]
-            )
+        if _strip >= 3:  # perf diagnostics: bare step scaffolding
+            return
 
-        live = jnp.logical_and(
-            jnp.logical_not(is_trash), jnp.max(acc_ref[3:4, :]) > eps
-        )
+        if _strip < 2:
+            @pl.when(
+                jnp.logical_and(block_first_ref[b] == 1, jnp.logical_not(is_trash))
+            )
+            def _():
+                acc_ref[0:3, :] = jnp.zeros((3, tp), jnp.float32)
+                acc_ref[3:8, :] = jnp.concatenate(
+                    [jnp.ones((1, tp), jnp.float32), jnp.zeros((4, tp), jnp.float32)]
+                )
+
+        if _strip >= 1:
+            live = jnp.logical_and(jnp.logical_not(is_trash), eps < -1e30)
+        else:
+            live = jnp.logical_and(
+                jnp.logical_not(is_trash), jnp.max(acc_ref[3:4, :]) > eps
+            )
 
         @pl.when(live)
         def _():
-            # tile-constant pixel coordinates, pixels along LANES
-            lane = jax.lax.broadcasted_iota(jnp.int32, (1, tp), 1)
-            if spec is None:
-                origin_x = ((t % cfg.tiles_x) * ts).astype(jnp.float32)
-                origin_y = ((t // cfg.tiles_x) * ts).astype(jnp.float32)
-                px = origin_x + (lane % ts).astype(jnp.float32) + 0.5
-                py = origin_y + (lane // ts).astype(jnp.float32) + 0.5
-            else:
-                # tile-local frame: pixel coords offset by the pad_rel
-                # origin shift baked into the w_a fields (binning.two_word_spec)
-                pad_px = spec["pad_rel"] * inv_ps
-                px = (lane % ts).astype(jnp.float32) + (0.5 + pad_px)
-                py = (lane // ts).astype(jnp.float32) + (0.5 + pad_px)
+            px, py = _tile_pixel_coords(cfg, spec, t)
+            _blend_window(
+                cfg, spec, eps, sat_every, w_ref[:], acc_ref,
+                block_local0_ref[b], block_count_ref[b], px, py,
+            )
 
-            local0 = block_local0_ref[b]
-            cnt = block_count_ref[b]
-            row = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
-
-            # records arrive packed in lanes (contiguous full-lane DMA);
-            # one cheap vreg transpose per plane puts them in SUBLANES so
-            # per-record fields become (128, 1) columns that broadcast
-            # against the (1, tp) pixel rows (~30 ns/window, measured)
-            w_all = w_ref[:]
-            if spec is None:
-                tw_pos = w_all[:, 0:128].T  # (128, groups) u32
-                tw_ro = w_all[:, 128:256].T
-                tw_rgb = w_all[:, 256:384].T
-            else:
-                tw_pos = w_all[:, 0:128].T  # w_a: cy_rel:11 | cx_rel:11 | r:10
-                tw_ro = None
-                tw_rgb = w_all[:, 128:256].T
-
-            def u2f(x):
-                # Mosaic lacks a direct u32->f32 cast; all unpacked fields
-                # fit in 16 bits, so hop through int32
-                return x.astype(jnp.int32).astype(jnp.float32)
-
-            for g in range(groups):
-                # group-level skip: lead-in groups (before the run start),
-                # tail groups (past the run end), and saturated-tile groups
-                # cost nothing — a finer-grained version of the reference's
-                # per-pixel break (src/ComputeShaderRenderer.ts:188-190)
-                g_lo = local0 + g * 128
-                trans = acc_ref[3:4, :]  # (1, tp)
-                g_active = jnp.logical_and(
-                    jnp.logical_and(g_lo + 128 > 0, g_lo < cnt),
-                    jnp.max(trans) > eps,
-                )
-
-                @pl.when(g_active)
-                def _(g=g, g_lo=g_lo, trans=trans):
-                    w_pos = tw_pos[:, g : g + 1]  # (128, 1) u32
-                    w_rgb = tw_rgb[:, g : g + 1]
-
-                    if spec is None:
-                        w_ro = tw_ro[:, g : g + 1]
-                        cx = u2f(w_pos & 0xFFFF) / pos_scale - pos_offset
-                        cy = u2f(w_pos >> 16) / pos_scale - pos_offset
-                        r = u2f(w_ro & 0xFFFF) / pos_scale
-                    else:
-                        # tile-relative fields: the same grid points as the
-                        # global path shifted by the tile's padded origin,
-                        # so dx/dy below are bit-identical
-                        cx = u2f((w_pos >> 10) & 0x7FF) * inv_ps
-                        cy = u2f(w_pos >> 21) * inv_ps
-                        r = u2f(w_pos & 0x3FF) * inv_ps
-                    op = u2f(w_rgb >> 24) / COLOR_SCALE
-                    # fold the run mask and the min-radius cull into the
-                    # (128, 1) opacity column — record-scale, not panel-scale
-                    local = g_lo + row
-                    ok = jnp.logical_and(
-                        jnp.logical_and(local >= 0, local < cnt),
-                        r >= cfg.min_screen_radius,
-                    )
-                    op = jnp.where(ok, op, 0.0)
-
-                    dx = px - cx  # (128, tp)
-                    dy = py - cy
-                    if cfg.oriented:
-                        # distance in the splat's screen-ellipse frame;
-                        # fixed-polynomial trig shared with blend.splat_alpha
-                        # (backend cos/sin ulps flip hard-cutoff pixels)
-                        ang = u2f((w_ro >> 16) & 0xFF) / ANGLE_SCALE - PI
-                        ratio = jnp.maximum(u2f(w_ro >> 24) / RATIO_SCALE, 1e-3)
-                        ca, sa = ellipse_cos_sin(ang)
-                        du = (ca * dx + sa * dy) / ratio
-                        dv = -sa * dx + ca * dy
-                        d2 = du * du + dv * dv
-                    else:
-                        d2 = dx * dx + dy * dy
-                    inv_r2 = 1.0 / jnp.maximum(r * r, 1e-12)
-                    nd2 = d2 * inv_r2
-                    if cfg.opaque:
-                        # z-buffer semantics: nearest covering splat wins
-                        # exactly (front-to-back + alpha 1),
-                        # src/Renderer.ts:189-201
-                        shape = jnp.where(nd2 <= 1.0, 1.0, 0.0)
-                    else:
-                        # disc support cutoff at bounds_margin * r (blend.py)
-                        shape = jnp.where(
-                            nd2 <= margin2, jnp.exp(-inv_2sigma2 * nd2), 0.0
-                        )
-                    alpha = op * shape  # (128, tp)
-
-                    q = 1.0 - alpha
-                    t_excl = _exclusive_cumprod_rows(q)
-                    weight = (alpha * t_excl) * trans  # (1, tp) row bcast
-                    # color fold on the MXU: contract the 128 record rows —
-                    # (128, 3)^T x (128, tp), a K=128 contraction (the
-                    # (tp,128)x(128,3) N=3 form wastes the MXU: 6.8 ms/frame)
-                    rgb = jnp.concatenate(
-                        [
-                            u2f(w_rgb & 0xFF),
-                            u2f((w_rgb >> 8) & 0xFF),
-                            u2f((w_rgb >> 16) & 0xFF),
-                        ],
-                        axis=1,
-                    ) * (1.0 / COLOR_SCALE)  # (128, 3)
-                    contrib = jax.lax.dot_general(
-                        rgb,
-                        weight,
-                        dimension_numbers=(((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST,
-                    )  # (3, tp)
-                    acc_ref[0:3, :] += contrib
-                    acc_ref[3:4, :] = trans * (
-                        t_excl[127:128, :] * q[127:128, :]
-                    )
-
+        if _strip >= 2:
+            return
         # flush on the tile's LAST window (the out block is revisited across
         # the tile's windows; Mosaic writes it to HBM once, on block change)
         nxt = block_tile_ref[jnp.minimum(b + 1, nb - 1)]
@@ -262,7 +386,9 @@ def _make_kernel(cfg: RenderConfig, block: int, eps: float, spec=None):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "block", "eps", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "block", "eps", "interpret", "sat_every", "_strip")
+)
 def pallas_blend_tiles(
     pair_w: jnp.ndarray,  # (rows, 384) u32 fused record planes (pos|ro|rgb)
     block_tile: jnp.ndarray,  # (n_blocks_cap,)
@@ -275,6 +401,8 @@ def pallas_blend_tiles(
     block: int = 1024,
     eps: float = -1.0,
     interpret: bool = False,
+    sat_every: int = 1,
+    _strip: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Composite all tiles; returns (tile_color (T, tp, 3), tile_alpha (T, tp)).
 
@@ -316,7 +444,7 @@ def pallas_blend_tiles(
         scratch_shapes=[pltpu.VMEM((8, tp), jnp.float32)],
     )
     out = pl.pallas_call(
-        _make_kernel(cfg, block, eps, spec),
+        _make_kernel(cfg, block, eps, spec, sat_every, _strip),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((num_tiles + 1, 8, tp), jnp.float32),
         interpret=interpret,
@@ -330,6 +458,75 @@ def pallas_blend_tiles(
     return tile_color, tile_alpha
 
 
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "block", "eps", "interpret", "sat_every")
+)
+def pallas_blend_tiles_tm(
+    pair_w: jnp.ndarray,  # (rows, lanes) u32 pair stream (stays in HBM)
+    tile_list: jnp.ndarray,  # (n_class,) tile id per slot (num_tiles = pad)
+    tile_win0: jnp.ndarray,  # (n_class,)
+    tile_nwin: jnp.ndarray,  # (n_class,)
+    tile_local0: jnp.ndarray,  # (n_class,)
+    tile_count: jnp.ndarray,  # (n_class,)
+    counts: jnp.ndarray,  # (T,)
+    cfg: RenderConfig,
+    block: int = 1024,
+    eps: float = -1.0,
+    interpret: bool = False,
+    sat_every: int = 1,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Tile-major variant of pallas_blend_tiles: grid = nonempty tiles,
+    manual double-buffered DMA over each tile's windows (see
+    _make_tile_kernel).  Tiles listed beyond the table are NOT rendered —
+    the caller masks them (render_tiles_pallas's capacity protocol)."""
+    if eps < 0:
+        eps = cfg.transmittance_eps
+    tp = cfg.tile_pixels
+    if tp % 8:
+        raise ValueError("tile_pixels must be a multiple of 8")
+    if block % 1024:
+        raise ValueError("block must be a multiple of 1024")
+    num_tiles = cfg.num_tiles
+    n_class = tile_list.shape[0]
+    bw = block // 128
+    lanes = pair_w.shape[1]
+    from ..render.binning import two_word_spec
+
+    spec = two_word_spec(cfg) if lanes == 256 else None
+    if lanes == 256 and spec is None:
+        raise ValueError("2-word pair stream but cfg does not allow the layout")
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(n_class,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY)],
+        out_specs=pl.BlockSpec(
+            (1, 8, tp), lambda i, tl, w0, nw, l0, c: (tl[i], 0, 0)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((8, tp), jnp.float32),
+            pltpu.VMEM((2, bw, lanes), jnp.uint32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        _make_tile_kernel(cfg, block, eps, spec, sat_every),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((num_tiles + 1, 8, tp), jnp.float32),
+        interpret=interpret,
+    )(tile_list, tile_win0, tile_nwin, tile_local0, tile_count, pair_w)
+
+    out = out[:num_tiles]
+    # unrendered rows: empty tiles AND nonempty tiles whose slot fell beyond
+    # the capacity class (the caller re-renders at a bigger class)
+    nz = counts > 0
+    slot = jnp.cumsum(nz.astype(jnp.int32)) - 1
+    ok = (nz & (slot < n_class))[:, None]
+    tile_color = jnp.where(ok[..., None], out[:, 0:3, :].transpose(0, 2, 1), 0.0)
+    tile_alpha = jnp.where(ok, 1.0 - out[:, 3, :], 0.0)
+    return tile_color, tile_alpha
+
+
 def render_tiles_pallas(
     splat_data_quantized: jnp.ndarray | None,
     binned: Binned | None,
@@ -339,6 +536,8 @@ def render_tiles_pallas(
     interpret: bool = False,
     max_blocks: int | None = None,
     return_stats: bool = False,
+    sat_every: int = 1,
+    kernel: str = "flat",
 ) -> jnp.ndarray:
     """Drop-in replacement for render/compositor.render_tiles on TPU.
 
@@ -347,16 +546,43 @@ def render_tiles_pallas(
     `binned` must come from bin_splats_packed(splat_data_quantized, cfg,
     block), or pass None to compute it here.
 
-    max_blocks: static grid-capacity class.  The safe worst-case bound
-    (P/block + 2*num_tiles) spends ~0.3 us per UNUSED grid step (measured
-    ~4 ms/frame at the bench shape); a steady-state caller (Engine, bench)
-    sizes this to the scene's actual window count instead.  Tiles whose
-    windows fall beyond the capacity render as empty and are flagged in the
-    returned stats — the caller re-renders at a bigger class (capacity-growth
-    protocol, pipeline.Engine).  None = the safe bound (never overflows).
+    kernel: "flat" = grid-per-window (pallas_blend_tiles), "tile" =
+    grid-per-nonempty-tile with manual double-buffered DMA
+    (pallas_blend_tiles_tm) — both produce identical images; they differ
+    only in per-step overhead shape.
+
+    max_blocks: static grid-capacity class, in WINDOW units for the flat
+    kernel and NONEMPTY-TILE units for the tile kernel.  The safe worst-case
+    bound pays Mosaic's per-grid-step floor (~1.8 us/step measured) for
+    thousands of trash steps; a steady-state caller (Engine, bench) sizes
+    this to the scene's observed usage instead.  Tiles beyond the capacity
+    render as empty and are flagged in the returned stats — the caller
+    re-renders at a bigger class (capacity-growth protocol, pipeline.Engine).
+    None = the safe bound (never overflows).
     """
     if binned is None or "pair_w" not in binned:
         binned = bin_splats_packed(splat_data_quantized, cfg, block)
+    if kernel == "tile":
+        mt = cfg.num_tiles if max_blocks is None else max_blocks
+        tile_color, tile_alpha = pallas_blend_tiles_tm(
+            binned["pair_w"],
+            binned["tile_list"][:mt],
+            binned["tile_win0"][:mt],
+            binned["tile_nwin"][:mt],
+            binned["tile_local0"][:mt],
+            binned["tile_count"][:mt],
+            binned["counts"],
+            cfg,
+            block=block,
+            eps=eps,
+            interpret=interpret,
+            sat_every=sat_every,
+        )
+        used = binned["tiles_used"]
+        img = tiles_to_image(tile_color, tile_alpha, cfg)
+        if return_stats:
+            return img, {"blocks_used": used, "overflow": used > mt}
+        return img
     mb = binned["block_tile"].shape[0] if max_blocks is None else max_blocks
     tile_color, tile_alpha = pallas_blend_tiles(
         binned["pair_w"],
@@ -370,6 +596,7 @@ def render_tiles_pallas(
         block=block,
         eps=eps,
         interpret=interpret,
+        sat_every=sat_every,
     )
     used = binned["block_off"][-1]
     if max_blocks is not None:

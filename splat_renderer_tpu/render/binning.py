@@ -483,13 +483,21 @@ def bin_packed_words(
 
     tile_bits = _ceil_log2(num_tiles + 1)
     rank_bits = _ceil_log2(max(n, 2))
-    if tile_bits + rank_bits <= 32:
+    coarse = tile_bits + rank_bits - 32
+    if coarse <= 0 or (cfg.fast_math and coarse <= 4):
         # single fused u32 key: (tile << shift) | rank — ranks unique per
-        # tile, so num_keys=1 is fully deterministic (no tie groups at all)
+        # tile, so num_keys=1 is fully deterministic (no tie groups at all).
+        # Fast profile: when the bits don't fit, coarsen the rank by the
+        # deficit (<= 4 bits) — records within the same 2^coarse-row band of
+        # the depth sort may composite in arbitrary order inside one tile
+        # (a sub-quantization-step deviation; measured v5e: nk1 9.1 ms vs
+        # nk2 12.0 ms @4M).
         shift = 32 - tile_bits
         rank = jnp.broadcast_to(
             iota_n.astype(jnp.uint32)[None, :], (cap, n)
         ).reshape(-1)
+        if coarse > 0:
+            rank = rank >> coarse
         fused = (tile.reshape(-1).astype(jnp.uint32) << shift) | rank
         res = jax.lax.sort((fused,) + payload, num_keys=1, is_stable=False)
         sorted_payload = res[1:]
@@ -556,6 +564,17 @@ def bin_packed_words(
     )
     counts_pad = jnp.concatenate([counts, jnp.zeros((1,), counts.dtype)])
     block_count = jnp.where(is_real, counts_pad[tile_ix], 0)
+
+    # tile-major kernel tables (ops.tile_blend.pallas_blend_tiles_tm):
+    # nonempty tiles compacted in tile order — one grid step per tile, the
+    # kernel streams its consecutive windows itself.  T-scale gathers (~8k)
+    # are fine; it is PAIR-scale gathers that are forbidden.
+    tile_ids = jax.lax.broadcasted_iota(jnp.int32, (num_tiles, 1), 0)[:, 0]
+    nz = counts > 0
+    tile_list = jax.lax.sort(jnp.where(nz, tile_ids, num_tiles))
+    safe = jnp.minimum(tile_list, num_tiles - 1)
+    real = tile_list < num_tiles
+    t_win0 = jnp.where(real, start_units[safe], 0)
     return {
         "pair_w": pair_w,
         "offsets": offsets,
@@ -567,4 +586,10 @@ def bin_packed_words(
         "block_window": block_window,
         "block_local0": block_local0,
         "block_count": block_count,
+        "tile_list": tile_list,
+        "tile_win0": t_win0,
+        "tile_nwin": jnp.where(real, blocks_per_tile[safe], 0),
+        "tile_local0": jnp.where(real, t_win0 * block - offsets[safe], 0),
+        "tile_count": jnp.where(real, counts[safe], 0),
+        "tiles_used": jnp.sum(nz.astype(jnp.int32)),
     }

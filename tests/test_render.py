@@ -452,6 +452,39 @@ class TestPallasInterpret:
                                   interpret=True)
         np.testing.assert_allclose(full, ref, atol=1e-6)
 
+    def test_tile_major_kernel_matches_flat(self, rng):
+        """kernel="tile" (grid-per-nonempty-tile, manual double-buffered DMA)
+        must render bit-identically to the flat grid-per-window kernel, and
+        its capacity protocol must render beyond-class tiles EMPTY."""
+        from splat_renderer_tpu.render.binning import bin_splats_packed
+        from splat_renderer_tpu.render.packing import quantize_screen_data
+        from splat_renderer_tpu.ops.tile_blend import render_tiles_pallas
+
+        cfg = RenderConfig(width=48, height=32, tiles_per_splat_cap=16)
+        data = quantize_screen_data(
+            _random_screen_splats(rng, 60, cfg, r_lo=1.0, r_hi=8.0), cfg
+        )
+        st = bin_splats_packed(data, cfg, block=1024)
+        img_flat = render_tiles_pallas(data, st, cfg, block=1024, eps=0.0,
+                                       interpret=True)
+        img_tile = render_tiles_pallas(data, st, cfg, block=1024, eps=0.0,
+                                       interpret=True, kernel="tile")
+        np.testing.assert_array_equal(np.asarray(img_tile), np.asarray(img_flat))
+        # capacity: a class smaller than tiles_used is safe + flagged
+        used = int(st["tiles_used"])
+        small, stats = render_tiles_pallas(
+            data, st, cfg, block=1024, eps=0.0, interpret=True, kernel="tile",
+            max_blocks=max(used // 2, 1), return_stats=True,
+        )
+        assert bool(stats["overflow"])
+        assert np.all(np.isfinite(np.asarray(small)))
+        exact, stats3 = render_tiles_pallas(
+            data, st, cfg, block=1024, eps=0.0, interpret=True, kernel="tile",
+            max_blocks=used, return_stats=True,
+        )
+        assert not bool(stats3["overflow"])
+        np.testing.assert_array_equal(np.asarray(exact), np.asarray(img_flat))
+
     def test_early_exit_close_to_exact(self, rng):
         from splat_renderer_tpu.render.binning import bin_splats_packed
         from splat_renderer_tpu.render.packing import quantize_screen_data
@@ -593,6 +626,24 @@ class TestTwoWordLayout:
             np.testing.assert_array_equal(words["w_ro"], w1)
             np.testing.assert_array_equal(words["w_rgb"], w2)
             np.testing.assert_array_equal(words["dk"], depth_bits(recs[:, 7]))
+
+    def test_fast_profile_is_exact_below_coarsening_scale(self, rng):
+        """cfg.fast_math only coarsens the pair-sort rank when tile_bits +
+        rank_bits exceed 32 (>= ~2^19 records at 1080p); below that scale the
+        flag must be a no-op bit-for-bit.  (The bench measures the engaged
+        case on TPU: frame_ms_fast.)"""
+        from splat_renderer_tpu.render.binning import bin_splats_packed
+        from splat_renderer_tpu.ops.tile_blend import render_tiles_pallas
+
+        cfg = self.CFG4.replace(fast_math=True)
+        data = self._capped_data(rng, 250, cfg)
+        st = bin_splats_packed(data, cfg, block=1024)
+        img_f = render_tiles_pallas(data, st, cfg, block=1024, eps=0.0,
+                                    interpret=True)
+        st_e = bin_splats_packed(data, cfg.replace(fast_math=False), block=1024)
+        img_e = render_tiles_pallas(data, st_e, cfg.replace(fast_math=False),
+                                    block=1024, eps=0.0, interpret=True)
+        np.testing.assert_array_equal(np.asarray(img_f), np.asarray(img_e))
 
     def test_bit_equal_depth_ties_agree(self, rng):
         """Canonical order is (depth_bits, input index): records at bit-equal
