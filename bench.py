@@ -76,16 +76,21 @@ def main() -> None:
     model_j = jax.jit(lambda p, k: model_points(scene, p, k, N_SPLATS, pcfg, rcfg))
     t_model, splats = time_fn(model_j, params, key, warmup=2, iters=5)
 
-    project_j = jax.jit(lambda s, c: splat_screen_data(s, c, rcfg))
-    t_project, data = time_fn(project_j, splats, camera, warmup=2, iters=5)
+    # the Pallas frame's actual projection stage: plane SoA -> packed words
+    from splat_renderer_tpu.render.projector import project_planes, splat_screen_words
+
+    project_j = jax.jit(
+        lambda s, c: splat_screen_words(s, c["view_proj"], c["cam_pos"], rcfg)
+    )
+    t_project, _ = time_fn(project_j, splats, camera, warmup=2, iters=5)
+    data = jax.jit(lambda s, c: splat_screen_data(s, c, rcfg))(splats, camera)
 
     # radius-cap stats (the capacity clamp the reference merely warns about,
     # src/GPUTileBinner.ts:265-281)
-    from splat_renderer_tpu.render.projector import project_splats
-
     proj = jax.jit(
-        lambda s, c: project_splats(
-            c["view_proj"], c["cam_pos"], s["position"], s["radius"], rcfg
+        lambda s, c: project_planes(
+            c["view_proj"], c["cam_pos"], s["px"], s["py"], s["pz"],
+            s["radius"], rcfg,
         )
     )(splats, camera)
     kcap = max(int(rcfg.tiles_per_splat_cap**0.5), 2)
@@ -265,6 +270,13 @@ def main() -> None:
     surf_j = jax.jit(surface)
     t_surf, _ = time_fn(surf_j, params, camera, key, warmup=2, iters=5)
 
+    # fixed per-dispatch launch overhead of this transport (a trivial jit):
+    # all single-dispatch numbers above include it additively; the scan/
+    # multi-view sequence metrics amortize it (utils/timing.py caveat)
+    t_disp, _ = time_fn(
+        jax.jit(lambda v: v + 1.0), jnp.ones((8, 128)), warmup=3, iters=20
+    )
+
     fps = 1.0 / t_full
     result = {
         "metric": "fps_1080p_1m_splats",
@@ -293,6 +305,7 @@ def main() -> None:
         "blend_capacity_class": mb,
         "radius_clamped_frac": round(clamp_frac, 5),
         "radius_raw_max_px": round(r_raw_max, 2),
+        "dispatch_overhead_ms": round(t_disp * 1e3, 3),
         "n_splats": N_SPLATS,
         "resolution": f"{WIDTH}x{HEIGHT}",
         "device": str(jax.devices()[0]),

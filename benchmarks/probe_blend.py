@@ -23,7 +23,7 @@ from splat_renderer_tpu.config import PointConfig, RenderConfig
 from splat_renderer_tpu.ops.tile_blend import render_tiles_pallas
 from splat_renderer_tpu.render.binning import bin_packed_words
 from splat_renderer_tpu.render.pipeline import model_points
-from splat_renderer_tpu.render.projector import project_splats, splat_screen_words
+from splat_renderer_tpu.render.projector import splat_screen_words
 from splat_renderer_tpu.utils.timing import time_fn
 
 N = 1_000_000
@@ -43,13 +43,7 @@ def main():
     )(scene.params(), jax.random.PRNGKey(0))
 
     words = jax.jit(
-        lambda s, c: splat_screen_words(
-            project_splats(c["view_proj"], c["cam_pos"], s["position"],
-                           s["radius"], rcfg),
-            s["color"], s["opacity"], s["normal"], rcfg,
-            view_proj=c["view_proj"], cam_pos=c["cam_pos"],
-            positions=s["position"], radii=s["radius"],
-        )
+        lambda s, c: splat_screen_words(s, c["view_proj"], c["cam_pos"], rcfg)
     )(splats, camera)
 
     # ---- bin sub-stages ----

@@ -16,7 +16,7 @@ from splat_renderer_tpu.config import PointConfig, RenderConfig
 from splat_renderer_tpu.ops.tile_blend import render_tiles_pallas
 from splat_renderer_tpu.render.binning import bin_packed_words
 from splat_renderer_tpu.render.pipeline import model_points, render_splats
-from splat_renderer_tpu.render.projector import project_splats, splat_screen_words
+from splat_renderer_tpu.render.projector import splat_screen_words
 from splat_renderer_tpu.utils.timing import time_fn
 
 N = 1_000_000
@@ -35,12 +35,7 @@ splats = jax.jit(
 
 
 def words_fn(s, c):
-    proj = project_splats(c["view_proj"], c["cam_pos"], s["position"], s["radius"], rcfg)
-    return splat_screen_words(
-        proj, s["color"], s["opacity"], s["normal"], rcfg,
-        view_proj=c["view_proj"], cam_pos=c["cam_pos"],
-        positions=s["position"], radii=s["radius"],
-    )
+    return splat_screen_words(s, c["view_proj"], c["cam_pos"], rcfg)
 
 t_w, words = time_fn(jax.jit(words_fn), splats, camera, warmup=2, iters=5)
 

@@ -58,7 +58,11 @@ from ..config import RenderConfig
 from ..render.binning import Binned, bin_splats_packed
 from ..render.blend import ellipse_cos_sin
 from ..render.compositor import tiles_to_image
-from ..render.packing import ANGLE_SCALE, COLOR_SCALE, RATIO_SCALE
+from ..render.packing import (
+    INV_ANGLE_SCALE,
+    INV_COLOR_SCALE,
+    INV_RATIO_SCALE,
+)
 
 PI = math.pi
 
@@ -128,9 +132,10 @@ def _blend_window(cfg, spec, eps, sat_every, w_all, acc_ref, local0, cnt, px, py
 
             if spec is None:
                 w_ro = tw_ro[:, g : g + 1]
-                cx = u2f(w_pos & 0xFFFF) / pos_scale - pos_offset
-                cy = u2f(w_pos >> 16) / pos_scale - pos_offset
-                r = u2f(w_ro & 0xFFFF) / pos_scale
+                # dequant by MULTIPLY only (packing.py INV_* rationale)
+                cx = u2f(w_pos & 0xFFFF) * inv_ps - pos_offset
+                cy = u2f(w_pos >> 16) * inv_ps - pos_offset
+                r = u2f(w_ro & 0xFFFF) * inv_ps
             else:
                 # tile-relative fields: the same grid points as the global
                 # path shifted by the tile's padded origin, so dx/dy below
@@ -138,7 +143,7 @@ def _blend_window(cfg, spec, eps, sat_every, w_all, acc_ref, local0, cnt, px, py
                 cx = u2f((w_pos >> 10) & 0x7FF) * inv_ps
                 cy = u2f(w_pos >> 21) * inv_ps
                 r = u2f(w_pos & 0x3FF) * inv_ps
-            op = u2f(w_rgb >> 24) / COLOR_SCALE
+            op = u2f(w_rgb >> 24) * INV_COLOR_SCALE
             # fold the run mask and the min-radius cull into the (128, 1)
             # opacity column — record-scale, not panel-scale
             local = g_lo + row
@@ -150,27 +155,35 @@ def _blend_window(cfg, spec, eps, sat_every, w_all, acc_ref, local0, cnt, px, py
 
             dx = px - cx  # (128, tp)
             dy = py - cy
+            # The support-cutoff comparison must be ALL-MULTIPLY — divides /
+            # reciprocals lower with different ulps in Mosaic vs XLA and flip
+            # hard-cutoff pixels (blend.splat_alpha has the full story); the
+            # divide survives only inside the exp argument.  Op sequence must
+            # stay bit-identical to blend.splat_alpha.
             if cfg.oriented:
                 # distance in the splat's screen-ellipse frame;
                 # fixed-polynomial trig shared with blend.splat_alpha
-                # (backend cos/sin ulps flip hard-cutoff pixels)
-                ang = u2f((w_ro >> 16) & 0xFF) / ANGLE_SCALE - PI
-                ratio = jnp.maximum(u2f(w_ro >> 24) / RATIO_SCALE, 1e-3)
+                ang = u2f((w_ro >> 16) & 0xFF) * INV_ANGLE_SCALE - PI
+                ratio = jnp.maximum(u2f(w_ro >> 24) * INV_RATIO_SCALE, 1e-3)
                 ca, sa = ellipse_cos_sin(ang)
-                du = (ca * dx + sa * dy) / ratio
-                dv = -sa * dx + ca * dy
-                d2 = du * du + dv * dv
+                u = ca * dx + sa * dy
+                vr = (-sa * dx + ca * dy) * ratio
+                d2 = u * u + vr * vr
+                scale = r * ratio
             else:
                 d2 = dx * dx + dy * dy
-            inv_r2 = 1.0 / jnp.maximum(r * r, 1e-12)
-            nd2 = d2 * inv_r2
+                scale = r
+            scale2 = scale * scale
+            nd2 = d2 / jnp.maximum(scale2, 1e-12)  # exp argument only
             if cfg.opaque:
                 # z-buffer semantics: nearest covering splat wins exactly
                 # (front-to-back + alpha 1), src/Renderer.ts:189-201
-                shape = jnp.where(nd2 <= 1.0, 1.0, 0.0)
+                shape = jnp.where(d2 <= scale2, 1.0, 0.0)
             else:
                 # disc support cutoff at bounds_margin * r (blend.py)
-                shape = jnp.where(nd2 <= margin2, jnp.exp(-inv_2sigma2 * nd2), 0.0)
+                shape = jnp.where(
+                    d2 <= margin2 * scale2, jnp.exp(-inv_2sigma2 * nd2), 0.0
+                )
             alpha = op * shape  # (128, tp)
 
             q = 1.0 - alpha
@@ -190,7 +203,7 @@ def _blend_window(cfg, spec, eps, sat_every, w_all, acc_ref, local0, cnt, px, py
                     u2f((w_rgb >> 16) & 0xFF),
                 ],
                 axis=1,
-            ) * (1.0 / COLOR_SCALE)  # (128, 3)
+            ) * INV_COLOR_SCALE  # (128, 3)
             contrib = jax.lax.dot_general(
                 rgb,
                 weight,
@@ -542,7 +555,7 @@ def render_tiles_pallas(
     """Drop-in replacement for render/compositor.render_tiles on TPU.
 
     `splat_data_quantized` is the UNSORTED (N, 10) output of
-    projector.pack_splat_screen_data (already on the quantization grids);
+    projector.splat_screen_records (already on the quantization grids);
     `binned` must come from bin_splats_packed(splat_data_quantized, cfg,
     block), or pass None to compute it here.
 

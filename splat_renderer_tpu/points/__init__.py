@@ -1,6 +1,15 @@
 from .curvature import curvature_probe
 from .projection import project_step, project_to_surface
-from .properties import Splats, default_splats, derive_splats, num_splats
+from .properties import (
+    Splats,
+    default_splats,
+    derive_splats,
+    num_splats,
+    splat_colors,
+    splat_normals,
+    splat_positions,
+    splats_from_aos,
+)
 from .seeding import point_count, seed_points, seed_scene_points
 
 __all__ = [
@@ -14,4 +23,8 @@ __all__ = [
     "project_to_surface",
     "seed_points",
     "seed_scene_points",
+    "splat_colors",
+    "splat_normals",
+    "splat_positions",
+    "splats_from_aos",
 ]

@@ -20,7 +20,13 @@ from .pipeline import (
     render_splats,
     splat_screen_data,
 )
-from .projector import pack_splat_screen_data, project_splats
+from .projector import (
+    project_planes,
+    project_splats,
+    screen_planes,
+    splat_screen_records,
+    splat_screen_words,
+)
 
 __all__ = [
     "Engine",
@@ -29,9 +35,12 @@ __all__ = [
     "depth_sort",
     "model_points",
     "over_merge",
-    "pack_splat_screen_data",
     "pixel_grid",
+    "project_planes",
     "project_splats",
+    "screen_planes",
+    "splat_screen_records",
+    "splat_screen_words",
     "render_frame",
     "render_oracle",
     "render_splats",

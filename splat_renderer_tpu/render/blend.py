@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from ..config import RenderConfig
 
-# splat screen-data record layout (see projector.pack_splat_screen_data):
+# splat screen-data record layout (see projector.splat_screen_records):
 # [0] center x  [1] center y  [2] screen radius (major axis)  [3] opacity
 # [4:7] lit rgb [7] depth  [8] ellipse angle (rad)  [9] minor/major ratio
 DATA_DIM = 10
@@ -100,17 +100,29 @@ def splat_alpha(
     delta = pix - center
     big_enough = radius >= cfg.min_screen_radius
 
+    # The hard support cutoff below must decide IDENTICALLY in every
+    # compositor (XLA-CPU, XLA-TPU, Mosaic).  Mul/add chains lower
+    # bit-identically across those backends (the round-2 polynomial-trig fix
+    # proved this); DIVIDES / RECIPROCALS do NOT — Mosaic's divide differs by
+    # ulps, and one ulp across the cutoff flips a pixel's alpha by up to
+    # ~opacity*exp(-margin^2/(2 sigma^2)) (measured 5.5e-4 image diffs,
+    # round-2 parity gate).  So the CUTOFF COMPARISON is all-multiply
+    # (dist2 <= margin2 * scale2); the division survives only inside the
+    # exp() argument, where an ulp perturbs alpha by ~1e-7.
     if cfg.oriented:
         angle = data[..., 8]
         ratio = jnp.maximum(data[..., 9], 1e-3)
-        # same fixed-polynomial trig as the Pallas kernel — the hard support
-        # cutoff demands bit-identical arithmetic across compositors
+        # same fixed-polynomial trig as the Pallas kernel
         ca, sa = ellipse_cos_sin(angle)
         # foreshortening acts ALONG the angle direction (the surface normal's
-        # screen projection): that component is divided by the minor/major ratio
-        du = (ca * delta[..., 0] + sa * delta[..., 1]) / ratio
-        dv = -sa * delta[..., 0] + ca * delta[..., 1]
-        dist2 = du * du + dv * dv
+        # screen projection): that component is divided by the minor/major
+        # ratio.  Multiplying the whole metric through by ratio^2 keeps the
+        # cutoff divide-free: (u/ratio)^2 + v^2 <= m^2 r^2 <=>
+        # u^2 + (v ratio)^2 <= m^2 (r ratio)^2.
+        u = ca * delta[..., 0] + sa * delta[..., 1]
+        vr = (-sa * delta[..., 0] + ca * delta[..., 1]) * ratio
+        dist2 = u * u + vr * vr
+        scale = radius * ratio
     else:
         # isotropic path: NO rotation, even though the quantized angle grid
         # has no exact zero (angle 0 quantizes to pi/255) — a rotated distance
@@ -118,21 +130,24 @@ def splat_alpha(
         # hard cutoff below (measured 0.015 diffs on-TPU, round 2).  Must stay
         # the exact op sequence of the kernel's isotropic branch.
         dist2 = delta[..., 0] * delta[..., 0] + delta[..., 1] * delta[..., 1]
+        scale = radius
 
-    safe_r2 = jnp.maximum(radius * radius, 1e-12)
-    nd2 = dist2 / safe_r2
+    scale2 = scale * scale
+    nd2 = dist2 / jnp.maximum(scale2, 1e-12)  # exp argument only
     # Support cutoff: the reference tests the padded bounds BOX (1.5r,
     # src/ComputeShaderRenderer.ts:117-121); we cut at the inscribed DISC of
     # the same 1.5r support — the dropped box corners carry alpha <=
-    # exp(-0.5*(1.5*sqrt(2)/sigma)^2) ~ 1e-4, and a single nd2 compare
-    # replaces four abs/compare lanes in the hot kernel.  Applied uniformly
-    # (oracle included), so parity is exact.
+    # exp(-0.5*(1.5*sqrt(2)/sigma)^2) ~ 1e-4, and a single compare replaces
+    # four abs/compare lanes in the hot kernel.  Applied uniformly (oracle
+    # included), so parity is exact.
     margin2 = cfg.bounds_margin * cfg.bounds_margin
     if cfg.opaque:
-        shape = jnp.where(nd2 <= 1.0, 1.0, 0.0)
+        shape = jnp.where(dist2 <= scale2, 1.0, 0.0)
     else:
         shape = jnp.where(
-            nd2 <= margin2, jnp.exp(-0.5 * nd2 / (cfg.sigma * cfg.sigma)), 0.0
+            dist2 <= margin2 * scale2,
+            jnp.exp(-0.5 * nd2 / (cfg.sigma * cfg.sigma)),
+            0.0,
         )
     return jnp.where(big_enough, opacity * shape, 0.0)
 

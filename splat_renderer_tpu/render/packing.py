@@ -39,6 +39,15 @@ POS_MAX = 65535.0
 COLOR_SCALE = 255.0
 ANGLE_SCALE = 255.0 / (2.0 * math.pi)  # angle+pi -> [0, 255]
 RATIO_SCALE = 255.0
+# Dequantization uses MULTIPLY by these reciprocal constants, never a divide:
+# Mosaic's and XLA's divides round differently by ulps, and any dequant ulp
+# that reaches the hard support cutoff flips pixels between compositors
+# (round-2 parity gate).  Multiplies by an identical f32 constant are
+# bit-identical across backends.  (Position grids are power-of-two scales,
+# where divide would be exact anyway — unified on multiply for uniformity.)
+INV_COLOR_SCALE = 1.0 / 255.0
+INV_ANGLE_SCALE = 2.0 * math.pi / 255.0
+INV_RATIO_SCALE = 1.0 / 255.0
 
 
 def quantize_screen_data(data: jnp.ndarray, cfg: RenderConfig) -> jnp.ndarray:
@@ -56,18 +65,19 @@ def quantize_screen_data(data: jnp.ndarray, cfg: RenderConfig) -> jnp.ndarray:
     rgb = jnp.round(jnp.clip(data[:, 4:7], 0.0, 1.0) * COLOR_SCALE)
     ang = jnp.round((data[:, 8] + math.pi) * ANGLE_SCALE) % 256.0
     ratio = jnp.round(jnp.clip(data[:, 9], 1.0 / RATIO_SCALE, 1.0) * RATIO_SCALE)
+    inv_ps = 1.0 / ps
     return jnp.stack(
         [
-            cx / ps - po,
-            cy / ps - po,
-            r / ps,
-            op / COLOR_SCALE,
-            rgb[:, 0] / COLOR_SCALE,
-            rgb[:, 1] / COLOR_SCALE,
-            rgb[:, 2] / COLOR_SCALE,
+            cx * inv_ps - po,
+            cy * inv_ps - po,
+            r * inv_ps,
+            op * INV_COLOR_SCALE,
+            rgb[:, 0] * INV_COLOR_SCALE,
+            rgb[:, 1] * INV_COLOR_SCALE,
+            rgb[:, 2] * INV_COLOR_SCALE,
             data[:, 7],
-            ang / ANGLE_SCALE - math.pi,
-            ratio / RATIO_SCALE,
+            ang * INV_ANGLE_SCALE - math.pi,
+            ratio * INV_RATIO_SCALE,
         ],
         axis=-1,
     )
@@ -116,13 +126,14 @@ def unpack_words(
     Returns (cx, cy, radius, opacity, r, g, b, angle, ratio) f32 —
     bit-identical to the quantized f32 values."""
     ps, po = cfg.pos_scale, cfg.pos_offset
-    cx = (w_pos & 0xFFFF).astype(jnp.float32) / ps - po
-    cy = (w_pos >> 16).astype(jnp.float32) / ps - po
-    r = (w_ro & 0xFFFF).astype(jnp.float32) / ps
-    ang = ((w_ro >> 16) & 0xFF).astype(jnp.float32) / ANGLE_SCALE - math.pi
-    ratio = (w_ro >> 24).astype(jnp.float32) / RATIO_SCALE
-    cr = (w_rgb & 0xFF).astype(jnp.float32) / COLOR_SCALE
-    cg = ((w_rgb >> 8) & 0xFF).astype(jnp.float32) / COLOR_SCALE
-    cb = ((w_rgb >> 16) & 0xFF).astype(jnp.float32) / COLOR_SCALE
-    op = (w_rgb >> 24).astype(jnp.float32) / COLOR_SCALE
+    inv_ps = 1.0 / ps
+    cx = (w_pos & 0xFFFF).astype(jnp.float32) * inv_ps - po
+    cy = (w_pos >> 16).astype(jnp.float32) * inv_ps - po
+    r = (w_ro & 0xFFFF).astype(jnp.float32) * inv_ps
+    ang = ((w_ro >> 16) & 0xFF).astype(jnp.float32) * INV_ANGLE_SCALE - math.pi
+    ratio = (w_ro >> 24).astype(jnp.float32) * INV_RATIO_SCALE
+    cr = (w_rgb & 0xFF).astype(jnp.float32) * INV_COLOR_SCALE
+    cg = ((w_rgb >> 8) & 0xFF).astype(jnp.float32) * INV_COLOR_SCALE
+    cb = ((w_rgb >> 16) & 0xFF).astype(jnp.float32) * INV_COLOR_SCALE
+    op = (w_rgb >> 24).astype(jnp.float32) * INV_COLOR_SCALE
     return cx, cy, r, op, cr, cg, cb, ang, ratio

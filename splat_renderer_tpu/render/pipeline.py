@@ -34,7 +34,7 @@ from ..sdf.scene import Params, SDFScene
 from .binning import bin_splats, canonical_sort_data
 from .compositor import render_tiles
 from .oracle import render_oracle
-from .projector import pack_splat_screen_data, project_splats
+from .projector import splat_screen_records
 
 CameraArrays = Dict[str, jnp.ndarray]
 
@@ -59,19 +59,8 @@ def splat_screen_data(
     splats: Splats, camera: CameraArrays, rcfg: RenderConfig
 ) -> jnp.ndarray:
     """Project + light + pack into the (N, 10) render record (depth-unsorted)."""
-    proj = project_splats(
-        camera["view_proj"], camera["cam_pos"], splats["position"], splats["radius"], rcfg
-    )
-    return pack_splat_screen_data(
-        proj,
-        splats["color"],
-        splats["opacity"],
-        splats["normal"],
-        rcfg,
-        view_proj=camera["view_proj"],
-        cam_pos=camera["cam_pos"],
-        positions=splats["position"],
-        radii=splats["radius"],
+    return splat_screen_records(
+        splats, camera["view_proj"], camera["cam_pos"], rcfg
     )
 
 
@@ -107,17 +96,12 @@ def render_splats(
         from .binning import bin_packed_words
         from .projector import splat_screen_words
 
-        # SoA fast path: projection -> packed u32 words -> rank-keyed pair
-        # sort, never materializing the (N, 10) record array (the stack /
-        # re-slice relayouts cost ~2 ms/frame at 1M splats)
-        proj = project_splats(
-            camera["view_proj"], camera["cam_pos"],
-            splats["position"], splats["radius"], rcfg,
-        )
+        # SoA fast path: plane projection -> packed u32 words -> rank-keyed
+        # pair sort; neither the (N, 10) record array nor any (N, 3)
+        # intermediate is ever materialized (lane-padding/relayout costs
+        # measured in benchmarks/probe_project.py)
         words = splat_screen_words(
-            proj, splats["color"], splats["opacity"], splats["normal"], rcfg,
-            view_proj=camera["view_proj"], cam_pos=camera["cam_pos"],
-            positions=splats["position"], radii=splats["radius"],
+            splats, camera["view_proj"], camera["cam_pos"], rcfg
         )
         binned = bin_packed_words(
             words["dk"], words["w_pos"], words["w_ro"], words["w_rgb"],

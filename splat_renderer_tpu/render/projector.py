@@ -1,70 +1,69 @@
 """Splat projection: world space -> screen space, depth, radius, bounds.
 
 Counterpart of src/SplatProjector.ts:34-133 (one WGSL thread per splat); here
-each field is computed for the whole (N,) batch with one batched 4x4 matmul —
-exactly the shape the MXU/VPU want.
+each field is computed for the whole (N,) batch as full-lane elementwise
+plane math.
 
-Output is a structure-of-arrays dict instead of the reference's packed
+TPU layout note (measured, benchmarks/probe_project.py): (N, 3)/(N, 4)
+intermediates are lane-padded toward the 128-lane tile, so the obvious
+"hom @ view_proj.T" formulation moves ~40x the useful bytes — column slices
+of a (1M, 3) array alone cost 3.06 ms, more than the whole stage's budget.
+Everything here therefore runs on (N,) PLANES (points/properties.py): the
+4x4 matrix contributes 16 scalars, the "matmul" is 12 fused multiply-adds.
+After the planes rewrite the stage is ~6x faster (3.7 -> 0.6 ms @1M, v5e).
+
+Output is a structure-of-planes dict instead of the reference's packed
 32-byte ProjectedSplat record; the two conflicting layouts noted in SURVEY.md
 section 2.4 item 2 collapse into named fields.
 """
 
 from __future__ import annotations
 
+import math as _math
 from typing import Dict
 
 import jax.numpy as jnp
 
 from ..config import RenderConfig
+from ..points.properties import Splats
 
 Projected = Dict[str, jnp.ndarray]
 
 
-def _to_screen(
-    world: jnp.ndarray, view_proj: jnp.ndarray, width: int, height: int
-) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Project (..., 3) world points to (..., 2) pixel coordinates.
-
-    NDC -> screen mapping per src/SplatProjector.ts:85-89 (y flipped).
-    Returns (screen_xy, clip_w).
-    """
-    hom = jnp.concatenate([world, jnp.ones_like(world[..., :1])], axis=-1)
-    clip = hom @ view_proj.T
-    w = clip[..., 3]
-    ndc = clip[..., :2] / jnp.where(jnp.abs(w) < 1e-8, 1e-8, w)[..., None]
-    sx = (ndc[..., 0] + 1.0) * 0.5 * width
-    sy = (1.0 - ndc[..., 1]) * 0.5 * height
-    return jnp.stack([sx, sy], axis=-1), w
-
-
-def project_splats(
+def project_planes(
     view_proj: jnp.ndarray,  # (4, 4)
     cam_pos: jnp.ndarray,  # (3,)
-    positions: jnp.ndarray,  # (N, 3)
+    px: jnp.ndarray,  # (N,)
+    py: jnp.ndarray,  # (N,)
+    pz: jnp.ndarray,  # (N,)
     radii: jnp.ndarray,  # (N,)
     cfg: RenderConfig,
 ) -> Projected:
-    """Project all splats; returns dict with:
+    """Project all splats; returns a dict of (N,) planes:
 
-    - center (N, 2): screen-space splat center
-    - depth (N,): camera-space distance (src/SplatProjector.ts:77)
-    - radius (N,): max screen-space radius over 6 axial offsets (:91-113)
-    - bounds_min / bounds_max (N, 2): center +- margin*radius (:115-121)
-    - valid (N,): in front of the camera.  The reference never culls; without
+    - cx, cy: screen-space splat center (pixels)
+    - depth: camera-space distance (src/SplatProjector.ts:77)
+    - radius: max screen-space radius over 6 axial offsets (:91-113),
+      capped so the padded footprint fits cfg.tiles_per_splat_cap tiles
+    - radius_raw: pre-cap radius (for clamp statistics)
+    - valid: in front of the camera.  The reference never culls; without
       a near-plane test a splat behind the eye would projectively wrap.  We
-      mark it invalid (divergence documented; invalid splats get depth=inf and
-      are dropped by binning).
+      mark it invalid (divergence documented; invalid splats get depth=inf
+      and are dropped by binning).
+    - clip0..clip3: the center's clip coordinates (reused by the oriented
+      appearance path)
     """
-    hom = jnp.concatenate([positions, jnp.ones_like(positions[..., :1])], axis=-1)
-    clip = hom @ view_proj.T  # (N, 4)
-    w_center = clip[:, 3]
+    vp = view_proj
+    clip = [vp[j, 0] * px + vp[j, 1] * py + vp[j, 2] * pz + vp[j, 3]
+            for j in range(4)]
+    w_center = clip[3]
     safe_w = jnp.where(jnp.abs(w_center) < 1e-8, 1e-8, w_center)
-    half = jnp.array([0.5 * cfg.width, 0.5 * cfg.height], positions.dtype)
-    ndc = clip[:, :2] / safe_w[:, None]
-    center = jnp.stack(
-        [(ndc[:, 0] + 1.0) * half[0], (1.0 - ndc[:, 1]) * half[1]], axis=-1
-    )
-    depth = jnp.linalg.norm(positions - cam_pos, axis=-1)
+    half_w = 0.5 * cfg.width
+    half_h = 0.5 * cfg.height
+    cx = (clip[0] / safe_w + 1.0) * half_w
+    cy = (1.0 - clip[1] / safe_w) * half_h
+    dx, dy, dz = px - cam_pos[0], py - cam_pos[1], pz - cam_pos[2]
+    depth = jnp.sqrt(dx * dx + dy * dy + dz * dz)
 
     # 6 axial offsets (+-r along each world axis): their clip coordinates are
     # clip_center +- r * VP_column, so no extra matmuls or an (N, 6, 3)
@@ -73,18 +72,19 @@ def project_splats(
     screen_radius = jnp.zeros_like(depth)
     valid = w_center > 1e-6
     for axis in range(3):
-        col = view_proj[:, axis]  # clip-space delta per unit world axis step
+        col = vp[:, axis]  # clip-space delta per unit world axis step
         for sign in (1.0, -1.0):
-            c = clip + (sign * radii)[:, None] * col[None, :]
-            wp = c[:, 3]
+            sr = sign * radii
+            wp = clip[3] + sr * col[3]
             valid = valid & (wp > 1e-6)
-            safe_wp = jnp.where(jnp.abs(wp) < 1e-8, 1e-8, wp)
-            nx = c[:, 0] / safe_wp
-            ny = c[:, 1] / safe_wp
-            sx = (nx + 1.0) * half[0]
-            sy = (1.0 - ny) * half[1]
-            d = jnp.sqrt((sx - center[:, 0]) ** 2 + (sy - center[:, 1]) ** 2)
-            screen_radius = jnp.maximum(screen_radius, d)
+            swp = jnp.where(jnp.abs(wp) < 1e-8, 1e-8, wp)
+            sx = ((clip[0] + sr * col[0]) / swp + 1.0) * half_w
+            sy = (1.0 - (clip[1] + sr * col[1]) / swp) * half_h
+            ddx = sx - cx
+            ddy = sy - cy
+            screen_radius = jnp.maximum(
+                screen_radius, jnp.sqrt(ddx * ddx + ddy * ddy)
+            )
     # Cap the screen radius so the padded bounds box always fits inside
     # tiles_per_splat_cap tiles: bbox side 2*margin*r spans at most
     # floor(sqrt(cap)) tiles when r <= (k-1)*tile_size / (2*margin).
@@ -99,154 +99,139 @@ def project_splats(
     screen_radius = jnp.minimum(screen_radius, r_max)
     screen_radius = jnp.where(valid, screen_radius, 0.0)
     depth = jnp.where(valid, depth, jnp.inf)
-
-    padded = screen_radius * cfg.bounds_margin
     return {
-        "center": center,
+        "cx": cx,
+        "cy": cy,
         "depth": depth,
         "radius": screen_radius,
         "radius_raw": radius_raw,
-        "bounds_min": center - padded[:, None],
-        "bounds_max": center + padded[:, None],
         "valid": valid,
+        "clip0": clip[0],
+        "clip1": clip[1],
+        "clip3": clip[3],
     }
 
 
-def _screen_columns(
-    projected: Projected,
-    color: jnp.ndarray,  # (N, 3)
-    opacity: jnp.ndarray,  # (N,)
-    normals: jnp.ndarray,  # (N, 3)
+def project_splats(
+    view_proj: jnp.ndarray,  # (4, 4)
+    cam_pos: jnp.ndarray,  # (3,)
+    positions: jnp.ndarray,  # (N, 3)
+    radii: jnp.ndarray,  # (N,)
     cfg: RenderConfig,
-    view_proj: jnp.ndarray | None = None,  # (4, 4), required if cfg.oriented
-    cam_pos: jnp.ndarray | None = None,  # (3,)
-    positions: jnp.ndarray | None = None,  # (N, 3) world positions
-    radii: jnp.ndarray | None = None,  # (N,) world radii
-) -> Dict[str, jnp.ndarray]:
-    """Appearance + fixed-point quantization, structure-of-arrays.
+) -> Projected:
+    """AoS-compatibility wrapper over project_planes for (N, 3) positions:
+    returns the round-1 dict shape (center (N, 2), bounds_min/max (N, 2), ...).
+    Test/diagnostic API — the render path uses project_planes directly."""
+    p = project_planes(
+        view_proj, cam_pos,
+        positions[:, 0], positions[:, 1], positions[:, 2], radii, cfg,
+    )
+    center = jnp.stack([p["cx"], p["cy"]], axis=-1)
+    padded = (p["radius"] * cfg.bounds_margin)[:, None]
+    return {
+        "center": center,
+        "depth": p["depth"],
+        "radius": p["radius"],
+        "radius_raw": p["radius_raw"],
+        "bounds_min": center - padded,
+        "bounds_max": center + padded,
+        "valid": p["valid"],
+    }
 
-    Returns the integer grid columns of the render record (render/packing.py
-    grids): cx_fx/cy_fx/r_fx (u32, 1/pos_scale px), op8/r8/g8/b8/ang8/ratio8
-    (u32, u8 grids) plus depth (f32).  Shared by the (N, 10) record builder
-    and the packed-words fast path; both therefore quantize identically.
+
+def screen_planes(
+    splats: Splats,
+    view_proj: jnp.ndarray,  # (4, 4)
+    cam_pos: jnp.ndarray,  # (3,)
+    cfg: RenderConfig,
+) -> Dict[str, jnp.ndarray]:
+    """Projection + appearance + fixed-point quantization, all (N,) planes.
+
+    THE single implementation both record paths share: returns the integer
+    grid columns of the render record (render/packing.py grids) — cx_fx /
+    cy_fx / r_fx (u32, 1/pos_scale px), op8/r8/g8/b8/ang8/ratio8 (u32, u8
+    grids) plus depth (f32).  The packed-words fast path and the (N, 10)
+    record builder both consume these, so they quantize identically
+    (bit-equality is test-asserted).
 
     Lighting: litColor = color * (ambient + diffuse * max(dot(n, L), 0))
     (src/ComputeShaderRenderer.ts:143-145) depends only on per-splat normals,
     so it moves out of the per-pixel loop entirely — the reference recomputes
     it per (pixel, splat) pair.
     """
-    import math as _math
-
     from .packing import ANGLE_SCALE, COLOR_SCALE, POS_MAX, RATIO_SCALE
 
-    light = jnp.asarray(cfg.light_dir, dtype=color.dtype)
-    light = light / jnp.linalg.norm(light)
-    diffuse = jnp.maximum(jnp.sum(normals * light, axis=-1), 0.0)
-    lit = color * (cfg.light_ambient + cfg.light_diffuse * diffuse)[:, None]
+    proj = project_planes(
+        view_proj, cam_pos,
+        splats["px"], splats["py"], splats["pz"], splats["radius"], cfg,
+    )
+    nx, ny, nz = splats["nx"], splats["ny"], splats["nz"]
 
-    n = normals.shape[0]
+    light = jnp.asarray(cfg.light_dir, dtype=nx.dtype)
+    light = light / jnp.linalg.norm(light)
+    diffuse = jnp.maximum(
+        nx * light[0] + ny * light[1] + nz * light[2], 0.0
+    )
+    lamb = cfg.light_ambient + cfg.light_diffuse * diffuse
+
     if cfg.oriented:
         # screen ellipse of a surface-oriented disc: minor axis along the
         # screen projection of the normal, minor/major = |n . view| —
         # a small-splat approximation of the reference's tangent-frame quads
         # (src/Renderer.ts:90-117), which foreshorten the same way
-        if view_proj is None or positions is None:
-            raise ValueError("oriented splats need view_proj/cam_pos/positions")
-        view_dir = positions - cam_pos
-        view_dir = view_dir / jnp.maximum(
-            jnp.linalg.norm(view_dir, axis=-1, keepdims=True), 1e-8
-        )
-        cos_view = jnp.sum(normals * view_dir, axis=-1)
-        tip = positions + (radii[:, None] if radii is not None else 0.01) * normals
-        tip_screen, _ = _to_screen(tip, view_proj, cfg.width, cfg.height)
-        n_screen = tip_screen - projected["center"]
-        angle = jnp.arctan2(n_screen[:, 1], n_screen[:, 0])
+        vx = splats["px"] - cam_pos[0]
+        vy = splats["py"] - cam_pos[1]
+        vz = splats["pz"] - cam_pos[2]
+        vn = jnp.maximum(jnp.sqrt(vx * vx + vy * vy + vz * vz), 1e-8)
+        cos_view = (nx * vx + ny * vy + nz * vz) / vn
+        # tip = position + radius * normal, projected with the same clip
+        # algebra as the 6-offset radius (clip_tip = clip + r*(VP @ n))
+        r = splats["radius"]
+        vp = view_proj
+        tc0 = proj["clip0"] + r * (vp[0, 0] * nx + vp[0, 1] * ny + vp[0, 2] * nz)
+        tc1 = proj["clip1"] + r * (vp[1, 0] * nx + vp[1, 1] * ny + vp[1, 2] * nz)
+        tc3 = proj["clip3"] + r * (vp[3, 0] * nx + vp[3, 1] * ny + vp[3, 2] * nz)
+        stw = jnp.where(jnp.abs(tc3) < 1e-8, 1e-8, tc3)
+        tip_x = (tc0 / stw + 1.0) * (0.5 * cfg.width)
+        tip_y = (1.0 - tc1 / stw) * (0.5 * cfg.height)
+        angle = jnp.arctan2(tip_y - proj["cy"], tip_x - proj["cx"])
         ratio = jnp.clip(jnp.abs(cos_view), 0.05, 1.0)
     else:
-        angle = jnp.zeros((n,), color.dtype)
-        ratio = jnp.ones((n,), color.dtype)
+        angle = jnp.zeros_like(nx)
+        ratio = jnp.ones_like(nx)
 
     ps, po = cfg.pos_scale, cfg.pos_offset
-    center = projected["center"]
     q = lambda v: jnp.round(jnp.clip((v + po) * ps, 0, POS_MAX)).astype(jnp.uint32)
+    c8 = lambda v: jnp.round(jnp.clip(v, 0.0, 1.0) * COLOR_SCALE).astype(jnp.uint32)
     return {
-        "cx_fx": q(center[:, 0]),
-        "cy_fx": q(center[:, 1]),
-        "r_fx": jnp.round(jnp.clip(projected["radius"] * ps, 0, POS_MAX)).astype(
+        "cx_fx": q(proj["cx"]),
+        "cy_fx": q(proj["cy"]),
+        "r_fx": jnp.round(jnp.clip(proj["radius"] * ps, 0, POS_MAX)).astype(
             jnp.uint32
         ),
-        "op8": jnp.round(jnp.clip(opacity, 0.0, 1.0) * COLOR_SCALE).astype(
-            jnp.uint32
-        ),
-        "rgb8": jnp.round(jnp.clip(lit, 0.0, 1.0) * COLOR_SCALE).astype(jnp.uint32),
+        "op8": c8(splats["opacity"]),
+        "r8": c8(splats["cr"] * lamb),
+        "g8": c8(splats["cg"] * lamb),
+        "b8": c8(splats["cb"] * lamb),
         "ang8": (
             jnp.round((angle + _math.pi) * ANGLE_SCALE).astype(jnp.int32) % 256
         ).astype(jnp.uint32),
         "ratio8": jnp.round(
             jnp.clip(ratio, 1.0 / RATIO_SCALE, 1.0) * RATIO_SCALE
         ).astype(jnp.uint32),
-        "depth": projected["depth"],
+        "depth": proj["depth"],
     }
 
 
-def pack_splat_screen_data(
-    projected: Projected,
-    color: jnp.ndarray,  # (N, 3)
-    opacity: jnp.ndarray,  # (N,)
-    normals: jnp.ndarray,  # (N, 3)
-    cfg: RenderConfig,
-    view_proj: jnp.ndarray | None = None,  # (4, 4), required if cfg.oriented
-    cam_pos: jnp.ndarray | None = None,  # (3,)
-    positions: jnp.ndarray | None = None,  # (N, 3) world positions
-    radii: jnp.ndarray | None = None,  # (N,) world radii
-) -> jnp.ndarray:
-    """Fuse projection + appearance into the (N, 10) render record consumed by
-    the compositors: [cx, cy, radius, opacity, r*, g*, b*, depth, angle,
-    ratio] with the lambert lighting term pre-folded into rgb, snapped onto
-    the pipeline's fixed-point raster grids (render/packing.py) — every
-    compositor consumes the same quantized values, so oracle parity is exact.
-    """
-    import math as _math
-
-    from .packing import ANGLE_SCALE, COLOR_SCALE, RATIO_SCALE
-
-    c = _screen_columns(
-        projected, color, opacity, normals, cfg,
-        view_proj=view_proj, cam_pos=cam_pos, positions=positions, radii=radii,
-    )
-    ps, po = cfg.pos_scale, cfg.pos_offset
-    f = lambda v: v.astype(jnp.float32)
-    return jnp.stack(
-        [
-            f(c["cx_fx"]) / ps - po,
-            f(c["cy_fx"]) / ps - po,
-            f(c["r_fx"]) / ps,
-            f(c["op8"]) / COLOR_SCALE,
-            f(c["rgb8"][:, 0]) / COLOR_SCALE,
-            f(c["rgb8"][:, 1]) / COLOR_SCALE,
-            f(c["rgb8"][:, 2]) / COLOR_SCALE,
-            c["depth"],
-            f(c["ang8"]) / ANGLE_SCALE - _math.pi,
-            f(c["ratio8"]) / RATIO_SCALE,
-        ],
-        axis=-1,
-    )
-
-
 def splat_screen_words(
-    projected: Projected,
-    color: jnp.ndarray,
-    opacity: jnp.ndarray,
-    normals: jnp.ndarray,
+    splats: Splats,
+    view_proj: jnp.ndarray,
+    cam_pos: jnp.ndarray,
     cfg: RenderConfig,
-    view_proj: jnp.ndarray | None = None,
-    cam_pos: jnp.ndarray | None = None,
-    positions: jnp.ndarray | None = None,
-    radii: jnp.ndarray | None = None,
 ) -> Dict[str, jnp.ndarray]:
-    """SoA fast path: projection + appearance straight to the packed u32
-    words consumed by binning.bin_packed_words — bit-identical to
-    pack_records(pack_splat_screen_data(...)) without ever materializing the
+    """SoA fast path: plane projection + appearance straight to the packed
+    u32 words consumed by binning.bin_packed_words — bit-identical to
+    pack_records(splat_screen_records(...)) without ever materializing the
     (N, 10) record array (the interleaving stack + column re-slices cost
     ~2 ms/frame at 1M splats on v5e — the CLAUDE.md relayout rule).
 
@@ -254,17 +239,49 @@ def splat_screen_words(
     """
     from .packing import depth_bits
 
-    c = _screen_columns(
-        projected, color, opacity, normals, cfg,
-        view_proj=view_proj, cam_pos=cam_pos, positions=positions, radii=radii,
-    )
+    c = screen_planes(splats, view_proj, cam_pos, cfg)
     return {
         "dk": depth_bits(c["depth"]),
         "w_pos": c["cx_fx"] | (c["cy_fx"] << 16),
         "w_ro": c["r_fx"] | (c["ang8"] << 16) | (c["ratio8"] << 24),
-        "w_rgb": c["rgb8"][:, 0]
-        | (c["rgb8"][:, 1] << 8)
-        | (c["rgb8"][:, 2] << 16)
-        | (c["op8"] << 24),
+        "w_rgb": c["r8"] | (c["g8"] << 8) | (c["b8"] << 16) | (c["op8"] << 24),
         "depth": c["depth"],
     }
+
+
+def splat_screen_records(
+    splats: Splats,
+    view_proj: jnp.ndarray,
+    cam_pos: jnp.ndarray,
+    cfg: RenderConfig,
+) -> jnp.ndarray:
+    """The (N, 10) render record for the oracle/XLA-tiles compositors:
+    [cx, cy, radius, opacity, r*, g*, b*, depth, angle, ratio] with the
+    lambert lighting term pre-folded into rgb, snapped onto the pipeline's
+    fixed-point raster grids (render/packing.py) — every compositor consumes
+    the same quantized values (from the same screen_planes pass as the words
+    path), so oracle parity is exact.  The (N, 10) stack is a relayout the
+    Pallas path never pays; this builder is for the readable/oracle paths.
+    """
+    from .packing import INV_ANGLE_SCALE, INV_COLOR_SCALE, INV_RATIO_SCALE
+
+    c = screen_planes(splats, view_proj, cam_pos, cfg)
+    inv_ps, po = 1.0 / cfg.pos_scale, cfg.pos_offset
+    f = lambda v: v.astype(jnp.float32)
+    # dequant by MULTIPLY only — packing.py INV_* rationale (divide ulps
+    # differ between backends and flip hard-cutoff pixels)
+    return jnp.stack(
+        [
+            f(c["cx_fx"]) * inv_ps - po,
+            f(c["cy_fx"]) * inv_ps - po,
+            f(c["r_fx"]) * inv_ps,
+            f(c["op8"]) * INV_COLOR_SCALE,
+            f(c["r8"]) * INV_COLOR_SCALE,
+            f(c["g8"]) * INV_COLOR_SCALE,
+            f(c["b8"]) * INV_COLOR_SCALE,
+            c["depth"],
+            f(c["ang8"]) * INV_ANGLE_SCALE - _math.pi,
+            f(c["ratio8"]) * INV_RATIO_SCALE,
+        ],
+        axis=-1,
+    )

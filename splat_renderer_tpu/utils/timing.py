@@ -22,7 +22,14 @@ def time_fn(
 ) -> Tuple[float, object]:
     """Mean wall-clock seconds per call of jitted `fn(*args)` (device-synced).
 
-    Returns (seconds, last_result)."""
+    Returns (seconds, last_result).
+
+    CAVEAT (measured, v5e over the axon relay): every jitted execution
+    carries ~1.5-2.8 ms of fixed launch overhead that does NOT amortize
+    across the dispatch burst — a trivial (8,128) add measures ~2.5 ms/call.
+    Numbers from this harness are therefore upper bounds with a ~2.5 ms
+    additive offset; treat sub-2 ms differences between variants as noise,
+    or loop the work inside one jitted program (lax.scan) to amortize."""
     def sync(x):
         # On relay transports (axon) block_until_ready can return before the
         # device work completes; a device->host fetch is the true barrier.

@@ -145,7 +145,7 @@ class TestProperties:
         cfg = RenderConfig()
         s = derive_splats(pos, normals, scales, cfg)
         np.testing.assert_allclose(s["radius"], cfg.base_radius * 0.5, atol=1e-7)
-        # color = |n|*0.8+0.2 -> z channel 1.0, xy 0.2
-        np.testing.assert_allclose(s["color"][:, 2], 1.0, atol=1e-6)
-        np.testing.assert_allclose(s["color"][:, 0], 0.2, atol=1e-6)
+        # color = |n|*0.8+0.2 -> z channel 1.0, xy 0.2 (plane SoA fields)
+        np.testing.assert_allclose(s["cb"], 1.0, atol=1e-6)
+        np.testing.assert_allclose(s["cr"], 0.2, atol=1e-6)
         np.testing.assert_allclose(s["opacity"], cfg.base_opacity)

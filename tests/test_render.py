@@ -21,7 +21,8 @@ from splat_renderer_tpu.render import (
     splat_screen_data,
 )
 from splat_renderer_tpu.render.pipeline import model_points, render_frame
-from splat_renderer_tpu.render.projector import pack_splat_screen_data, project_splats
+from splat_renderer_tpu.points.properties import splats_from_aos
+from splat_renderer_tpu.render.projector import project_splats, splat_screen_records
 
 CFG = RenderConfig(width=128, height=96, tiles_per_splat_cap=16)
 
@@ -83,15 +84,16 @@ class TestProjector:
 
     def test_lighting_folds_into_rgb(self):
         _, vp, cp = self._setup()
-        proj = project_splats(vp, cp, jnp.zeros((1, 3)), jnp.array([0.05]), CFG)
         l = jnp.asarray(CFG.light_dir) / np.linalg.norm(CFG.light_dir)
         for normal, expect_scale in [
             (l[None, :], CFG.light_ambient + CFG.light_diffuse),  # facing light
             (-l[None, :], CFG.light_ambient),  # facing away: ambient only
         ]:
-            data = pack_splat_screen_data(
-                proj, jnp.ones((1, 3)), jnp.ones((1,)), normal, CFG
+            splats = splats_from_aos(
+                jnp.zeros((1, 3)), jnp.array([0.05]), jnp.ones((1, 3)),
+                jnp.ones((1,)), normal,
             )
+            data = splat_screen_records(splats, vp, cp, CFG)
             np.testing.assert_allclose(data[0, 4:7], expect_scale, atol=2.5e-3)  # u8 color grid
 
 
@@ -592,7 +594,7 @@ class TestTwoWordLayout:
 
     def test_soa_words_bit_equal_records_path(self):
         """projector.splat_screen_words must equal pack_records(
-        pack_splat_screen_data(...)) bit-for-bit, isotropic and oriented."""
+        splat_screen_records(...)) bit-for-bit, isotropic and oriented."""
         from splat_renderer_tpu.config import PointConfig
         from splat_renderer_tpu.render.packing import depth_bits, pack_records
         from splat_renderer_tpu.render.projector import splat_screen_words
@@ -613,14 +615,8 @@ class TestTwoWordLayout:
             )
             recs = splat_screen_data(splats, camera, cfg)
             w0, w1, w2 = pack_records(recs, cfg)
-            proj = project_splats(
-                camera["view_proj"], camera["cam_pos"],
-                splats["position"], splats["radius"], cfg,
-            )
             words = splat_screen_words(
-                proj, splats["color"], splats["opacity"], splats["normal"],
-                cfg, view_proj=camera["view_proj"], cam_pos=camera["cam_pos"],
-                positions=splats["position"], radii=splats["radius"],
+                splats, camera["view_proj"], camera["cam_pos"], cfg
             )
             np.testing.assert_array_equal(words["w_pos"], w0)
             np.testing.assert_array_equal(words["w_ro"], w1)
@@ -806,10 +802,11 @@ class TestEdgeCases:
         proj = project_splats(vp, cp, pos, jnp.full((16,), 0.05), CFG)
         assert not bool(proj["valid"].any())
         # full chain renders pure background
-        data = pack_splat_screen_data(
-            proj, jnp.ones((16, 3)), jnp.ones((16,)),
-            jnp.zeros((16, 3)).at[:, 2].set(1.0), CFG,
+        splats = splats_from_aos(
+            pos, jnp.full((16,), 0.05), jnp.ones((16, 3)), jnp.ones((16,)),
+            jnp.zeros((16, 3)).at[:, 2].set(1.0),
         )
+        data = splat_screen_records(splats, vp, cp, CFG)
         _, _, ds = depth_sort(data[:, 7], data)
         img = render_tiles(ds, bin_splats(ds, CFG), CFG, pair_chunk=8)
         np.testing.assert_allclose(
@@ -837,10 +834,10 @@ class TestEdgeCases:
         vp = jnp.asarray(cam.view_projection_matrix())
         cp = jnp.asarray(cam.position())
         pos = jnp.asarray(rng.normal(0, 0.3, (64, 3)), jnp.float32)
-        proj = project_splats(vp, cp, pos, jnp.full((64,), 0.5), cfg)
-        data = pack_splat_screen_data(
-            proj, jnp.ones((64, 3)), jnp.ones((64,)),
-            jnp.zeros((64, 3)).at[:, 2].set(1.0), cfg,
+        splats = splats_from_aos(
+            pos, jnp.full((64,), 0.5), jnp.ones((64, 3)), jnp.ones((64,)),
+            jnp.zeros((64, 3)).at[:, 2].set(1.0),
         )
+        data = splat_screen_records(splats, vp, cp, cfg)
         tx0, ty0, w, h = _tile_footprint(data, cfg)
         assert int(jnp.max(w * h)) <= cfg.tiles_per_splat_cap
