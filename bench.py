@@ -141,8 +141,8 @@ def main() -> None:
     full_j = jax.jit(full)
     t_full, _ = time_fn(full_j, splats, camera, warmup=2, iters=5)
 
-    # ---- fast profile (cfg.fast_math): coarse-rank fused pair sort +
-    # log-space MXU transmittance; PSNR-gated, opt-in ----
+    # ---- fast profile (cfg.fast_math): coarse-rank fused pair sort
+    # (sub-quantization order deviation; opt-in, see config.py) ----
     rcfg_fast = rcfg.replace(fast_math=True)
 
     def full_fast(s, c):
@@ -246,7 +246,7 @@ def main() -> None:
     d2m = jax.jit(lambda s, c: splat_screen_data(s, c, rcfg))(s2m, camera)
     mb2m = _capacity_class(d2m, rcfg)
     mv_j = jax.jit(
-        lambda s, c: render_views(s, c, rcfg, "pallas", BLOCK, blend_max_blocks=mb2m)
+        lambda s, c: render_views(s, c, rcfg, "pallas", BLOCK, blend_max_blocks=mb2m, flat=True)
     )
     t_mv, _ = time_fn(mv_j, s2m, cams8, warmup=1, iters=3)
 

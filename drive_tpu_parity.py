@@ -126,6 +126,12 @@ def main() -> int:
         20_000,
     )
     ok &= check(
+        "ewa-ellipse 360p",
+        RenderConfig(width=640, height=368, base_radius=0.03,
+                     tiles_per_splat_cap=16, oriented=True, ellipse="ewa"),
+        20_000,
+    )
+    ok &= check(
         "opaque-surface 360p",
         surface_render_config(640, 368, base_radius=0.02, tiles_per_splat_cap=16),
         20_000,

@@ -81,6 +81,18 @@ class RenderConfig:
     # normal (the reference's tangent-frame quads, src/Renderer.ts:90-117).
     # False = isotropic discs (the reference's splat pipeline).
     oriented: bool = False
+    # Screen-ellipse model for oriented splats:
+    #   "foreshorten": minor axis along the normal's screen projection,
+    #       minor/major = |n . view| — the reference's tangent-quad look
+    #       (src/Renderer.ts:90-117) as a cheap approximation.
+    #   "ewa": true perspective 2D covariance of the world-space disc,
+    #       M = r^2 (J J^T - (J n)(J n)^T) with J the screen Jacobian at the
+    #       splat center, eigendecomposed to (major, minor/major, angle) —
+    #       the EWA-splatting projection (Zwicker et al. 2001) specialized to
+    #       flat discs.  Both quantize onto the SAME record grids; every
+    #       compositor (oracle included) consumes them identically, so parity
+    #       gating is unchanged.
+    ellipse: str = "foreshorten"
     # Fast profile (opt-in): permits ONE bounded, documented deviation from
     # the exact oracle in exchange for ~3 ms/frame at 1M @1080p — the pair
     # sort coarsens the canonical rank just enough to fuse (tile, rank) into

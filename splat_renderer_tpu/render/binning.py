@@ -53,12 +53,16 @@ def _tile_footprint(
     cfg: RenderConfig,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Clamped tile ranges (tx0, ty0, w, h) per splat — see _footprint_cols."""
+    ang = splat_data[:, 8] if cfg.oriented else None
+    ratio = splat_data[:, 9] if cfg.oriented else None
     return _footprint_cols(
         splat_data[:, 0],
         splat_data[:, 1],
         splat_data[:, 2],
         jnp.isfinite(splat_data[:, 7]),
         cfg,
+        ang=ang,
+        ratio=ratio,
     )
 
 
@@ -68,34 +72,55 @@ def _footprint_cols(
     radius: jnp.ndarray,
     depth_valid: jnp.ndarray,
     cfg: RenderConfig,
+    ang: jnp.ndarray | None = None,
+    ratio: jnp.ndarray | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Clamped tile ranges (tx0, ty0, w, h) per splat.
 
     Bounds = center +- bounds_margin * radius (src/SplatProjector.ts:115-121).
+    When (ang, ratio) are given (oriented profiles), the pad shrinks to the
+    EXACT axis-aligned extents of the rotated support ellipse — semi-axes
+    (margin*r*ratio along ang, margin*r across):
+        hx = m r sqrt(sin^2 + ratio^2 cos^2),  hy = m r sqrt(cos^2 + ratio^2 sin^2)
+    (+1/pos_scale px of slack for trig ulps).  Same trig polynomial as the
+    compositors, so the AABB can never under-cover the kernel's cutoff.
+    Edge-on splats bin ~1/ratio fewer tiles than the square pad.
+
     Footprints larger than cfg.tiles_per_splat_cap tiles are shrunk toward the
     splat's center tile (capacity-bounded expansion; the reference merely
     warns on pathological overlap, src/GPUTileBinner.ts:265-281).  Splats
     below min_screen_radius contribute nothing anywhere
     (src/ComputeShaderRenderer.ts:127-129), so they are dropped here.
     """
-    center = jnp.stack([cx, cy], axis=-1)
     pad = radius * cfg.bounds_margin
-    bmin = center - pad[:, None]
-    bmax = center + pad[:, None]
+    if ang is not None:
+        from .blend import ellipse_cos_sin
+
+        ca, sa = ellipse_cos_sin(ang)
+        rr = jnp.clip(ratio, 0.0, 1.0)
+        r2 = rr * rr
+        slack = 1.0 / cfg.pos_scale
+        hx = pad * jnp.sqrt(sa * sa + r2 * ca * ca) + slack
+        hy = pad * jnp.sqrt(ca * ca + r2 * sa * sa) + slack
+    else:
+        hx = pad
+        hy = pad
+    bmin_x, bmax_x = cx - hx, cx + hx
+    bmin_y, bmax_y = cy - hy, cy + hy
 
     ts = float(cfg.tile_size)
-    tx0 = jnp.clip(jnp.floor(bmin[:, 0] / ts), 0, cfg.tiles_x - 1).astype(jnp.int32)
-    ty0 = jnp.clip(jnp.floor(bmin[:, 1] / ts), 0, cfg.tiles_y - 1).astype(jnp.int32)
-    tx1 = jnp.clip(jnp.floor(bmax[:, 0] / ts), 0, cfg.tiles_x - 1).astype(jnp.int32)
-    ty1 = jnp.clip(jnp.floor(bmax[:, 1] / ts), 0, cfg.tiles_y - 1).astype(jnp.int32)
+    tx0 = jnp.clip(jnp.floor(bmin_x / ts), 0, cfg.tiles_x - 1).astype(jnp.int32)
+    ty0 = jnp.clip(jnp.floor(bmin_y / ts), 0, cfg.tiles_y - 1).astype(jnp.int32)
+    tx1 = jnp.clip(jnp.floor(bmax_x / ts), 0, cfg.tiles_x - 1).astype(jnp.int32)
+    ty1 = jnp.clip(jnp.floor(bmax_y / ts), 0, cfg.tiles_y - 1).astype(jnp.int32)
 
     alive = (
         depth_valid
         & (radius >= cfg.min_screen_radius)
-        & (bmax[:, 0] >= 0)
-        & (bmax[:, 1] >= 0)
-        & (bmin[:, 0] < cfg.width)
-        & (bmin[:, 1] < cfg.height)
+        & (bmax_x >= 0)
+        & (bmax_y >= 0)
+        & (bmin_x < cfg.width)
+        & (bmin_y < cfg.height)
     )
 
     w = tx1 - tx0 + 1
@@ -109,8 +134,8 @@ def _footprint_cols(
     for k in range(1, cap + 1):
         h_allow = jnp.where(w_c == k, max(cap // k, 1), h_allow)
     h_c = jnp.minimum(h, h_allow)
-    ctx = jnp.clip(jnp.floor(center[:, 0] / ts), 0, cfg.tiles_x - 1).astype(jnp.int32)
-    cty = jnp.clip(jnp.floor(center[:, 1] / ts), 0, cfg.tiles_y - 1).astype(jnp.int32)
+    ctx = jnp.clip(jnp.floor(cx / ts), 0, cfg.tiles_x - 1).astype(jnp.int32)
+    cty = jnp.clip(jnp.floor(cy / ts), 0, cfg.tiles_y - 1).astype(jnp.int32)
     tx0 = jnp.clip(ctx - (w_c - 1) // 2, tx0, tx1 - w_c + 1)
     ty0 = jnp.clip(cty - (h_c - 1) // 2, ty0, ty1 - h_c + 1)
 
@@ -436,12 +461,25 @@ def bin_packed_words(
     cy_fx = (w_pos >> 16).astype(jnp.int32)
     r_fx = (w_ro & 0xFFFF).astype(jnp.int32)
     inv_ps = 1.0 / ps
+    if cfg.oriented:
+        from .packing import INV_ANGLE_SCALE, INV_RATIO_SCALE
+
+        ang = ((w_ro >> 16) & 0xFF).astype(jnp.int32).astype(
+            jnp.float32
+        ) * INV_ANGLE_SCALE - math.pi
+        ratio = (w_ro >> 24).astype(jnp.int32).astype(
+            jnp.float32
+        ) * INV_RATIO_SCALE
+    else:
+        ang = ratio = None
     tx0, ty0, w, h = _footprint_cols(
         cx_fx.astype(jnp.float32) * inv_ps - po,
         cy_fx.astype(jnp.float32) * inv_ps - po,
         r_fx.astype(jnp.float32) * inv_ps,
         dk_s < jnp.uint32(0xFF800000),  # depth finite (< +inf key)
         cfg,
+        ang=ang,
+        ratio=ratio,
     )
 
     # ---- pair stage: slot-major (cap, n) expansion (broadcasts become

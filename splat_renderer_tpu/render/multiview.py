@@ -28,13 +28,21 @@ def render_views(
     compositor: str = "auto",
     blend_block: int = 1024,
     blend_max_blocks: int | None = None,
+    flat: bool = False,
 ) -> jnp.ndarray:
-    """Render one splat set from V cameras; returns (V, H, W, 3)."""
+    """Render one splat set from V cameras; returns (V, H, W, 3), or
+    (V, H, W*3) with `flat=True` — the TPU-friendly output layout (a
+    trailing dim of 3 is lane-padded 3->128 in HBM, a 42x allocation /
+    bandwidth tax on big view stacks; utils.image.unflatten_rows restores
+    channels on host)."""
 
     def one(camera: CameraArrays) -> jnp.ndarray:
-        return render_splats(
+        img = render_splats(
             splats, camera, rcfg, compositor, blend_block,
             blend_max_blocks=blend_max_blocks,
         )
+        if flat:
+            img = img.reshape(rcfg.height, rcfg.width * 3)
+        return img
 
     return jax.lax.map(one, cameras)

@@ -174,7 +174,63 @@ def screen_planes(
     )
     lamb = cfg.light_ambient + cfg.light_diffuse * diffuse
 
-    if cfg.oriented:
+    ell_radius = proj["radius"]
+    if cfg.oriented and cfg.ellipse == "ewa":
+        # True perspective screen covariance of the world-space disc (EWA
+        # splatting, Zwicker et al. 2001, specialized to a flat disc):
+        # a disc of radius r in the tangent plane of unit normal n has world
+        # covariance r^2 (I - n n^T); under the screen Jacobian J (2x3,
+        # evaluated at the center) its image covariance is
+        #   M = r^2 (J J^T - (J n)(J n)^T).
+        # Eigendecomposing the 2x2 M gives (major, minor, minor-axis angle),
+        # quantized onto the SAME (r_fx, ratio8, ang8) record grids the
+        # foreshorten mode uses — downstream stays byte-identical.
+        # Replaces the reference's isotropic max-over-6-offsets estimate
+        # (src/SplatProjector.ts:91-113) when enabled.
+        vp = view_proj
+        w = proj["clip3"]
+        sw = jnp.where(jnp.abs(w) < 1e-8, 1e-8, w)
+        inv_w2 = 1.0 / (sw * sw)
+        half_w = 0.5 * cfg.width
+        half_h = 0.5 * cfg.height
+        # unit normal (defensive)
+        nlen = jnp.maximum(jnp.sqrt(nx * nx + ny * ny + nz * nz), 1e-8)
+        ux, uy, uz = nx / nlen, ny / nlen, nz / nlen
+        # J rows: d sx / dp_k = Wh (vp0k w - clip0 vp3k)/w^2,
+        #         d sy / dp_k = -Hh (vp1k w - clip1 vp3k)/w^2
+        j0 = [half_w * (vp[0, k] * w - proj["clip0"] * vp[3, k]) * inv_w2
+              for k in range(3)]
+        j1 = [-half_h * (vp[1, k] * w - proj["clip1"] * vp[3, k]) * inv_w2
+              for k in range(3)]
+        a00 = j0[0] * j0[0] + j0[1] * j0[1] + j0[2] * j0[2]
+        a01 = j0[0] * j1[0] + j0[1] * j1[1] + j0[2] * j1[2]
+        a11 = j1[0] * j1[0] + j1[1] * j1[1] + j1[2] * j1[2]
+        jn0 = j0[0] * ux + j0[1] * uy + j0[2] * uz
+        jn1 = j1[0] * ux + j1[1] * uy + j1[2] * uz
+        r2 = splats["radius"] * splats["radius"]
+        m00 = r2 * (a00 - jn0 * jn0)
+        m01 = r2 * (a01 - jn0 * jn1)
+        m11 = r2 * (a11 - jn1 * jn1)
+        # closed-form 2x2 symmetric eigendecomposition
+        half_tr = 0.5 * (m00 + m11)
+        half_df = 0.5 * (m00 - m11)
+        root = jnp.sqrt(half_df * half_df + m01 * m01)
+        lam_hi = jnp.maximum(half_tr + root, 0.0)
+        lam_lo = jnp.maximum(half_tr - root, 0.0)
+        major = jnp.sqrt(lam_hi)
+        minor = jnp.sqrt(lam_lo)
+        # minor-axis direction = eigenvector of lam_lo: (m01, lam_lo - m00),
+        # with the better-conditioned alternative when m01 ~ 0 and the minor
+        # axis is x-aligned (m00 < m11): fall back to (lam_lo - m11, m01)
+        # swapped components... arctan2 of the primary form is stable except
+        # when both components vanish (isotropic M) where angle is arbitrary.
+        angle = jnp.arctan2(lam_lo - m00, m01)
+        k_cap = max(int(cfg.tiles_per_splat_cap**0.5), 2)
+        r_cap = (k_cap - 1) * cfg.tile_size / (2.0 * cfg.bounds_margin)
+        major_c = jnp.minimum(major, r_cap)
+        ell_radius = jnp.where(proj["valid"], major_c, 0.0)
+        ratio = jnp.clip(minor / jnp.maximum(major, 1e-8), 0.05, 1.0)
+    elif cfg.oriented:
         # screen ellipse of a surface-oriented disc: minor axis along the
         # screen projection of the normal, minor/major = |n . view| —
         # a small-splat approximation of the reference's tangent-frame quads
@@ -206,7 +262,7 @@ def screen_planes(
     return {
         "cx_fx": q(proj["cx"]),
         "cy_fx": q(proj["cy"]),
-        "r_fx": jnp.round(jnp.clip(proj["radius"] * ps, 0, POS_MAX)).astype(
+        "r_fx": jnp.round(jnp.clip(ell_radius * ps, 0, POS_MAX)).astype(
             jnp.uint32
         ),
         "op8": c8(splats["opacity"]),

@@ -12,8 +12,12 @@ readings:
 
 `render_sequence` is the scan form.  Per-frame scene parameters arrive as a
 stacked pytree (animate on host, stack once); cameras as stacked arrays
-(camera.orbit_ring or any (F, ...) stack).  Output is (F, H, W, 3) uint8 by
-default — 120 frames at 1080p is 711 MB on-device, fetched once.
+(camera.orbit_ring or any (F, ...) stack).  Output is (F, H, W*3) uint8 by
+default — flat interleaved raster rows, because a trailing dim of 3 is
+lane-padded 3->128 on TPU (a (120, 1080, 1920, 3) u8 output would allocate
+31.8 GB and OOM the chip — measured).  utils.image.unflatten_rows restores
+(..., H, W, 3) on host; 120 frames at 1080p is 711 MB on-device, fetched
+once.
 """
 
 from __future__ import annotations
@@ -39,8 +43,11 @@ def render_sequence(
     compositor: str = "auto",
     blend_max_blocks: Optional[int] = None,
     as_uint8: bool = True,
+    flat: bool = True,
 ) -> jnp.ndarray:
-    """Render F animated frames in one program; returns (F, H, W, 3).
+    """Render F animated frames in one program; returns (F, H, W*3) when
+    `flat` (the TPU-friendly layout — see module docstring), else
+    (F, H, W, 3).
 
     Each frame re-models the scene (seed -> descent -> curvature) with its
     own parameters and a frame-folded PRNG key, then renders — exactly the
@@ -59,6 +66,8 @@ def render_sequence(
         )
         if as_uint8:
             img = jnp.round(jnp.clip(img, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+        if flat:
+            img = img.reshape(rcfg.height, rcfg.width * 3)
         return carry, img
 
     _, imgs = jax.lax.scan(step, None, (params_stack, cameras, frame_ids))

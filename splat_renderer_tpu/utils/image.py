@@ -18,6 +18,16 @@ def to_uint8(img) -> np.ndarray:
     return np.clip(np.nan_to_num(arr) * 255.0 + 0.5, 0, 255).astype(np.uint8)
 
 
+def unflatten_rows(arr, width: int) -> np.ndarray:
+    """(..., H, W*3) flat interleaved raster rows -> (..., H, W, 3).
+
+    Host-side inverse of the `flat=True` output layout of render_sequence /
+    render_views (a trailing dim of 3 is lane-padded 3->128 in TPU HBM — a
+    42x allocation tax — so fused programs emit flat rows instead)."""
+    a = np.asarray(arr)
+    return a.reshape(a.shape[:-1] + (width, 3))
+
+
 def write_png(path: str, img) -> None:
     """img: (H, W, 3) float [0,1] or uint8."""
     arr = np.asarray(img)

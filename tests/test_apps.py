@@ -166,7 +166,7 @@ class TestSequence:
 
         seq = jax.jit(
             lambda p, c, k: render_sequence(
-                scene, p, c, k, 2000, pcfg, cfg, as_uint8=False
+                scene, p, c, k, 2000, pcfg, cfg, as_uint8=False, flat=False
             )
         )(par_stack, cam_stack, key)
         assert seq.shape == (frames, cfg.height, cfg.width, 3)

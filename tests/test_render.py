@@ -664,6 +664,154 @@ class TestTwoWordLayout:
         np.testing.assert_allclose(img_p, img_o, atol=2e-5)
 
 
+class TestEllipseFootprint:
+    """Oriented binning uses the exact rotated-ellipse AABB: never drops a
+    pixel with alpha > 0, and bins fewer tiles than the square pad."""
+
+    def test_covers_support_and_shrinks(self, rng):
+        from splat_renderer_tpu.render.binning import _tile_footprint
+        from splat_renderer_tpu.render.packing import quantize_screen_data
+        from splat_renderer_tpu.render.blend import splat_alpha
+
+        cfg = RenderConfig(width=96, height=96, oriented=True,
+                           tiles_per_splat_cap=16)
+        n = 60
+        data = _random_screen_splats(rng, n, cfg, r_lo=3.0, r_hi=10.0,
+                                     oriented=True)
+        data = quantize_screen_data(data, cfg)
+        tx0, ty0, w, h = (np.asarray(v) for v in _tile_footprint(data, cfg))
+
+        # dense check: every pixel with alpha > 0 lies in a binned tile
+        ys, xs = np.mgrid[0:cfg.height, 0:cfg.width]
+        pix = jnp.asarray(np.stack([xs + 0.5, ys + 0.5], -1), jnp.float32)
+        ts = cfg.tile_size
+        for s in range(n):
+            a = np.asarray(splat_alpha(data[s], pix.reshape(-1, 2), cfg))
+            cover = np.zeros((cfg.tiles_y, cfg.tiles_x), bool)
+            cover[ty0[s]: ty0[s] + h[s], tx0[s]: tx0[s] + w[s]] = True
+            hit = a.reshape(cfg.height, cfg.width) > 0
+            tile_hit = hit.reshape(cfg.tiles_y, ts, cfg.tiles_x, ts).any((1, 3))
+            assert not np.any(tile_hit & ~cover), f"splat {s} under-covered"
+
+        # the square pad binning (isotropic-style) must be strictly wider on
+        # average for the low-ratio records
+        cfg_sq = cfg.replace(oriented=False)
+        _, _, wsq, hsq = (np.asarray(v) for v in _tile_footprint(data, cfg_sq))
+        lo = np.asarray(data[:, 9]) < 0.5
+        assert lo.any()
+        assert (w * h)[lo].sum() < (wsq * hsq)[lo].sum()
+
+
+class TestEWA:
+    """cfg.ellipse="ewa": true perspective 2D covariance of the world disc
+    (projector.screen_planes), quantized onto the same record grids."""
+
+    CFG = RenderConfig(width=128, height=96, oriented=True, ellipse="ewa",
+                       tiles_per_splat_cap=16)
+
+    def _cam(self):
+        cam = spt.Camera(azimuth=0.0, elevation=0.0, distance=3.0,
+                         aspect=self.CFG.width / self.CFG.height)
+        a = cam.arrays()
+        return jnp.asarray(a["view_proj"]), jnp.asarray(a["cam_pos"])
+
+    def test_covariance_matches_dense_numpy(self, rng):
+        """(major, ratio, angle) must match a dense numpy J/M eigen solve."""
+        from splat_renderer_tpu.render.projector import screen_planes
+        from splat_renderer_tpu.render.packing import (
+            INV_ANGLE_SCALE, INV_RATIO_SCALE,
+        )
+
+        vp, cp = self._cam()
+        n = 64
+        pos = rng.normal(0, 0.4, (n, 3)).astype(np.float32)
+        nrm = rng.normal(size=(n, 3)).astype(np.float32)
+        nrm /= np.linalg.norm(nrm, axis=-1, keepdims=True)
+        rad = rng.uniform(0.01, 0.05, n).astype(np.float32)
+        splats = splats_from_aos(
+            jnp.asarray(pos), jnp.asarray(rad), jnp.ones((n, 3)),
+            jnp.ones((n,)), jnp.asarray(nrm),
+        )
+        c = screen_planes(splats, vp, cp, self.CFG)
+
+        vp_np = np.asarray(vp, np.float64)
+        W, H = self.CFG.width, self.CFG.height
+        for i in range(0, n, 7):
+            p = pos[i]
+            clip = vp_np @ np.append(p, 1.0)
+            w = clip[3]
+            if w <= 1e-6:
+                continue
+            J = np.zeros((2, 3))
+            for k in range(3):
+                J[0, k] = 0.5 * W * (vp_np[0, k] * w - clip[0] * vp_np[3, k]) / w**2
+                J[1, k] = -0.5 * H * (vp_np[1, k] * w - clip[1] * vp_np[3, k]) / w**2
+            M = rad[i] ** 2 * (J @ (np.eye(3) - np.outer(nrm[i], nrm[i])) @ J.T)
+            lam, vec = np.linalg.eigh(M)  # ascending
+            major = np.sqrt(max(lam[1], 0.0))
+            minor = np.sqrt(max(lam[0], 0.0))
+            got_r = float(c["r_fx"][i]) / self.CFG.pos_scale
+            np.testing.assert_allclose(got_r, major, rtol=2e-2, atol=0.1)
+            got_ratio = float(c["ratio8"][i]) * INV_RATIO_SCALE
+            np.testing.assert_allclose(
+                got_ratio, np.clip(minor / max(major, 1e-8), 0.05, 1.0),
+                atol=0.02,
+            )
+            # minor-axis direction (mod pi: eigenvector sign is arbitrary)
+            got_ang = float(c["ang8"][i]) * INV_ANGLE_SCALE - np.pi
+            want_ang = np.arctan2(vec[1, 0], vec[0, 0])
+            d = abs((got_ang - want_ang + np.pi / 2) % np.pi - np.pi / 2)
+            if got_ratio < 0.95:  # angle is meaningless for near-circles
+                assert d < 0.1, (i, got_ang, want_ang)
+
+    def test_face_on_is_circular_tilted_foreshortens(self):
+        from splat_renderer_tpu.render.projector import screen_planes
+        from splat_renderer_tpu.render.packing import INV_RATIO_SCALE
+
+        vp, cp = self._cam()
+        view = -np.asarray(cp) / np.linalg.norm(np.asarray(cp))
+        tilt = np.asarray([np.cos(np.pi / 3), 0, np.sin(np.pi / 3)])
+        # a face-on disc (normal = view dir) and a 60-degree-tilted one
+        splats = splats_from_aos(
+            jnp.zeros((2, 3)), jnp.full((2,), 0.05), jnp.ones((2, 3)),
+            jnp.ones((2,)),
+            jnp.asarray(np.stack([view, tilt]), jnp.float32),
+        )
+        c = screen_planes(splats, vp, cp, self.CFG)
+        r0 = float(c["ratio8"][0]) * INV_RATIO_SCALE
+        r1 = float(c["ratio8"][1]) * INV_RATIO_SCALE
+        assert r0 > 0.97, r0  # face-on: circle
+        # tilted: minor/major ~ |cos(angle between n and view)|
+        want = abs(float(np.dot(tilt, view)))
+        np.testing.assert_allclose(r1, want, atol=0.05)
+
+    def test_ewa_renders_and_matches_oracle(self, rng):
+        """End-to-end parity: the EWA records composite identically in the
+        Pallas (interpret) and oracle compositors."""
+        from splat_renderer_tpu.render.binning import bin_splats_packed
+        from splat_renderer_tpu.render.packing import quantize_screen_data
+        from splat_renderer_tpu.ops.tile_blend import render_tiles_pallas
+        from splat_renderer_tpu.config import PointConfig
+
+        scene = spt.SDFScene(
+            spt.smooth_union(0.1, spt.Sphere(id="s", radius=0.5),
+                             spt.Box(id="b", position=(0.5, 0, 0),
+                                     size=(0.3, 0.3, 0.3)))
+        )
+        cfg = self.CFG
+        cam = spt.Camera(aspect=cfg.width / cfg.height)
+        camera = {k: jnp.asarray(v) for k, v in cam.arrays().items()}
+        splats = model_points(scene, scene.params(), jax.random.PRNGKey(5),
+                              1500, PointConfig(), cfg)
+        data = splat_screen_data(splats, camera, cfg)
+        st = bin_splats_packed(data, cfg, block=1024)
+        img_p = render_tiles_pallas(data, st, cfg, block=1024, eps=0.0,
+                                    interpret=True)
+        img_o = render_oracle(data, cfg)
+        np.testing.assert_allclose(np.asarray(img_p), np.asarray(img_o),
+                                   atol=2e-5)
+
+
 class TestOrientedAndOpaque:
     def test_elliptical_alpha_foreshortens(self):
         """ratio < 1 shrinks the footprint along the minor axis only.
