@@ -135,18 +135,28 @@ def main() -> None:
     t_blend, img = time_fn(blend_j, data, binned, warmup=2, iters=5)
 
     # ---- full fused frame (render-only: splats -> image) ----
+    # headline kernel: tile-major (grid-per-nonempty-tile); class in tiles
+    mt = int(np.asarray(binned["tiles_used"]) * 1.15) + 8
+
     def full(s, c):
-        return render_splats(s, c, rcfg, "pallas", BLOCK, blend_max_blocks=mb)
+        return render_splats(s, c, rcfg, "pallas", BLOCK, blend_max_blocks=mt,
+                             blend_kernel="tile")
 
     full_j = jax.jit(full)
     t_full, _ = time_fn(full_j, splats, camera, warmup=2, iters=5)
+
+    def full_flat(s, c):
+        return render_splats(s, c, rcfg, "pallas", BLOCK, blend_max_blocks=mb)
+
+    t_flat, _ = time_fn(jax.jit(full_flat), splats, camera, warmup=2, iters=5)
 
     # ---- fast profile (cfg.fast_math): coarse-rank fused pair sort
     # (sub-quantization order deviation; opt-in, see config.py) ----
     rcfg_fast = rcfg.replace(fast_math=True)
 
     def full_fast(s, c):
-        return render_splats(s, c, rcfg_fast, "pallas", BLOCK, blend_max_blocks=mb)
+        return render_splats(s, c, rcfg_fast, "pallas", BLOCK,
+                             blend_max_blocks=mt, blend_kernel="tile")
 
     t_fast, _ = time_fn(jax.jit(full_fast), splats, camera, warmup=2, iters=5)
 
@@ -285,6 +295,7 @@ def main() -> None:
         "vs_baseline": round(fps / 60.0, 4),
         "msplats_per_sec": round(N_SPLATS * fps / 1e6, 2),
         "frame_ms": round(t_full * 1e3, 3),
+        "frame_ms_flat_kernel": round(t_flat * 1e3, 3),
         "frame_ms_fast": round(t_fast * 1e3, 3),
         "fps_fast": round(1.0 / t_fast, 2),
         "project_ms": round(t_project * 1e3, 3),

@@ -144,6 +144,55 @@ def _footprint_cols(
     return tx0, ty0, w_c, h_c
 
 
+def _diag_prune(
+    cx: jnp.ndarray,
+    cy: jnp.ndarray,
+    radius: jnp.ndarray,
+    tx0: jnp.ndarray,
+    ty0: jnp.ndarray,
+    w: jnp.ndarray,
+    h: jnp.ndarray,
+    cfg: RenderConfig,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Diagonal-corner disc prune for 2x2 footprints.
+
+    A splat whose padded bbox spans a 2x2 tile block always covers the two
+    edge-adjacent tiles (the disc crosses each boundary line in an interval
+    centered on the splat's own row/column), but misses the DIAGONAL tile
+    whenever the shared interior corner lies outside the support disc —
+    P(miss | 2x2) = 1 - pi/4 ~ 21% for uniform centers, ~17% of all pairs at
+    the bench shape.  Dropping those pairs is exact (the nearest point of
+    the diagonal tile's rect is the shared corner, so no pixel there can
+    have alpha > 0; +1/pos_scale slack absorbs fp ulps).  Applied uniformly
+    in every binning path, so run tables stay equal across paths.  For
+    oriented profiles the test uses the major-radius disc, which contains
+    the support ellipse — still conservative.
+
+    Returns (c_d, miss): the footprint slot index (row-major dy*w+dx) of the
+    diagonal tile, and whether to prune it.  Only 2x2 footprints with the
+    center tile inside the window are candidates (larger footprints from
+    high caps are left alone — cap 4, the production setting, is always
+    <= 2x2).
+    """
+    ts = float(cfg.tile_size)
+    ctx = jnp.clip(jnp.floor(cx / ts), 0, cfg.tiles_x - 1).astype(jnp.int32)
+    cty = jnp.clip(jnp.floor(cy / ts), 0, cfg.tiles_y - 1).astype(jnp.int32)
+    cix = ctx - tx0
+    ciy = cty - ty0
+    applicable = (
+        (w == 2) & (h == 2)
+        & (cix >= 0) & (cix <= 1) & (ciy >= 0) & (ciy <= 1)
+    )
+    corner_x = (tx0 + 1).astype(jnp.float32) * ts
+    corner_y = (ty0 + 1).astype(jnp.float32) * ts
+    dx = cx - corner_x
+    dy = cy - corner_y
+    pad = radius * cfg.bounds_margin + 1.0 / cfg.pos_scale
+    miss = applicable & (dx * dx + dy * dy > pad * pad)
+    c_d = (1 - ciy) * 2 + (1 - cix)
+    return c_d, miss
+
+
 def bin_splats(splat_data_sorted: jnp.ndarray, cfg: RenderConfig) -> Binned:
     """Bin depth-sorted splats into per-tile runs.
 
@@ -161,6 +210,10 @@ def bin_splats(splat_data_sorted: jnp.ndarray, cfg: RenderConfig) -> Binned:
     n = tx0.shape[0]
     cap = cfg.tiles_per_splat_cap
     num_tiles = cfg.num_tiles
+    c_d, miss = _diag_prune(
+        splat_data_sorted[:, 0], splat_data_sorted[:, 1],
+        splat_data_sorted[:, 2], tx0, ty0, w, h, cfg,
+    )
 
     # enumerate each splat's (up to cap) covered tiles
     c = jax.lax.broadcasted_iota(jnp.int32, (n, cap), 1)
@@ -172,7 +225,7 @@ def bin_splats(splat_data_sorted: jnp.ndarray, cfg: RenderConfig) -> Binned:
         dy = dy + (c >= k * wb).astype(jnp.int32)
     dx = c - dy * wb
     tile = (ty0[:, None] + dy) * cfg.tiles_x + (tx0[:, None] + dx)
-    active = c < (w * h)[:, None]
+    active = (c < (w * h)[:, None]) & ~((c == c_d[:, None]) & miss[:, None])
     tile = jnp.where(active, tile, num_tiles)  # sentinel: one-past-last tile
 
     # pairs are generated in depth-sorted splat order, so a *stable* sort by
@@ -267,6 +320,10 @@ def bin_splats_stream(
     cap = cfg.tiles_per_splat_cap
     num_tiles = cfg.num_tiles
     p = n * cap
+    c_d, miss = _diag_prune(
+        splat_data_sorted[:, 0], splat_data_sorted[:, 1],
+        splat_data_sorted[:, 2], tx0, ty0, w, h, cfg,
+    )
 
     c = jax.lax.broadcasted_iota(jnp.int32, (n, cap), 1)
     wb = w[:, None]
@@ -274,7 +331,7 @@ def bin_splats_stream(
     for k in range(1, cap):
         dy = dy + (c >= k * wb).astype(jnp.int32)
     tile = (ty0[:, None] + dy) * cfg.tiles_x + (tx0[:, None] + (c - dy * wb))
-    active = c < (w * h)[:, None]
+    active = (c < (w * h)[:, None]) & ~((c == c_d[:, None]) & miss[:, None])
     tile = jnp.where(active, tile, num_tiles).reshape(-1)
 
     # carry the data columns through one stable variadic sort by tile id
@@ -452,14 +509,30 @@ def bin_packed_words(
     # explicit unique iota key instead of is_stable=True: XLA's stable sort
     # costs ~2.5x the iota-keyed one (6.4 vs 2.6 ms @1M, v5e)
     iota_n = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
-    dk_s, _, w_pos, w_ro, w_rgb = jax.lax.sort(
-        (dkeys, iota_n, w_pos, w_ro, w_rgb), num_keys=2, is_stable=False
-    )
+    spec = two_word_spec(cfg)
+    ro_in_key = spec is not None and n <= (1 << 21)
+    if ro_in_key:
+        # isotropic 2-word profile: the only live field of w_ro is the 10-bit
+        # radius, so fold it into the LOW bits of the iota tie-break key —
+        # (iota << 10) | r sorts identically to iota (iota owns the high
+        # bits) and the sort drops a whole payload column (~0.5 ms @1M).
+        # n <= 2^21 keeps the packed key within u32.
+        r10 = jnp.minimum(w_ro & jnp.uint32(0xFFFF), jnp.uint32(1023))
+        iota_r = (iota_n.astype(jnp.uint32) << 10) | r10
+        dk_s, iota_r_s, w_pos, w_rgb = jax.lax.sort(
+            (dkeys, iota_r, w_pos, w_rgb), num_keys=2, is_stable=False
+        )
+        r_fx = (iota_r_s & jnp.uint32(0x3FF)).astype(jnp.int32)
+        w_ro = None
+    else:
+        dk_s, _, w_pos, w_ro, w_rgb = jax.lax.sort(
+            (dkeys, iota_n, w_pos, w_ro, w_rgb), num_keys=2, is_stable=False
+        )
+        r_fx = (w_ro & 0xFFFF).astype(jnp.int32)
 
     # footprints from the sorted words (unpacked values are grid-exact f32)
     cx_fx = (w_pos & 0xFFFF).astype(jnp.int32)
     cy_fx = (w_pos >> 16).astype(jnp.int32)
-    r_fx = (w_ro & 0xFFFF).astype(jnp.int32)
     inv_ps = 1.0 / ps
     if cfg.oriented:
         from .packing import INV_ANGLE_SCALE, INV_RATIO_SCALE
@@ -472,15 +545,19 @@ def bin_packed_words(
         ) * INV_RATIO_SCALE
     else:
         ang = ratio = None
+    cx_f = cx_fx.astype(jnp.float32) * inv_ps - po
+    cy_f = cy_fx.astype(jnp.float32) * inv_ps - po
+    r_f = r_fx.astype(jnp.float32) * inv_ps
     tx0, ty0, w, h = _footprint_cols(
-        cx_fx.astype(jnp.float32) * inv_ps - po,
-        cy_fx.astype(jnp.float32) * inv_ps - po,
-        r_fx.astype(jnp.float32) * inv_ps,
+        cx_f,
+        cy_f,
+        r_f,
         dk_s < jnp.uint32(0xFF800000),  # depth finite (< +inf key)
         cfg,
         ang=ang,
         ratio=ratio,
     )
+    c_d, miss = _diag_prune(cx_f, cy_f, r_f, tx0, ty0, w, h, cfg)
 
     # ---- pair stage: slot-major (cap, n) expansion (broadcasts become
     # contiguous tiled copies, ~3x faster than (n, cap) element-repeats) ----
@@ -495,13 +572,12 @@ def bin_packed_words(
     tile_x = tx0[None, :] + dx
     tile_y = ty0[None, :] + dy
     tile = tile_y * cfg.tiles_x + tile_x
-    active = c < (w * h)[None, :]
+    active = (c < (w * h)[None, :]) & ~((c == c_d[None, :]) & miss[None, :])
     tile = jnp.where(active, tile, num_tiles)
 
     def bc(x):
         return jnp.broadcast_to(x[None, :], (cap, n)).reshape(-1)
 
-    spec = two_word_spec(cfg)
     if spec is not None:
         # tile-relative packing: cx_rel = cx_fx - ((tx*ts + po)*ps - pad_rel)
         pad_rel = spec["pad_rel"]
@@ -560,6 +636,23 @@ def bin_packed_words(
     )
 
     counts = _coverage_counts(tx0, ty0, w, h, cfg)
+    # subtract the diagonal-prune corrections: the pruned (splat, tile) set
+    # is rank-1 separable per splat ([tx == dtx][ty == dty] * miss), so the
+    # correction is one more MXU matmul — the histogram stays scatter-free
+    iota_tx = jax.lax.broadcasted_iota(jnp.int32, (1, cfg.tiles_x), 1)
+    iota_ty = jax.lax.broadcasted_iota(jnp.int32, (1, cfg.tiles_y), 1)
+    ctx_i = jnp.clip(jnp.floor(cx_f / float(cfg.tile_size)), 0,
+                     cfg.tiles_x - 1).astype(jnp.int32)
+    cty_i = jnp.clip(jnp.floor(cy_f / float(cfg.tile_size)), 0,
+                     cfg.tiles_y - 1).astype(jnp.int32)
+    dtx = tx0 + 1 - (ctx_i - tx0)
+    dty = ty0 + 1 - (cty_i - ty0)
+    ex = (iota_tx == dtx[:, None]).astype(jnp.float32)
+    ey = ((iota_ty == dty[:, None]) & miss[:, None]).astype(jnp.float32)
+    corr = jnp.einsum(
+        "ny,nx->yx", ey, ex, precision=jax.lax.Precision.HIGHEST
+    ).reshape(-1).astype(jnp.int32)
+    counts = counts - corr
     offsets = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts, dtype=jnp.int32)]
     )

@@ -76,6 +76,7 @@ def render_splats(
     blend_block: int = 1024,
     blend_max_blocks: Optional[int] = None,
     return_stats: bool = False,
+    blend_kernel: str = "flat",
 ):
     """Splat chain: project -> depth sort -> bin -> composite -> (H, W, 3).
 
@@ -83,6 +84,14 @@ def render_splats(
       - "auto": Pallas streaming kernel on TPU, XLA scan compositor elsewhere
       - "pallas" / "tiles": force one of the above
       - "oracle": exact sequential compositor (fidelity ground truth)
+
+    blend_kernel (Pallas path): "flat" = grid-per-window, "tile" =
+    grid-per-nonempty-tile with manual double-buffered DMA — bit-identical
+    images; the tile kernel measures slightly faster in the fused frame and
+    much faster in eps=0 parity runs.  NOTE blend_max_blocks is in WINDOW
+    units for "flat" and NONEMPTY-TILE units for "tile" (the stats'
+    blocks_used follows the same unit, so Engine's growth protocol is
+    unit-agnostic).
 
     blend_max_blocks: static grid-capacity class for the Pallas blend (see
     ops.tile_blend.render_tiles_pallas); with return_stats=True the Pallas
@@ -110,6 +119,7 @@ def render_splats(
         return render_tiles_pallas(
             None, binned, rcfg, block=blend_block,
             max_blocks=blend_max_blocks, return_stats=return_stats,
+            kernel=blend_kernel,
         )
     data = splat_screen_data(splats, camera, rcfg)
     if compositor == "oracle":
@@ -168,11 +178,13 @@ class Engine:
         n: Optional[int] = None,
         compositor: str = "auto",
         cache_size: int = 8,
+        blend_kernel: str = "flat",
     ):
         self.scene = scene
         self.pcfg = pcfg
         self.rcfg = rcfg
         self.compositor = compositor
+        self.blend_kernel = blend_kernel
         self._n = n
         self._cache: Dict[Tuple[str, Optional[int]], Callable] = {}
         self._class: Dict[str, Optional[int]] = {}
@@ -197,13 +209,14 @@ class Engine:
             scene, n, pcfg, rcfg, comp = (
                 self.scene, self.n, self.pcfg, self.rcfg, self.compositor,
             )
+            bk = self.blend_kernel
 
             @jax.jit
             def frame(params, camera, key):
                 splats = model_points(scene, params, key, n, pcfg, rcfg)
                 return render_splats(
                     splats, camera, rcfg, comp,
-                    blend_max_blocks=mb, return_stats=True,
+                    blend_max_blocks=mb, return_stats=True, blend_kernel=bk,
                 )
 
             fn = frame

@@ -174,6 +174,23 @@ class TestBinning:
                 for tx in range(tx0, tx1 + 1):
                     member[ty * cfg.tiles_x + tx, s] = True
 
+        # apply the diagonal-corner disc prune (semantic validity is covered
+        # separately by test_diag_prune_drops_only_zero_alpha_tiles; here we
+        # check the enumeration applies it at exactly the right slots)
+        from splat_renderer_tpu.render.binning import (
+            _diag_prune, _tile_footprint,
+        )
+        ptx0, pty0, pw, ph = _tile_footprint(data_s, cfg)
+        c_d, miss = _diag_prune(
+            data_s[:, 0], data_s[:, 1], data_s[:, 2], ptx0, pty0, pw, ph, cfg
+        )
+        ptx0, pty0 = np.asarray(ptx0), np.asarray(pty0)
+        c_d, miss = np.asarray(c_d), np.asarray(miss)
+        for s in np.nonzero(miss)[0]:
+            dtx = ptx0[s] + (c_d[s] % 2)
+            dty = pty0[s] + (c_d[s] // 2)
+            member[dty * cfg.tiles_x + dtx, s] = False
+
         offsets = np.asarray(binned["offsets"])
         pair_splat = np.asarray(binned["pair_splat"])
         for t in range(cfg.num_tiles):
@@ -182,6 +199,39 @@ class TestBinning:
             np.testing.assert_array_equal(np.sort(got), expect, err_msg=f"tile {t}")
             # run must be depth-ordered == ascending splat rank (data is sorted)
             assert np.all(np.diff(got) > 0), f"tile {t} run not depth-ordered"
+
+    def test_diag_prune_drops_only_zero_alpha_tiles(self, rng):
+        """Semantic validity of the diagonal-corner disc prune: every pruned
+        (splat, tile) pair must have alpha == 0 at ALL the tile's pixels."""
+        from splat_renderer_tpu.render.binning import (
+            _diag_prune, _tile_footprint,
+        )
+        from splat_renderer_tpu.render.blend import splat_alpha
+        from splat_renderer_tpu.render.packing import quantize_screen_data
+
+        cfg = CFG
+        data = quantize_screen_data(
+            _random_screen_splats(rng, 300, cfg, r_lo=1.0, r_hi=10.0), cfg
+        )
+        tx0, ty0, w, h = _tile_footprint(data, cfg)
+        c_d, miss = _diag_prune(
+            data[:, 0], data[:, 1], data[:, 2], tx0, ty0, w, h, cfg
+        )
+        tx0, ty0 = np.asarray(tx0), np.asarray(ty0)
+        c_d, miss = np.asarray(c_d), np.asarray(miss)
+        pruned = np.nonzero(miss)[0]
+        assert len(pruned) > 0, "no 2x2 corner misses in 300 random splats?"
+        ts = cfg.tile_size
+        for s in pruned:
+            dtx = tx0[s] + (c_d[s] % 2)
+            dty = ty0[s] + (c_d[s] // 2)
+            ys, xs = np.mgrid[0:ts, 0:ts]
+            pix = jnp.asarray(
+                np.stack([dtx * ts + xs + 0.5, dty * ts + ys + 0.5], -1),
+                jnp.float32,
+            ).reshape(-1, 2)
+            a = np.asarray(splat_alpha(data[s], pix, cfg))
+            assert a.max() == 0.0, f"splat {s} pruned tile has alpha {a.max()}"
 
     def test_footprint_cap_respected(self, rng):
         cfg = CFG.replace(tiles_per_splat_cap=4)
