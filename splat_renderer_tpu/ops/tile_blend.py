@@ -321,7 +321,7 @@ def _make_tile_kernel(cfg: RenderConfig, block: int, eps: float, spec,
 
 
 def _make_kernel(cfg: RenderConfig, block: int, eps: float, spec=None,
-                 sat_every: int = 1, _strip: int = 0):
+                 sat_every: int = 2, _strip: int = 0):
     """Kernel factory.  spec=None: global 3-word records (pos|ro|rgb lane
     thirds).  spec=two_word_spec(cfg): tile-relative 2-word records (w_a|rgb
     halves) — all coordinates tile-local, so the kernel touches no global
@@ -332,7 +332,10 @@ def _make_kernel(cfg: RenderConfig, block: int, eps: float, spec=None,
     ~0.1 us of scalar/vector sync per group; coarser checks trade a little
     skipped work on saturated silhouette tiles for less sync overhead.
     Rendering is exact for ANY value (skipping fewer groups only ADDS
-    contributions below the transmittance floor)."""
+    contributions below the transmittance floor).  Default 2: measured 1 ms
+    faster than 1 in the fused 1M@1080p frame (the sync costs more than the
+    extra compute it saves); eps=0 parity runs are unaffected (saturation
+    never engages)."""
     tp = cfg.tile_pixels
     ts = cfg.tile_size
     pos_scale, pos_offset = cfg.pos_scale, cfg.pos_offset
@@ -414,7 +417,7 @@ def pallas_blend_tiles(
     block: int = 1024,
     eps: float = -1.0,
     interpret: bool = False,
-    sat_every: int = 1,
+    sat_every: int = 2,
     _strip: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Composite all tiles; returns (tile_color (T, tp, 3), tile_alpha (T, tp)).
@@ -486,7 +489,7 @@ def pallas_blend_tiles_tm(
     block: int = 1024,
     eps: float = -1.0,
     interpret: bool = False,
-    sat_every: int = 1,
+    sat_every: int = 2,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Tile-major variant of pallas_blend_tiles: grid = nonempty tiles,
     manual double-buffered DMA over each tile's windows (see
@@ -549,8 +552,9 @@ def render_tiles_pallas(
     interpret: bool = False,
     max_blocks: int | None = None,
     return_stats: bool = False,
-    sat_every: int = 1,
+    sat_every: int = 2,
     kernel: str = "flat",
+    return_tiles: bool = False,
 ) -> jnp.ndarray:
     """Drop-in replacement for render/compositor.render_tiles on TPU.
 
@@ -592,10 +596,13 @@ def render_tiles_pallas(
             sat_every=sat_every,
         )
         used = binned["tiles_used"]
-        img = tiles_to_image(tile_color, tile_alpha, cfg)
+        if return_tiles:
+            out = (tile_color, tile_alpha)
+        else:
+            out = tiles_to_image(tile_color, tile_alpha, cfg)
         if return_stats:
-            return img, {"blocks_used": used, "overflow": used > mt}
-        return img
+            return out, {"blocks_used": used, "overflow": used > mt}
+        return out
     mb = binned["block_tile"].shape[0] if max_blocks is None else max_blocks
     tile_color, tile_alpha = pallas_blend_tiles(
         binned["pair_w"],
@@ -618,7 +625,10 @@ def render_tiles_pallas(
         ok = binned["block_off"][1:] <= mb
         tile_color = jnp.where(ok[:, None, None], tile_color, 0.0)
         tile_alpha = jnp.where(ok[:, None], tile_alpha, 0.0)
-    img = tiles_to_image(tile_color, tile_alpha, cfg)
+    if return_tiles:
+        out = (tile_color, tile_alpha)
+    else:
+        out = tiles_to_image(tile_color, tile_alpha, cfg)
     if return_stats:
-        return img, {"blocks_used": used, "overflow": used > mb}
-    return img
+        return out, {"blocks_used": used, "overflow": used > mb}
+    return out

@@ -1,3 +1,4 @@
+from .band import band_frame_fn, depth_band
 from .sharding import (
     make_mesh,
     multichip_frame_fn,
@@ -6,6 +7,8 @@ from .sharding import (
 )
 
 __all__ = [
+    "band_frame_fn",
+    "depth_band",
     "make_mesh",
     "multichip_frame_fn",
     "render_band",

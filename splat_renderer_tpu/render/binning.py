@@ -489,10 +489,19 @@ def bin_packed_words(
     w_rgb: jnp.ndarray,  # (N,) u32 r8 | g8 << 8 | b8 << 16 | op8 << 24
     cfg: RenderConfig,
     block: int,
+    compact_to: int | None = None,
 ) -> Binned:
     """Core of bin_splats_packed, taking the packed u32 columns directly —
     the projector's SoA fast path (projector.splat_screen_words) feeds this
-    without ever materializing the (N, 10) record array."""
+    without ever materializing the (N, 10) record array.
+
+    compact_to: keep only the first `compact_to` rows AFTER the canonical
+    record sort (valid records sort before the inf-depth sentinels, so this
+    keeps the nearest compact_to records).  The rank-band splat-parallel
+    mode (parallel/band.py) uses it to shed its all_to_all sentinel padding
+    before the pair-scale work: the pair sort shrinks from N*cap to
+    compact_to*cap slots.  Records beyond the capacity are DROPPED (the
+    caller checks its valid count and flags overflow)."""
     if block % 1024:
         raise ValueError(
             "block must be a multiple of 1024 (the blend kernel's windows are "
@@ -529,6 +538,16 @@ def bin_packed_words(
             (dkeys, iota_n, w_pos, w_ro, w_rgb), num_keys=2, is_stable=False
         )
         r_fx = (w_ro & 0xFFFF).astype(jnp.int32)
+
+    if compact_to is not None:
+        n = int(compact_to)
+        dk_s, w_pos, w_rgb, r_fx = (
+            dk_s[:n], w_pos[:n], w_rgb[:n], r_fx[:n],
+        )
+        if w_ro is not None:
+            w_ro = w_ro[:n]
+        iota_n = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+        p = n * cap
 
     # footprints from the sorted words (unpacked values are grid-exact f32)
     cx_fx = (w_pos & 0xFFFF).astype(jnp.int32)

@@ -56,8 +56,12 @@ def render_tiles(
     binned: Binned,
     cfg: RenderConfig,
     pair_chunk: int = 1024,
+    return_tiles: bool = False,
 ) -> jnp.ndarray:
-    """Composite the binned splats; returns the (H, W, 3) image."""
+    """Composite the binned splats; returns the (H, W, 3) image, or the
+    per-tile premultiplied partials (tile_color (T, tp, 3), tile_alpha
+    (T, tp)) with return_tiles=True — the layer format of blend.over_merge
+    (splat-parallel band compositing combines these across devices)."""
     num_tiles = cfg.num_tiles
     tp = cfg.tile_pixels
     pair_tile = binned["pair_tile"]
@@ -105,4 +109,6 @@ def render_tiles(
         jnp.ones((num_tiles + 1, tp), jnp.float32),
     )
     (color, trans), _ = jax.lax.scan(body, init, (tiles_c, splats_c))
+    if return_tiles:
+        return color[:num_tiles], 1.0 - trans[:num_tiles]
     return tiles_to_image(color[:num_tiles], 1.0 - trans[:num_tiles], cfg)

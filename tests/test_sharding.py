@@ -130,3 +130,55 @@ class TestViewDP:
             _, _, ds = depth_sort(data[i, :, 7], data[i])
             ref = render_tiles(ds, bin_splats(ds, rcfg), rcfg)
             np.testing.assert_allclose(imgs[i], ref, atol=2e-5, err_msg=f"view {i}")
+
+
+class TestBandParallel:
+    """Rank-band splat-parallel compositing (parallel/band.py): shards the
+    pair SORT and the blend by global depth band; must match single-device
+    exactly (the over-merge across bands is the same 'over' algebra)."""
+
+    def test_band_frame_matches_single_device(self, key):
+        from splat_renderer_tpu.parallel import band_frame_fn, make_mesh
+        from splat_renderer_tpu.render.binning import canonical_sort_data
+
+        scene = _scene()
+        rcfg = RenderConfig(width=64, height=64, base_radius=0.08,
+                            tiles_per_splat_cap=4)
+        pcfg = PointConfig(descent_steps=3)
+        mesh = make_mesh(dp=1, sp=4)
+        fn = band_frame_fn(scene, mesh, n=1024, pcfg=pcfg, rcfg=rcfg,
+                           band_slack=2.0)
+        camera = {k: v[0] for k, v in _cameras(1, aspect=1.0).items()}
+        img_band, stats = fn(scene.params(), camera, key)
+        assert not bool(stats["band_overflow"])
+        assert int(stats["band_max_count"]) <= 2 * 256
+
+        # single-device reference: same dev-major splat layout + fold keys
+        params = scene.params()
+        shards = [
+            model_points(scene, params, jax.random.fold_in(key, d), 256,
+                         pcfg, rcfg)
+            for d in range(4)
+        ]
+        splats = jax.tree.map(lambda *xs: jnp.concatenate(xs), *shards)
+        data = splat_screen_data(splats, camera, rcfg)
+        ds = canonical_sort_data(data, rcfg)
+        img_ref = np.asarray(render_tiles(ds, bin_splats(ds, rcfg), rcfg))
+        np.testing.assert_allclose(np.asarray(img_band), img_ref, atol=3e-5)
+
+    def test_band_overflow_flagged(self, key):
+        """A tiny band capacity must flag overflow and still render finite
+        (dropped records, never garbage)."""
+        from splat_renderer_tpu.parallel import band_frame_fn, make_mesh
+
+        scene = _scene()
+        rcfg = RenderConfig(width=64, height=64, base_radius=0.08,
+                            tiles_per_splat_cap=4)
+        pcfg = PointConfig(descent_steps=2)
+        mesh = make_mesh(dp=1, sp=2)
+        fn = band_frame_fn(scene, mesh, n=512, pcfg=pcfg, rcfg=rcfg,
+                           band_slack=0.05)
+        camera = {k: v[0] for k, v in _cameras(1, aspect=1.0).items()}
+        img, stats = fn(scene.params(), camera, key)
+        assert bool(stats["band_overflow"])
+        assert np.all(np.isfinite(np.asarray(img)))
