@@ -1022,6 +1022,38 @@ class TestEdgeCases:
         np.testing.assert_allclose(img[16, 16], expect, atol=1e-5)
         np.testing.assert_allclose(img[0, 0], cfg.background, atol=1e-6)
 
+    def test_radius_cap_invisible_when_radii_in_range(self, key):
+        """tiles_per_splat_cap must have ZERO image effect while every
+        projected radius stays under the cap's r_max — the clamp divergence
+        (documented, bench-quantified via radius_clamped_frac) only engages
+        on out-of-range footprints."""
+        from splat_renderer_tpu.render.pipeline import model_points
+        from splat_renderer_tpu.render.projector import project_planes
+        from splat_renderer_tpu.render.binning import canonical_sort_data
+
+        scene = spt.SDFScene(spt.Sphere(id="s", radius=0.5))
+        cam = spt.Camera(aspect=1.0)
+        camera = {k: jnp.asarray(v) for k, v in cam.arrays().items()}
+        imgs = []
+        for cap in (4, 16):
+            cfg = RenderConfig(width=96, height=96, base_radius=0.02,
+                               tiles_per_splat_cap=cap)
+            splats = model_points(scene, scene.params(), key, 800,
+                                  spt.PointConfig(), cfg)
+            proj = project_planes(
+                camera["view_proj"], camera["cam_pos"], splats["px"],
+                splats["py"], splats["pz"], splats["radius"], cfg,
+            )
+            # preconditions: nothing clamped under the SMALLER cap
+            if cap == 4:
+                k4 = max(int(cfg.tiles_per_splat_cap**0.5), 2)
+                r_max = (k4 - 1) * cfg.tile_size / (2.0 * cfg.bounds_margin)
+                assert float(jnp.max(proj["radius_raw"])) < r_max
+            data = splat_screen_data(splats, camera, cfg)
+            ds = canonical_sort_data(data, cfg)
+            imgs.append(np.asarray(render_tiles(ds, bin_splats(ds, cfg), cfg)))
+        np.testing.assert_array_equal(imgs[0], imgs[1])
+
     def test_radius_cap_keeps_footprint_within_capacity(self, rng):
         """After the projector's radius cap, no splat footprint can exceed
         tiles_per_splat_cap, so binning never drops covered tiles."""
