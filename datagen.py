@@ -22,7 +22,7 @@ import numpy as np
 import splat_renderer_tpu as spt
 from splat_renderer_tpu.render import render_views
 from splat_renderer_tpu.render.pipeline import model_points
-from splat_renderer_tpu.utils.image import write_png
+from splat_renderer_tpu.utils.image import unflatten_rows, write_png
 
 
 def main():
@@ -50,7 +50,9 @@ def main():
     @jax.jit
     def step_fn(params, cameras, key):
         splats = model_points(scene, params, key, args.points, pcfg, rcfg)
-        return render_views(splats, cameras, rcfg)
+        # device-side u8 + flat rows: 4x less host transfer, no lane-padded
+        # (V, H, W, 3) output, no host-side conversion (utils/image.py)
+        return render_views(splats, cameras, rcfg, flat=True, as_uint8=True)
 
     manifest = {"frames": [], "width": args.width, "height": args.height,
                 "fov_deg": 45.0}
@@ -66,18 +68,30 @@ def main():
             elevation=0.4 + 0.1 * math.sin(t),
         )
         cameras = {k: jnp.asarray(v) for k, v in cam_arrays.items()}
-        imgs = np.asarray(step_fn(scene.params(), cameras,
-                                  jax.random.PRNGKey(step)))
-        for v in range(args.views):
-            name = f"step{step:03d}_view{v:02d}.png"
-            write_png(os.path.join(args.out, name), imgs[v])
-            manifest["frames"].append({
-                "file": name,
-                "step": step,
-                "time": t,
-                "view_proj": np.asarray(cam_arrays["view_proj"][v]).tolist(),
-                "cam_pos": np.asarray(cam_arrays["cam_pos"][v]).tolist(),
-            })
+        imgs = unflatten_rows(
+            np.asarray(step_fn(scene.params(), cameras,
+                               jax.random.PRNGKey(step))),
+            args.width,
+        )
+        # thread the PNG writes: zlib releases the GIL, so V encodes overlap
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(args.views, 8)) as pool:
+            futs = []
+            for v in range(args.views):
+                name = f"step{step:03d}_view{v:02d}.png"
+                futs.append(pool.submit(
+                    write_png, os.path.join(args.out, name), imgs[v]
+                ))
+                manifest["frames"].append({
+                    "file": name,
+                    "step": step,
+                    "time": t,
+                    "view_proj": np.asarray(cam_arrays["view_proj"][v]).tolist(),
+                    "cam_pos": np.asarray(cam_arrays["cam_pos"][v]).tolist(),
+                })
+            for fu in futs:
+                fu.result()
         print(f"step {step}: wrote {args.views} views")
 
     with open(os.path.join(args.out, "manifest.json"), "w") as f:

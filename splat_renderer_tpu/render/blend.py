@@ -72,7 +72,32 @@ def splat_alpha(
     pix: jnp.ndarray,  # (..., 2) broadcastable against data[..., :2]
     cfg: RenderConfig,
 ) -> jnp.ndarray:
-    """Per-(splat, pixel) alpha contribution.
+    """Per-(splat, pixel) alpha contribution — record-array wrapper over
+    splat_alpha_planes (see there for semantics and reference citations).
+
+    NOTE: the (..., 10) record / (..., 2) pixel broadcasting form lane-pads
+    the trailing dims toward 128 on TPU; hot loops (oracle, compositor) call
+    splat_alpha_planes with per-field planes instead.  Both are the same op
+    sequence, so results are bit-equal."""
+    return splat_alpha_planes(
+        data[..., 0], data[..., 1], data[..., 2], data[..., 3],
+        data[..., 8], data[..., 9],
+        pix[..., 0], pix[..., 1], cfg,
+    )
+
+
+def splat_alpha_planes(
+    cx: jnp.ndarray,
+    cy: jnp.ndarray,
+    radius: jnp.ndarray,
+    opacity: jnp.ndarray,
+    angle: jnp.ndarray,
+    ratio: jnp.ndarray,
+    px: jnp.ndarray,
+    py: jnp.ndarray,
+    cfg: RenderConfig,
+) -> jnp.ndarray:
+    """Per-(splat, pixel) alpha from broadcastable per-field planes.
 
     Matches evaluateSplat (src/ComputeShaderRenderer.ts:97-148):
     - reject pixels outside the padded bounds box (:117-121)
@@ -93,11 +118,8 @@ def splat_alpha(
       (src/Renderer.ts:189-201): with front-to-back blending, the nearest
       covering splat wins exactly.
     """
-    center = data[..., 0:2]
-    radius = data[..., 2]
-    opacity = data[..., 3]
-
-    delta = pix - center
+    dx = px - cx
+    dy = py - cy
     big_enough = radius >= cfg.min_screen_radius
 
     # The hard support cutoff below must decide IDENTICALLY in every
@@ -110,8 +132,7 @@ def splat_alpha(
     # (dist2 <= margin2 * scale2); the division survives only inside the
     # exp() argument, where an ulp perturbs alpha by ~1e-7.
     if cfg.oriented:
-        angle = data[..., 8]
-        ratio = jnp.maximum(data[..., 9], 1e-3)
+        rr = jnp.maximum(ratio, 1e-3)
         # same fixed-polynomial trig as the Pallas kernel
         ca, sa = ellipse_cos_sin(angle)
         # foreshortening acts ALONG the angle direction (the surface normal's
@@ -119,17 +140,17 @@ def splat_alpha(
         # ratio.  Multiplying the whole metric through by ratio^2 keeps the
         # cutoff divide-free: (u/ratio)^2 + v^2 <= m^2 r^2 <=>
         # u^2 + (v ratio)^2 <= m^2 (r ratio)^2.
-        u = ca * delta[..., 0] + sa * delta[..., 1]
-        vr = (-sa * delta[..., 0] + ca * delta[..., 1]) * ratio
+        u = ca * dx + sa * dy
+        vr = (-sa * dx + ca * dy) * rr
         dist2 = u * u + vr * vr
-        scale = radius * ratio
+        scale = radius * rr
     else:
         # isotropic path: NO rotation, even though the quantized angle grid
         # has no exact zero (angle 0 quantizes to pi/255) — a rotated distance
         # differs by ~1e-7 relative fp error, which flips pixels across the
         # hard cutoff below (measured 0.015 diffs on-TPU, round 2).  Must stay
         # the exact op sequence of the kernel's isotropic branch.
-        dist2 = delta[..., 0] * delta[..., 0] + delta[..., 1] * delta[..., 1]
+        dist2 = dx * dx + dy * dy
         scale = radius
 
     scale2 = scale * scale

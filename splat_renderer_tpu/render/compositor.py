@@ -26,7 +26,11 @@ import jax.numpy as jnp
 
 from ..config import RenderConfig
 from .binning import Binned
-from .blend import composite_over_background, segmented_exclusive_product, splat_alpha
+from .blend import (
+    composite_over_background,
+    segmented_exclusive_product,
+    splat_alpha_planes,
+)
 
 
 def _tile_pixel_offsets(cfg: RenderConfig) -> jnp.ndarray:
@@ -79,19 +83,22 @@ def render_tiles(
     splats_c = pair_splat.reshape(n_chunks, pair_chunk)
 
     pix_off = _tile_pixel_offsets(cfg)  # (tp, 2)
+    pox = pix_off[:, 0]  # (tp,) planes — the (c, tp, 2) pixel broadcast
+    poy = pix_off[:, 1]  # lane-pads 2 -> 128 on TPU (blend.splat_alpha note)
     ts = float(cfg.tile_size)
 
     def body(carry, inputs):
         color, trans = carry  # (T+1, tp, 3), (T+1, tp)
         tile_ids, splat_ids = inputs  # (c,), (c,)
-        data = splat_data_sorted[splat_ids]  # (c, 8)
-        origin = jnp.stack(
-            [(tile_ids % cfg.tiles_x).astype(jnp.float32) * ts,
-             (tile_ids // cfg.tiles_x).astype(jnp.float32) * ts],
-            axis=-1,
-        )  # (c, 2)
-        pix = origin[:, None, :] + pix_off[None, :, :]  # (c, tp, 2)
-        a = splat_alpha(data[:, None, :], pix, cfg)  # (c, tp)
+        data = splat_data_sorted[splat_ids]  # (c, 10)
+        origin_x = (tile_ids % cfg.tiles_x).astype(jnp.float32) * ts  # (c,)
+        origin_y = (tile_ids // cfg.tiles_x).astype(jnp.float32) * ts
+        pxc = origin_x[:, None] + pox[None, :]  # (c, tp)
+        pyc = origin_y[:, None] + poy[None, :]
+        a = splat_alpha_planes(
+            data[:, 0:1], data[:, 1:2], data[:, 2:3], data[:, 3:4],
+            data[:, 8:9], data[:, 9:10], pxc, pyc, cfg,
+        )  # (c, tp)
         a = jnp.where((tile_ids < num_tiles)[:, None], a, 0.0)
 
         starts = jnp.concatenate(

@@ -178,7 +178,7 @@ class Engine:
         n: Optional[int] = None,
         compositor: str = "auto",
         cache_size: int = 8,
-        blend_kernel: str = "flat",
+        blend_kernel: str = "tile",
     ):
         self.scene = scene
         self.pcfg = pcfg
