@@ -93,8 +93,7 @@ def main() -> None:
             s["radius"], rcfg,
         )
     )(splats, camera)
-    kcap = max(int(rcfg.tiles_per_splat_cap**0.5), 2)
-    r_cap = (kcap - 1) * rcfg.tile_size / (2.0 * rcfg.bounds_margin)
+    r_cap = rcfg.r_cap
     r_raw = np.asarray(proj["radius_raw"])
     clamp_frac = float((r_raw > r_cap).mean())
     r_raw_max = float(r_raw.max())

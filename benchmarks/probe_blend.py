@@ -64,7 +64,6 @@ def main():
         t_bin, binned = time_fn(bin_j, words, warmup=2, iters=5)
         counts = np.asarray(binned["counts"])
         used = int(np.asarray(binned["block_off"])[-1])
-        mb = max(1024 // 1024, -(-int(used * 1.25) // 1) )  # blocks, not rows
         mb = int(used * 1.25) + 8
         if block == 1024:
             print(f"active_pairs={counts.sum()} nonempty_tiles={(counts>0).sum()} "

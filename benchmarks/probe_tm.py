@@ -61,12 +61,14 @@ def main():
     print("   bit-equal at eps=0:", np.array_equal(i3, i4))
     for se in (2, 4):
         run(f"tile eps=dflt sat_every={se}", "tile", mt, -1.0, se)
-    # fast profile
+    # fast profile: MUST re-bin with fast_math (the flag lives in the pair
+    # sort, not the kernel) — timing includes the re-binning
     rf = rcfg.replace(fast_math=True)
-    f = jax.jit(lambda d, b: render_tiles_pallas(
-        d, b, rf, block=BLOCK, eps=-1.0, max_blocks=mt, kernel="tile"))
-    t, imgf = time_fn(f, data, binned, warmup=2, iters=5)
-    print(f"{'tile fast_math eps=dflt':40}: {t*1e3:7.2f} ms")
+    f = jax.jit(lambda d: render_tiles_pallas(
+        d, bin_splats_packed(d, rf, BLOCK), rf, block=BLOCK, eps=-1.0,
+        max_blocks=mt, kernel="tile"))
+    t, imgf = time_fn(f, data, warmup=2, iters=5)
+    print(f"{'tile fast bin+blend eps=dflt':40}: {t*1e3:7.2f} ms (incl. bin)")
     print("   max diff fast vs exact:", np.abs(np.asarray(imgf) - i2).max())
 
 

@@ -116,6 +116,17 @@ class RenderConfig:
     blend_chunk: int = 32
 
     @property
+    def r_cap(self) -> float:
+        """Screen-radius cap: the largest radius whose padded bounds box
+        (side 2*bounds_margin*r) spans at most floor(sqrt(tiles_per_splat_
+        cap)) tiles per axis.  THE single definition — the projector clamp,
+        the EWA major-axis clamp, the 2-word r:10 bit budget and the bench
+        clamp stats all derive from it (they must agree exactly or binning
+        silently drops covered tiles)."""
+        k = max(int(self.tiles_per_splat_cap ** 0.5), 2)
+        return (k - 1) * self.tile_size / (2.0 * self.bounds_margin)
+
+    @property
     def pos_offset(self) -> float:
         """Origin shift of the u16 fixed-point screen grid: centers down to
         -256 px (clipped splats; radii are capped far below this)."""

@@ -136,10 +136,14 @@ def band_frame_fn(
 
         # static masked all_to_all layout: row b carries this device's
         # band-b records; sentinels get +inf depth keys (sort last, binned
-        # as invalid)
+        # as invalid).  Projection-invalid records (dk >= the +inf depth
+        # key) are NOT routed at all — they would otherwise land in the last
+        # band and inflate its count, firing band_overflow spuriously when
+        # nothing visible was dropped (they contribute zero alpha anyway).
         rows = jax.lax.broadcasted_iota(jnp.int32, (sp, 1), 0)
-        keep = band[None, :] == rows  # (sp, n_local)
-        inf_key = jnp.uint32(0xFFFFFFFF)
+        inf_depth = jnp.uint32(0xFF800000)  # packing.depth_bits(+inf)
+        keep = (band[None, :] == rows) & (w["dk"] < inf_depth)[None, :]
+        sent_key = jnp.uint32(0xFFFFFFFF)
 
         def route(col, sentinel):
             buf = jnp.where(keep, col[None, :], sentinel)
@@ -151,12 +155,14 @@ def band_frame_fn(
         # (sp, n_local) where row s came from source device s — flat row
         # index s * n_local + i IS the dev-major global input index, the
         # canonical tie-break (matches the single-device reference order).
-        dk_r = route(w["dk"], inf_key).reshape(-1)
+        dk_r = route(w["dk"], sent_key).reshape(-1)
         pos_r = route(w["w_pos"], jnp.uint32(0)).reshape(-1)
         ro_r = route(w["w_ro"], jnp.uint32(0)).reshape(-1)
         rgb_r = route(w["w_rgb"], jnp.uint32(0)).reshape(-1)
 
-        n_valid = jnp.sum((dk_r != inf_key).astype(jnp.int32))
+        # records this band must actually composite (excludes sentinels AND
+        # projection-invalid records)
+        n_valid = jnp.sum((dk_r < inf_depth).astype(jnp.int32))
 
         binned = bin_packed_words(
             dk_r, pos_r, ro_r, rgb_r, rcfg, blend_block, compact_to=cap_band

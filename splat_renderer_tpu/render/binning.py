@@ -168,11 +168,13 @@ def _diag_prune(
     oriented profiles the test uses the major-radius disc, which contains
     the support ellipse — still conservative.
 
-    Returns (c_d, miss): the footprint slot index (row-major dy*w+dx) of the
-    diagonal tile, and whether to prune it.  Only 2x2 footprints with the
-    center tile inside the window are candidates (larger footprints from
-    high caps are left alone — cap 4, the production setting, is always
-    <= 2x2).
+    Returns (c_d, miss, dtx, dty): the footprint slot index (row-major
+    dy*w+dx) of the diagonal tile, whether to prune it, and the diagonal
+    tile's coordinates (used by the count-correction einsum — computed here
+    ONCE so the prune and its correction can never drift apart).  Only 2x2
+    footprints with the center tile inside the window are candidates
+    (larger footprints from high caps are left alone — cap 4, the
+    production setting, is always <= 2x2).
     """
     ts = float(cfg.tile_size)
     ctx = jnp.clip(jnp.floor(cx / ts), 0, cfg.tiles_x - 1).astype(jnp.int32)
@@ -190,7 +192,9 @@ def _diag_prune(
     pad = radius * cfg.bounds_margin + 1.0 / cfg.pos_scale
     miss = applicable & (dx * dx + dy * dy > pad * pad)
     c_d = (1 - ciy) * 2 + (1 - cix)
-    return c_d, miss
+    dtx = tx0 + 1 - cix
+    dty = ty0 + 1 - ciy
+    return c_d, miss, dtx, dty
 
 
 def bin_splats(splat_data_sorted: jnp.ndarray, cfg: RenderConfig) -> Binned:
@@ -210,7 +214,7 @@ def bin_splats(splat_data_sorted: jnp.ndarray, cfg: RenderConfig) -> Binned:
     n = tx0.shape[0]
     cap = cfg.tiles_per_splat_cap
     num_tiles = cfg.num_tiles
-    c_d, miss = _diag_prune(
+    c_d, miss, _, _ = _diag_prune(
         splat_data_sorted[:, 0], splat_data_sorted[:, 1],
         splat_data_sorted[:, 2], tx0, ty0, w, h, cfg,
     )
@@ -320,7 +324,7 @@ def bin_splats_stream(
     cap = cfg.tiles_per_splat_cap
     num_tiles = cfg.num_tiles
     p = n * cap
-    c_d, miss = _diag_prune(
+    c_d, miss, _, _ = _diag_prune(
         splat_data_sorted[:, 0], splat_data_sorted[:, 1],
         splat_data_sorted[:, 2], tx0, ty0, w, h, cfg,
     )
@@ -430,8 +434,7 @@ def two_word_spec(cfg: RenderConfig):
         return None
     ps = cfg.pos_scale
     ts = cfg.tile_size
-    k = max(int(cfg.tiles_per_splat_cap**0.5), 2)
-    r_cap_fx = round((k - 1) * ts / (2.0 * cfg.bounds_margin) * ps)
+    r_cap_fx = round(cfg.r_cap * ps)
     pad_rel = math.ceil(cfg.bounds_margin * r_cap_fx)
     if r_cap_fx > 1023 or ts * ps + 2 * pad_rel > 2047:
         return None
@@ -576,7 +579,7 @@ def bin_packed_words(
         ang=ang,
         ratio=ratio,
     )
-    c_d, miss = _diag_prune(cx_f, cy_f, r_f, tx0, ty0, w, h, cfg)
+    c_d, miss, dtx_d, dty_d = _diag_prune(cx_f, cy_f, r_f, tx0, ty0, w, h, cfg)
 
     # ---- pair stage: slot-major (cap, n) expansion (broadcasts become
     # contiguous tiled copies, ~3x faster than (n, cap) element-repeats) ----
@@ -660,14 +663,8 @@ def bin_packed_words(
     # correction is one more MXU matmul — the histogram stays scatter-free
     iota_tx = jax.lax.broadcasted_iota(jnp.int32, (1, cfg.tiles_x), 1)
     iota_ty = jax.lax.broadcasted_iota(jnp.int32, (1, cfg.tiles_y), 1)
-    ctx_i = jnp.clip(jnp.floor(cx_f / float(cfg.tile_size)), 0,
-                     cfg.tiles_x - 1).astype(jnp.int32)
-    cty_i = jnp.clip(jnp.floor(cy_f / float(cfg.tile_size)), 0,
-                     cfg.tiles_y - 1).astype(jnp.int32)
-    dtx = tx0 + 1 - (ctx_i - tx0)
-    dty = ty0 + 1 - (cty_i - ty0)
-    ex = (iota_tx == dtx[:, None]).astype(jnp.float32)
-    ey = ((iota_ty == dty[:, None]) & miss[:, None]).astype(jnp.float32)
+    ex = (iota_tx == dtx_d[:, None]).astype(jnp.float32)
+    ey = ((iota_ty == dty_d[:, None]) & miss[:, None]).astype(jnp.float32)
     corr = jnp.einsum(
         "ny,nx->yx", ey, ex, precision=jax.lax.Precision.HIGHEST
     ).reshape(-1).astype(jnp.int32)

@@ -93,8 +93,7 @@ def project_planes(
     # record itself keeps every compositor (oracle included) consistent.
     # (The reference has the same pathology class and merely warns,
     # src/GPUTileBinner.ts:265-281.)
-    k = max(int(cfg.tiles_per_splat_cap**0.5), 2)
-    r_max = (k - 1) * cfg.tile_size / (2.0 * cfg.bounds_margin)
+    r_max = cfg.r_cap
     radius_raw = jnp.where(valid, screen_radius, 0.0)  # pre-clamp, for stats
     screen_radius = jnp.minimum(screen_radius, r_max)
     screen_radius = jnp.where(valid, screen_radius, 0.0)
@@ -225,9 +224,7 @@ def screen_planes(
         # swapped components... arctan2 of the primary form is stable except
         # when both components vanish (isotropic M) where angle is arbitrary.
         angle = jnp.arctan2(lam_lo - m00, m01)
-        k_cap = max(int(cfg.tiles_per_splat_cap**0.5), 2)
-        r_cap = (k_cap - 1) * cfg.tile_size / (2.0 * cfg.bounds_margin)
-        major_c = jnp.minimum(major, r_cap)
+        major_c = jnp.minimum(major, cfg.r_cap)
         ell_radius = jnp.where(proj["valid"], major_c, 0.0)
         ratio = jnp.clip(minor / jnp.maximum(major, 1e-8), 0.05, 1.0)
     elif cfg.oriented:

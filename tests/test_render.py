@@ -181,15 +181,12 @@ class TestBinning:
             _diag_prune, _tile_footprint,
         )
         ptx0, pty0, pw, ph = _tile_footprint(data_s, cfg)
-        c_d, miss = _diag_prune(
+        _, miss, dtx, dty = _diag_prune(
             data_s[:, 0], data_s[:, 1], data_s[:, 2], ptx0, pty0, pw, ph, cfg
         )
-        ptx0, pty0 = np.asarray(ptx0), np.asarray(pty0)
-        c_d, miss = np.asarray(c_d), np.asarray(miss)
+        miss, dtx, dty = np.asarray(miss), np.asarray(dtx), np.asarray(dty)
         for s in np.nonzero(miss)[0]:
-            dtx = ptx0[s] + (c_d[s] % 2)
-            dty = pty0[s] + (c_d[s] // 2)
-            member[dty * cfg.tiles_x + dtx, s] = False
+            member[dty[s] * cfg.tiles_x + dtx[s], s] = False
 
         offsets = np.asarray(binned["offsets"])
         pair_splat = np.asarray(binned["pair_splat"])
@@ -214,17 +211,17 @@ class TestBinning:
             _random_screen_splats(rng, 300, cfg, r_lo=1.0, r_hi=10.0), cfg
         )
         tx0, ty0, w, h = _tile_footprint(data, cfg)
-        c_d, miss = _diag_prune(
+        _, miss, dtx_a, dty_a = _diag_prune(
             data[:, 0], data[:, 1], data[:, 2], tx0, ty0, w, h, cfg
         )
-        tx0, ty0 = np.asarray(tx0), np.asarray(ty0)
-        c_d, miss = np.asarray(c_d), np.asarray(miss)
+        miss = np.asarray(miss)
+        dtx_a, dty_a = np.asarray(dtx_a), np.asarray(dty_a)
         pruned = np.nonzero(miss)[0]
         assert len(pruned) > 0, "no 2x2 corner misses in 300 random splats?"
         ts = cfg.tile_size
         for s in pruned:
-            dtx = tx0[s] + (c_d[s] % 2)
-            dty = ty0[s] + (c_d[s] // 2)
+            dtx = dtx_a[s]
+            dty = dty_a[s]
             ys, xs = np.mgrid[0:ts, 0:ts]
             pix = jnp.asarray(
                 np.stack([dtx * ts + xs + 0.5, dty * ts + ys + 0.5], -1),
