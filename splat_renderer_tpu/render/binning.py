@@ -543,7 +543,9 @@ def bin_packed_words(
         r_fx = (w_ro & 0xFFFF).astype(jnp.int32)
 
     if compact_to is not None:
-        n = int(compact_to)
+        # a capacity above the input size is a no-op (slack * n/sp can
+        # exceed n for small meshes)
+        n = min(int(compact_to), n)
         dk_s, w_pos, w_rgb, r_fx = (
             dk_s[:n], w_pos[:n], w_rgb[:n], r_fx[:n],
         )
