@@ -75,6 +75,37 @@ def check(name: str, cfg: RenderConfig, n: int, key: int = 0) -> bool:
     return ok
 
 
+def check_class_partition() -> bool:
+    """Class-partitioned pair expansion must be bit-identical on device."""
+    from splat_renderer_tpu.render.binning import bin_splats_packed
+
+    scene = _scene()
+    cfg = RenderConfig(width=640, height=368, base_radius=0.03,
+                       tiles_per_splat_cap=4)
+    cam = spt.Camera(aspect=cfg.width / cfg.height)
+    camera = {k: jnp.asarray(v) for k, v in cam.arrays().items()}
+    splats = jax.jit(
+        lambda p, k: model_points(scene, p, k, 20_000, PointConfig(), cfg)
+    )(scene.params(), jax.random.PRNGKey(0))
+    data = jax.jit(lambda s, c: splat_screen_data(s, c, cfg))(splats, camera)
+    base = jax.jit(lambda d: bin_splats_packed(d, cfg, 1024))(data)
+    n_hi, n_mid = (int(x) for x in np.asarray(base["class_counts"]))
+    caps = (n_hi + 64, (n_mid - n_hi) + 64)
+    img_b = np.asarray(
+        jax.jit(lambda d: render_tiles_pallas(d, None, cfg))(data)
+    )
+    img_c = np.asarray(
+        jax.jit(
+            lambda d: render_tiles_pallas(d, None, cfg, class_caps=caps)
+        )(data)
+    )
+    d = np.abs(img_c - img_b).max()
+    ok = d == 0.0
+    print(f"{'class-partition binning':>24}: class|full={d:.2e}  "
+          f"{'OK' if ok else 'FAIL (expect bit-equal)'}")
+    return ok
+
+
 def check_render_band() -> bool:
     """render_band's Pallas branch on a 1-device mesh vs the full-frame path."""
     from jax.sharding import Mesh, PartitionSpec as P
@@ -136,6 +167,7 @@ def main() -> int:
         surface_render_config(640, 368, base_radius=0.02, tiles_per_splat_cap=16),
         20_000,
     )
+    ok &= check_class_partition()
     ok &= check_render_band()
     print("PARITY GATE:", "PASS" if ok else "FAIL")
     return 0 if ok else 1

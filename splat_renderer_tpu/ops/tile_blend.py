@@ -555,6 +555,7 @@ def render_tiles_pallas(
     sat_every: int = 2,
     kernel: str = "flat",
     return_tiles: bool = False,
+    class_caps: Tuple[int, int] | None = None,
 ) -> jnp.ndarray:
     """Drop-in replacement for render/compositor.render_tiles on TPU.
 
@@ -578,7 +579,9 @@ def render_tiles_pallas(
     None = the safe bound (never overflows).
     """
     if binned is None or "pair_w" not in binned:
-        binned = bin_splats_packed(splat_data_quantized, cfg, block)
+        binned = bin_splats_packed(
+            splat_data_quantized, cfg, block, class_caps=class_caps
+        )
     if kernel == "tile":
         mt = cfg.num_tiles if max_blocks is None else max_blocks
         tile_color, tile_alpha = pallas_blend_tiles_tm(
@@ -601,7 +604,7 @@ def render_tiles_pallas(
         else:
             out = tiles_to_image(tile_color, tile_alpha, cfg)
         if return_stats:
-            return out, {"blocks_used": used, "overflow": used > mt}
+            return out, _blend_stats(binned, used, used > mt)
         return out
     mb = binned["block_tile"].shape[0] if max_blocks is None else max_blocks
     tile_color, tile_alpha = pallas_blend_tiles(
@@ -630,5 +633,16 @@ def render_tiles_pallas(
     else:
         out = tiles_to_image(tile_color, tile_alpha, cfg)
     if return_stats:
-        return out, {"blocks_used": used, "overflow": used > mb}
+        return out, _blend_stats(binned, used, used > mb)
     return out
+
+
+def _blend_stats(binned: Binned, used, overflow) -> dict:
+    """Stats for the caller's capacity protocols: blend window/tile usage
+    plus the binner's footprint-class census (pipeline.Engine sizes its
+    pair class_caps from these and re-renders on either overflow)."""
+    stats = {"blocks_used": used, "overflow": overflow}
+    if "class_counts" in binned:
+        stats["class_counts"] = binned["class_counts"]
+        stats["class_overflow"] = binned["class_overflow"]
+    return stats

@@ -74,6 +74,7 @@ def _footprint_cols(
     cfg: RenderConfig,
     ang: jnp.ndarray | None = None,
     ratio: jnp.ndarray | None = None,
+    cap: int | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Clamped tile ranges (tx0, ty0, w, h) per splat.
 
@@ -86,12 +87,16 @@ def _footprint_cols(
     compositors, so the AABB can never under-cover the kernel's cutoff.
     Edge-on splats bin ~1/ratio fewer tiles than the square pad.
 
-    Footprints larger than cfg.tiles_per_splat_cap tiles are shrunk toward the
-    splat's center tile (capacity-bounded expansion; the reference merely
-    warns on pathological overlap, src/GPUTileBinner.ts:265-281).  Splats
-    below min_screen_radius contribute nothing anywhere
-    (src/ComputeShaderRenderer.ts:127-129), so they are dropped here.
+    Footprints larger than `cap` tiles (default cfg.tiles_per_splat_cap) are
+    shrunk toward the splat's center tile (capacity-bounded expansion; the
+    reference merely warns on pathological overlap,
+    src/GPUTileBinner.ts:265-281).  Splats below min_screen_radius contribute
+    nothing anywhere (src/ComputeShaderRenderer.ts:127-129), so they are
+    dropped here.  The class-partitioned expansion (bin_packed_words
+    class_caps) passes per-slice slot budgets as `cap`.
     """
+    if cap is None:
+        cap = cfg.tiles_per_splat_cap
     pad = radius * cfg.bounds_margin
     if ang is not None:
         from .blend import ellipse_cos_sin
@@ -125,7 +130,6 @@ def _footprint_cols(
 
     w = tx1 - tx0 + 1
     h = ty1 - ty0 + 1
-    cap = cfg.tiles_per_splat_cap
     # shrink to <= cap tiles, keeping the window centered on the center tile
     w_c = jnp.minimum(w, cap)
     # rows allowed = cap // w_c, via a static select chain: TPU has no vector
@@ -442,7 +446,10 @@ def two_word_spec(cfg: RenderConfig):
 
 
 def bin_splats_packed(
-    splat_data_quantized: jnp.ndarray, cfg: RenderConfig, block: int
+    splat_data_quantized: jnp.ndarray,
+    cfg: RenderConfig,
+    block: int,
+    class_caps: Tuple[int, int] | None = None,
 ) -> Binned:
     """Fastest binning path: packed records, rank-keyed two-stage sort.
 
@@ -482,7 +489,9 @@ def bin_splats_packed(
 
     dkeys = depth_bits(splat_data_quantized[:, 7])
     w_pos, w_ro, w_rgb = pack_records(splat_data_quantized, cfg)
-    return bin_packed_words(dkeys, w_pos, w_ro, w_rgb, cfg, block)
+    return bin_packed_words(
+        dkeys, w_pos, w_ro, w_rgb, cfg, block, class_caps=class_caps
+    )
 
 
 def bin_packed_words(
@@ -493,6 +502,7 @@ def bin_packed_words(
     cfg: RenderConfig,
     block: int,
     compact_to: int | None = None,
+    class_caps: Tuple[int, int] | None = None,
 ) -> Binned:
     """Core of bin_splats_packed, taking the packed u32 columns directly —
     the projector's SoA fast path (projector.splat_screen_words) feeds this
@@ -504,7 +514,18 @@ def bin_packed_words(
     mode (parallel/band.py) uses it to shed its all_to_all sentinel padding
     before the pair-scale work: the pair sort shrinks from N*cap to
     compact_to*cap slots.  Records beyond the capacity are DROPPED (the
-    caller checks its valid count and flags overflow)."""
+    caller checks its valid count and flags overflow).
+
+    class_caps: (C4, C2) static slice capacities for the class-partitioned
+    pair expansion.  One extra N-scale fused-key sort orders records by
+    footprint class (needs > 2 slots / == 2 / <= 1), and the expansion
+    budgets `cap` slots for the first C4 records, 2 for the next C2 and 1
+    for the rest — the pair-sort input shrinks from N*cap toward the true
+    pair count (the frame's wall is that sort).  Output is identical to
+    class_caps=None whenever the census fits (`class_counts` <= caps);
+    records spilled past their class's capacity render with a SHRUNK
+    footprint (center tiles only, never garbage) and `class_overflow` is
+    set so the caller can re-render at safe caps (Engine protocol)."""
     if block % 1024:
         raise ValueError(
             "block must be a multiple of 1024 (the blend kernel's windows are "
@@ -555,23 +576,29 @@ def bin_packed_words(
         p = n * cap
 
     # footprints from the sorted words (unpacked values are grid-exact f32)
-    cx_fx = (w_pos & 0xFFFF).astype(jnp.int32)
-    cy_fx = (w_pos >> 16).astype(jnp.int32)
     inv_ps = 1.0 / ps
-    if cfg.oriented:
-        from .packing import INV_ANGLE_SCALE, INV_RATIO_SCALE
 
-        ang = ((w_ro >> 16) & 0xFF).astype(jnp.int32).astype(
-            jnp.float32
-        ) * INV_ANGLE_SCALE - math.pi
-        ratio = (w_ro >> 24).astype(jnp.int32).astype(
-            jnp.float32
-        ) * INV_RATIO_SCALE
-    else:
-        ang = ratio = None
-    cx_f = cx_fx.astype(jnp.float32) * inv_ps - po
-    cy_f = cy_fx.astype(jnp.float32) * inv_ps - po
-    r_f = r_fx.astype(jnp.float32) * inv_ps
+    def _planes(w_pos_x, w_ro_x, r_fx_x):
+        """Grid-exact f32 planes from the packed words (order-agnostic)."""
+        cx_fx = (w_pos_x & 0xFFFF).astype(jnp.int32)
+        cy_fx = (w_pos_x >> 16).astype(jnp.int32)
+        if cfg.oriented:
+            from .packing import INV_ANGLE_SCALE, INV_RATIO_SCALE
+
+            ang = ((w_ro_x >> 16) & 0xFF).astype(jnp.int32).astype(
+                jnp.float32
+            ) * INV_ANGLE_SCALE - math.pi
+            ratio = (w_ro_x >> 24).astype(jnp.int32).astype(
+                jnp.float32
+            ) * INV_RATIO_SCALE
+        else:
+            ang = ratio = None
+        cx_f = cx_fx.astype(jnp.float32) * inv_ps - po
+        cy_f = cy_fx.astype(jnp.float32) * inv_ps - po
+        r_f = r_fx_x.astype(jnp.float32) * inv_ps
+        return cx_fx, cy_fx, cx_f, cy_f, r_f, ang, ratio
+
+    cx_fx, cy_fx, cx_f, cy_f, r_f, ang, ratio = _planes(w_pos, w_ro, r_fx)
     tx0, ty0, w, h = _footprint_cols(
         cx_f,
         cy_f,
@@ -581,46 +608,167 @@ def bin_packed_words(
         ang=ang,
         ratio=ratio,
     )
+
+    # footprint-class census (drives the caller's class_caps sizing protocol)
+    wh = w * h
+    n_hi = jnp.sum((wh > 2).astype(jnp.int32))
+    n_mid = jnp.sum((wh >= 2).astype(jnp.int32))
+
+    rank_bits = _ceil_log2(max(n, 2))
+    if class_caps is None:
+        segs = [(0, n, cap)]
+        rank_col = iota_n.astype(jnp.uint32)
+        class_overflow = jnp.bool_(False)
+    else:
+        # ---- class partition: one N-scale fused-key sort orders records
+        # class-major (slots needed: > 2 -> cap, == 2 -> 2, <= 1 -> 1), so
+        # the pair expansion can budget slots per class slice.  P shrinks
+        # from N*cap toward the real pair count (~2.1N vs 4N at the 1M
+        # bench shape) and the PAIR sort — the frame's wall — shrinks with
+        # it.  Ranks ride in the key's low bits, so canonical compositing
+        # order is untouched.  Slice capacities are static (jit): the
+        # caller sizes them from the class census with headroom and
+        # re-renders on class_overflow (pipeline.Engine growth protocol,
+        # same as the blend window classes).
+        c4, c2 = int(class_caps[0]), int(class_caps[1])
+        if c4 < 0 or c2 < 0 or c4 + c2 > n:
+            raise ValueError(
+                "class_caps must satisfy C4 >= 0, C2 >= 0, C4 + C2 <= n"
+            )
+        code = jnp.where(
+            wh > 2, 0, jnp.where(wh == 2, 1, jnp.where(wh == 1, 2, 3))
+        ).astype(jnp.uint32)
+        class_overflow = (n_hi > c4) | (n_mid > c4 + c2)
+        rank_u = iota_n.astype(jnp.uint32)
+        fold_r = w_ro is None and rank_bits + 12 <= 32
+        if fold_r:
+            # isotropic 2-word profile: key = code:2 | rank | r:10 — the
+            # radius rides in the key (same trick as ro_in_key above) and
+            # the sort carries only 2 payload columns
+            ckey = (
+                (code << (rank_bits + 10))
+                | (rank_u << 10)
+                | jnp.minimum(r_fx, 1023).astype(jnp.uint32)
+            )
+            ckey_s, w_pos, w_rgb = jax.lax.sort(
+                (ckey, w_pos, w_rgb), num_keys=1, is_stable=False
+            )
+            r_fx = (ckey_s & jnp.uint32(0x3FF)).astype(jnp.int32)
+            rank_col = (ckey_s >> 10) & jnp.uint32((1 << rank_bits) - 1)
+            code_shift = rank_bits + 10
+        elif w_ro is None:
+            ckey = (code << rank_bits) | rank_u
+            ckey_s, w_pos, w_rgb, r_u = jax.lax.sort(
+                (ckey, w_pos, w_rgb, r_fx.astype(jnp.uint32)),
+                num_keys=1,
+                is_stable=False,
+            )
+            r_fx = r_u.astype(jnp.int32)
+            rank_col = ckey_s & jnp.uint32((1 << rank_bits) - 1)
+            code_shift = rank_bits
+        else:
+            ckey = (code << rank_bits) | rank_u
+            ckey_s, w_pos, w_ro, w_rgb = jax.lax.sort(
+                (ckey, w_pos, w_ro, w_rgb), num_keys=1, is_stable=False
+            )
+            r_fx = (w_ro & 0xFFFF).astype(jnp.int32)
+            rank_col = ckey_s & jnp.uint32((1 << rank_bits) - 1)
+            code_shift = rank_bits
+        cx_fx, cy_fx, cx_f, cy_f, r_f, ang, ratio = _planes(w_pos, w_ro, r_fx)
+        alive_c = (ckey_s >> code_shift) < 3
+        segs = [
+            s
+            for s in ((0, c4, cap), (c4, c4 + c2, 2), (c4 + c2, n, 1))
+            if s[1] > s[0]
+        ]
+        # effective per-slice footprints: counts and the expansion must agree
+        # EXACTLY even under class overflow (spilled records degrade to their
+        # slice's slot budget around the center tile — fewer tiles, never
+        # garbage).  Recomputed elementwise from the reordered words; for
+        # records whose class fits the slice budget this reproduces the
+        # full-cap footprint bit-identically.
+        parts = [
+            _footprint_cols(
+                cx_f[lo:hi],
+                cy_f[lo:hi],
+                r_f[lo:hi],
+                alive_c[lo:hi],
+                cfg,
+                ang=None if ang is None else ang[lo:hi],
+                ratio=None if ratio is None else ratio[lo:hi],
+                cap=budget,
+            )
+            for lo, hi, budget in segs
+        ]
+        tx0, ty0, w, h = (
+            jnp.concatenate([pt[i] for pt in parts]) if len(parts) > 1
+            else parts[0][i]
+            for i in range(4)
+        )
+
     c_d, miss, dtx_d, dty_d = _diag_prune(cx_f, cy_f, r_f, tx0, ty0, w, h, cfg)
 
-    # ---- pair stage: slot-major (cap, n) expansion (broadcasts become
-    # contiguous tiled copies, ~3x faster than (n, cap) element-repeats) ----
-    c = jax.lax.broadcasted_iota(jnp.int32, (cap, n), 0)
-    wb = w[None, :]
-    # dy = c // w without integer division (TPU has no vector int divide):
-    # count the multiples of w that are <= c
-    dy = jnp.zeros_like(c)
-    for k in range(1, cap):
-        dy = dy + (c >= k * wb).astype(jnp.int32)
-    dx = c - dy * wb
-    tile_x = tx0[None, :] + dx
-    tile_y = ty0[None, :] + dy
-    tile = tile_y * cfg.tiles_x + tile_x
-    active = (c < (w * h)[None, :]) & ~((c == c_d[None, :]) & miss[None, :])
-    tile = jnp.where(active, tile, num_tiles)
-
-    def bc(x):
-        return jnp.broadcast_to(x[None, :], (cap, n)).reshape(-1)
-
-    if spec is not None:
-        # tile-relative packing: cx_rel = cx_fx - ((tx*ts + po)*ps - pad_rel)
-        pad_rel = spec["pad_rel"]
-        tsps = cfg.tile_size * ps
-        r_cl = jnp.minimum(r_fx, 1023)  # defensive: contract is r <= r_cap_fx
-        cx_rel = cx_fx[None, :] - tile_x * int(tsps) + int(pad_rel - po * ps)
-        cy_rel = cy_fx[None, :] - tile_y * int(tsps) + int(pad_rel - po * ps)
-        w_a = (
-            (cy_rel.astype(jnp.uint32) << 21)
-            | (cx_rel.astype(jnp.uint32) << 10)
-            | r_cl.astype(jnp.uint32)[None, :]
+    # ---- pair stage: slot-major (budget, m) expansion per class slice
+    # (broadcasts become contiguous tiled copies, ~3x faster than (n, cap)
+    # element-repeats); the single-slice [(0, n, cap)] case is the classic
+    # full-cap expansion ----
+    tile_parts, rank_parts, pay_parts = [], [], []
+    for lo, hi, budget in segs:
+        m = hi - lo
+        c = jax.lax.broadcasted_iota(jnp.int32, (budget, m), 0)
+        wb = w[None, lo:hi]
+        # dy = c // w without integer division (TPU has no vector int
+        # divide): count the multiples of w that are <= c
+        dy = jnp.zeros_like(c)
+        for k in range(1, budget):
+            dy = dy + (c >= k * wb).astype(jnp.int32)
+        dx = c - dy * wb
+        tile_x = tx0[None, lo:hi] + dx
+        tile_y = ty0[None, lo:hi] + dy
+        tile = tile_y * cfg.tiles_x + tile_x
+        active = (c < (w * h)[None, lo:hi]) & ~(
+            (c == c_d[None, lo:hi]) & miss[None, lo:hi]
         )
-        w_a = jnp.where(active, w_a, 0).reshape(-1)
-        payload = (w_a, bc(w_rgb))
-    else:
-        payload = (bc(w_pos), bc(w_ro), bc(w_rgb))
+        tile = jnp.where(active, tile, num_tiles)
+        tile_parts.append(tile.reshape(-1))
+        rank_parts.append(
+            jnp.broadcast_to(rank_col[None, lo:hi], (budget, m)).reshape(-1)
+        )
+
+        def bc(x, budget=budget, m=m, lo=lo, hi=hi):
+            return jnp.broadcast_to(x[None, lo:hi], (budget, m)).reshape(-1)
+
+        if spec is not None:
+            # tile-relative packing: cx_rel = cx_fx - ((tx*ts + po)*ps -
+            # pad_rel)
+            pad_rel = spec["pad_rel"]
+            tsps = cfg.tile_size * ps
+            r_cl = jnp.minimum(r_fx[lo:hi], 1023)  # contract: r <= r_cap_fx
+            cx_rel = (
+                cx_fx[None, lo:hi] - tile_x * int(tsps) + int(pad_rel - po * ps)
+            )
+            cy_rel = (
+                cy_fx[None, lo:hi] - tile_y * int(tsps) + int(pad_rel - po * ps)
+            )
+            w_a = (
+                (cy_rel.astype(jnp.uint32) << 21)
+                | (cx_rel.astype(jnp.uint32) << 10)
+                | r_cl.astype(jnp.uint32)[None, :]
+            )
+            w_a = jnp.where(active, w_a, 0).reshape(-1)
+            pay_parts.append((w_a, bc(w_rgb)))
+        else:
+            pay_parts.append((bc(w_pos), bc(w_ro), bc(w_rgb)))
+
+    def cat(parts):
+        return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+
+    tile_flat = cat(tile_parts)
+    rank_flat = cat(rank_parts)
+    payload = tuple(cat(list(cols)) for cols in zip(*pay_parts))
+    p = tile_flat.shape[0]  # = sum(budget * slice) <= n * cap
 
     tile_bits = _ceil_log2(num_tiles + 1)
-    rank_bits = _ceil_log2(max(n, 2))
     coarse = tile_bits + rank_bits - 32
     if coarse <= 0 or (cfg.fast_math and coarse <= 4):
         # single fused u32 key: (tile << shift) | rank — ranks unique per
@@ -631,18 +779,17 @@ def bin_packed_words(
         # (a sub-quantization-step deviation; measured v5e: nk1 9.1 ms vs
         # nk2 12.0 ms @4M).
         shift = 32 - tile_bits
-        rank = jnp.broadcast_to(
-            iota_n.astype(jnp.uint32)[None, :], (cap, n)
-        ).reshape(-1)
+        rank = rank_flat
         if coarse > 0:
             rank = rank >> coarse
-        fused = (tile.reshape(-1).astype(jnp.uint32) << shift) | rank
+        fused = (tile_flat.astype(jnp.uint32) << shift) | rank
         res = jax.lax.sort((fused,) + payload, num_keys=1, is_stable=False)
         sorted_payload = res[1:]
     else:
-        rank = jnp.broadcast_to(iota_n[None, :], (cap, n)).reshape(-1)
         res = jax.lax.sort(
-            (tile.reshape(-1), rank) + payload, num_keys=2, is_stable=False
+            (tile_flat, rank_flat.astype(jnp.int32)) + payload,
+            num_keys=2,
+            is_stable=False,
         )
         sorted_payload = res[2:]
 
@@ -741,4 +888,6 @@ def bin_packed_words(
         "tile_local0": jnp.where(real, t_win0 * block - offsets[safe], 0),
         "tile_count": jnp.where(real, counts[safe], 0),
         "tiles_used": jnp.sum(nz.astype(jnp.int32)),
+        "class_counts": jnp.stack([n_hi, n_mid]),
+        "class_overflow": class_overflow,
     }

@@ -77,6 +77,7 @@ def render_splats(
     blend_max_blocks: Optional[int] = None,
     return_stats: bool = False,
     blend_kernel: str = "flat",
+    pair_class_caps: Optional[Tuple[int, int]] = None,
 ):
     """Splat chain: project -> depth sort -> bin -> composite -> (H, W, 3).
 
@@ -95,8 +96,14 @@ def render_splats(
 
     blend_max_blocks: static grid-capacity class for the Pallas blend (see
     ops.tile_blend.render_tiles_pallas); with return_stats=True the Pallas
-    path returns (image, {"blocks_used", "overflow"}) so callers can run the
-    capacity-growth protocol (Engine does this automatically).
+    path returns (image, {"blocks_used", "overflow", "class_counts",
+    "class_overflow"}) so callers can run the capacity-growth protocols
+    (Engine does this automatically).
+
+    pair_class_caps: (C4, C2) static footprint-class capacities for the
+    binner's class-partitioned pair expansion (binning.bin_packed_words) —
+    shrinks the pair sort, the frame's wall, toward the true pair count.
+    None = safe full-cap expansion.
     """
     if compositor == "auto":
         compositor = "pallas" if on_tpu() else "tiles"
@@ -114,7 +121,7 @@ def render_splats(
         )
         binned = bin_packed_words(
             words["dk"], words["w_pos"], words["w_ro"], words["w_rgb"],
-            rcfg, blend_block,
+            rcfg, blend_block, class_caps=pair_class_caps,
         )
         return render_tiles_pallas(
             None, binned, rcfg, block=blend_block,
@@ -186,8 +193,9 @@ class Engine:
         self.compositor = compositor
         self.blend_kernel = blend_kernel
         self._n = n
-        self._cache: Dict[Tuple[str, Optional[int]], Callable] = {}
+        self._cache: Dict[Tuple, Callable] = {}
         self._class: Dict[str, Optional[int]] = {}
+        self._ccaps: Dict[str, Optional[Tuple[int, int]]] = {}
         self._cache_size = cache_size
 
     @property
@@ -199,9 +207,9 @@ class Engine:
             self.compositor == "auto" and on_tpu()
         )
 
-    def _fn(self, mb: Optional[int]) -> Callable:
+    def _fn(self, mb: Optional[int], cc: Optional[Tuple[int, int]]) -> Callable:
         h = self.scene.structure_hash()
-        fn = self._cache.get((h, mb))
+        fn = self._cache.get((h, mb, cc))
         if fn is None:
             from ..utils.log import log_rebuild
 
@@ -217,28 +225,60 @@ class Engine:
                 return render_splats(
                     splats, camera, rcfg, comp,
                     blend_max_blocks=mb, return_stats=True, blend_kernel=bk,
+                    pair_class_caps=cc,
                 )
 
             fn = frame
             while len(self._cache) >= self._cache_size:
                 self._cache.pop(next(iter(self._cache)))
-            self._cache[(h, mb)] = fn
+            self._cache[(h, mb, cc)] = fn
         return fn
 
     def frame(self, camera: CameraArrays, key: jax.Array) -> jnp.ndarray:
         h = self.scene.structure_hash()
         mb = self._class.get(h)
-        img, stats = self._fn(mb)(self.scene.params(), camera, key)
+        cc = self._ccaps.get(h)
+        img, stats = self._fn(mb, cc)(self.scene.params(), camera, key)
         if stats is not None and self._uses_pallas():
             used = int(stats["blocks_used"])
+            if cc is not None and bool(stats.get("class_overflow", False)):
+                # footprint-class overflow: spilled records rendered with
+                # shrunk footprints — drop back to the safe expansion for
+                # this frame (it also re-runs the census and adopts new caps)
+                self._ccaps[h] = None
+                return self.frame(camera, key)
             if mb is not None and used > mb:
                 # capacity overflow: grow the class and re-render this frame
                 self._class[h] = _capacity_class(used, self.CLASS_HEADROOM)
                 return self.frame(camera, key)
             if mb is None:
-                # first frame ran at the safe bound; adopt a tight class
+                # first frame ran at the safe bounds; adopt tight classes
                 self._class[h] = _capacity_class(used, self.CLASS_HEADROOM)
+                if cc is None and "class_counts" in stats:
+                    n_hi, n_mid = (int(x) for x in stats["class_counts"])
+                    self._ccaps[h] = _class_caps(
+                        n_hi, n_mid, self.n,
+                        self.rcfg.tiles_per_splat_cap, self.CLASS_HEADROOM,
+                    )
         return img
+
+
+def _class_caps(
+    n_hi: int, n_mid: int, n: int, cap: int, headroom: float = 1.25
+) -> Optional[Tuple[int, int]]:
+    """Size the binner's (C4, C2) footprint-class capacities from the census
+    (1024-granular, with headroom), or None when the class partition would
+    not shrink the pair-sort input enough to pay for its extra N-scale sort
+    (needs roughly a 25%+ cut)."""
+    q = lambda x: max(1024, -(-int(x * headroom) // 1024) * 1024)  # noqa: E731
+    c4 = q(n_hi)
+    c2 = q(n_mid - n_hi)
+    if c4 + c2 > n:
+        return None
+    p_class = cap * c4 + 2 * c2 + (n - c4 - c2)
+    if p_class > 0.75 * cap * n:
+        return None
+    return (c4, c2)
 
 
 def _capacity_class(used: int, headroom: float = 1.25) -> int:

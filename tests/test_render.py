@@ -1068,3 +1068,89 @@ class TestEdgeCases:
         data = splat_screen_records(splats, vp, cp, cfg)
         tx0, ty0, w, h = _tile_footprint(data, cfg)
         assert int(jnp.max(w * h)) <= cfg.tiles_per_splat_cap
+
+
+class TestClassPartition:
+    """The class-partitioned pair expansion (bin_packed_words class_caps)
+    must be invisible when the census fits the capacities: identical run
+    tables and identical real-pair stream content.  On overflow it must
+    degrade to shrunk footprints (subset of the full pair set), flag it, and
+    never corrupt the run tables."""
+
+    CFG4 = RenderConfig(width=128, height=96, tiles_per_splat_cap=4)
+
+    def _quantized(self, rng, n, cfg, **kw):
+        from splat_renderer_tpu.render.packing import quantize_screen_data
+
+        k = max(int(cfg.tiles_per_splat_cap**0.5), 2)
+        r_max = (k - 1) * cfg.tile_size / (2.0 * cfg.bounds_margin)
+        return quantize_screen_data(
+            _random_screen_splats(rng, n, cfg, r_lo=0.6, r_hi=r_max, **kw), cfg
+        )
+
+    @staticmethod
+    def _real_pairs(binned):
+        """(n_words, total) columns of the real (non-sentinel) pair rows."""
+        pw = np.asarray(binned["pair_w"])
+        nwords = pw.shape[1] // 128
+        tot = int(np.asarray(binned["offsets"])[-1])
+        return np.stack(
+            [pw[:, i * 128:(i + 1) * 128].reshape(-1)[:tot] for i in range(nwords)]
+        )
+
+    @pytest.mark.parametrize("oriented", [False, True])
+    def test_fitting_caps_bit_equal(self, rng, oriented):
+        from splat_renderer_tpu.render.binning import bin_splats_packed
+
+        cfg = self.CFG4.replace(oriented=True) if oriented else self.CFG4
+        data = self._quantized(rng, 300, cfg, oriented=oriented)
+        base = bin_splats_packed(data, cfg, block=1024)
+        n_hi, n_mid = (int(x) for x in np.asarray(base["class_counts"]))
+        caps = (n_hi + 8, (n_mid - n_hi) + 8)
+        part = bin_splats_packed(data, cfg, block=1024, class_caps=caps)
+        assert not bool(part["class_overflow"])
+        np.testing.assert_array_equal(part["offsets"], base["offsets"])
+        np.testing.assert_array_equal(part["counts"], base["counts"])
+        np.testing.assert_array_equal(
+            self._real_pairs(part), self._real_pairs(base)
+        )
+        # the partition actually shrank the pair-slot capacity
+        assert part["pair_w"].shape[0] < base["pair_w"].shape[0]
+
+    def test_zero_caps_single_tile_per_splat(self, rng):
+        """C4 = C2 = 0 budgets one slot per record: every splat lands on
+        exactly its center tile (<= 1 pair each), flagged as overflow."""
+        from splat_renderer_tpu.render.binning import bin_splats_packed
+
+        cfg = self.CFG4
+        data = self._quantized(rng, 200, cfg)
+        base = bin_splats_packed(data, cfg, block=1024)
+        part = bin_splats_packed(data, cfg, block=1024, class_caps=(0, 0))
+        n_hi, n_mid = (int(x) for x in np.asarray(base["class_counts"]))
+        assert bool(part["class_overflow"]) == (n_mid > 0)
+        counts_b = np.asarray(base["counts"])
+        counts_p = np.asarray(part["counts"])
+        assert np.all(counts_p <= counts_b)
+        assert counts_p.sum() <= 200
+
+    def test_overflow_renders_finite_subset(self, rng):
+        from splat_renderer_tpu.render.binning import bin_splats_packed
+        from splat_renderer_tpu.ops.tile_blend import render_tiles_pallas
+
+        cfg = self.CFG4
+        data = self._quantized(rng, 200, cfg)
+        part = bin_splats_packed(data, cfg, block=1024, class_caps=(8, 8))
+        assert bool(part["class_overflow"])
+        img = render_tiles_pallas(data, part, cfg, block=1024, interpret=True)
+        assert np.isfinite(np.asarray(img)).all()
+
+    def test_class_caps_sizer(self):
+        from splat_renderer_tpu.render.pipeline import _class_caps
+
+        # everything class-1: huge win -> tight caps
+        caps = _class_caps(0, 0, 1_000_000, 4)
+        assert caps == (1024, 1024)
+        # everything class-hi: no win -> None
+        assert _class_caps(990_000, 1_000_000, 1_000_000, 4) is None
+        # caps can never exceed n
+        assert _class_caps(900_000, 950_000, 1_000_000, 4) is None
