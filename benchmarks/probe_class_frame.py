@@ -55,7 +55,13 @@ def main():
         p_class = cfg.tiles_per_splat_cap * cc[0] + 2 * cc[1] + (N - cc[0] - cc[1])
         print(f"pair slots: {N * cfg.tiles_per_splat_cap} -> {p_class}")
 
-    for tag, caps in (("no-class", None), ("class", cc)):
+    legs = [("no-class", None)]
+    if cc is not None:
+        legs.append(("class", cc))
+    else:
+        print("class_caps heuristic rejected the partition at this census; "
+              "skipping the (identical) class leg")
+    for tag, caps in legs:
         fn = jax.jit(
             lambda s, c, caps=caps: render_splats(
                 s, c, cfg, "pallas", blend_max_blocks=mt,

@@ -90,7 +90,12 @@ def check_class_partition() -> bool:
     data = jax.jit(lambda s, c: splat_screen_data(s, c, cfg))(splats, camera)
     base = jax.jit(lambda d: bin_splats_packed(d, cfg, 1024))(data)
     n_hi, n_mid = (int(x) for x in np.asarray(base["class_counts"]))
+    n = 20_000
     caps = (n_hi + 64, (n_mid - n_hi) + 64)
+    if caps[0] + caps[1] > n:
+        # census too multi-tile to partition at this n: (n, 0) degenerates
+        # to the full-cap expansion, keeping the bit-equality check valid
+        caps = (n, 0)
     img_b = np.asarray(
         jax.jit(lambda d: render_tiles_pallas(d, None, cfg))(data)
     )
@@ -103,6 +108,29 @@ def check_class_partition() -> bool:
     ok = d == 0.0
     print(f"{'class-partition binning':>24}: class|full={d:.2e}  "
           f"{'OK' if ok else 'FAIL (expect bit-equal)'}")
+    return ok
+
+
+def check_engine_class_protocol() -> bool:
+    """Engine must adopt pair class caps from the first-frame census (small
+    splats -> partition fires) and keep rendering bit-identically."""
+    from splat_renderer_tpu.render.pipeline import Engine
+
+    scene = _scene()
+    cfg = RenderConfig(width=640, height=368, base_radius=0.004,
+                       tiles_per_splat_cap=4)
+    eng = Engine(scene, PointConfig(), cfg, n=20_000)
+    cam = spt.Camera(aspect=cfg.width / cfg.height)
+    camera = {k: jnp.asarray(v) for k, v in cam.arrays().items()}
+    key = jax.random.PRNGKey(3)
+    img1 = np.asarray(eng.frame(camera, key))  # safe bounds + census
+    h = scene.structure_hash()
+    cc = eng._ccaps.get(h)
+    img2 = np.asarray(eng.frame(camera, key))  # runs with adopted caps
+    d = np.abs(img2 - img1).max()
+    ok = cc is not None and d == 0.0
+    print(f"{'engine class protocol':>24}: caps={cc}  safe|class={d:.2e}  "
+          f"{'OK' if ok else 'FAIL (expect caps adopted + bit-equal)'}")
     return ok
 
 
@@ -168,6 +196,7 @@ def main() -> int:
         20_000,
     )
     ok &= check_class_partition()
+    ok &= check_engine_class_protocol()
     ok &= check_render_band()
     print("PARITY GATE:", "PASS" if ok else "FAIL")
     return 0 if ok else 1

@@ -534,7 +534,6 @@ def bin_packed_words(
     n = dkeys.shape[0]
     cap = cfg.tiles_per_splat_cap
     num_tiles = cfg.num_tiles
-    p = n * cap
     ps = cfg.pos_scale
     po = cfg.pos_offset
 
@@ -573,7 +572,6 @@ def bin_packed_words(
         if w_ro is not None:
             w_ro = w_ro[:n]
         iota_n = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
-        p = n * cap
 
     # footprints from the sorted words (unpacked values are grid-exact f32)
     inv_ps = 1.0 / ps

@@ -244,7 +244,8 @@ class Engine:
             if cc is not None and bool(stats.get("class_overflow", False)):
                 # footprint-class overflow: spilled records rendered with
                 # shrunk footprints — drop back to the safe expansion for
-                # this frame (it also re-runs the census and adopts new caps)
+                # this frame (the safe re-render below re-runs the census
+                # and adopts fresh caps)
                 self._ccaps[h] = None
                 return self.frame(camera, key)
             if mb is not None and used > mb:
@@ -252,14 +253,17 @@ class Engine:
                 self._class[h] = _capacity_class(used, self.CLASS_HEADROOM)
                 return self.frame(camera, key)
             if mb is None:
-                # first frame ran at the safe bounds; adopt tight classes
+                # first frame ran at the safe bound; adopt a tight class
                 self._class[h] = _capacity_class(used, self.CLASS_HEADROOM)
-                if cc is None and "class_counts" in stats:
-                    n_hi, n_mid = (int(x) for x in stats["class_counts"])
-                    self._ccaps[h] = _class_caps(
-                        n_hi, n_mid, self.n,
-                        self.rcfg.tiles_per_splat_cap, self.CLASS_HEADROOM,
-                    )
+            if cc is None and "class_counts" in stats:
+                # every safe-expansion frame re-runs the census, so caps
+                # recover after an overflow once the distribution settles
+                # (the 1024-granular rounding + headroom damp flapping)
+                n_hi, n_mid = (int(x) for x in stats["class_counts"])
+                self._ccaps[h] = _class_caps(
+                    n_hi, n_mid, self.n,
+                    self.rcfg.tiles_per_splat_cap, self.CLASS_HEADROOM,
+                )
         return img
 
 
@@ -270,9 +274,8 @@ def _class_caps(
     (1024-granular, with headroom), or None when the class partition would
     not shrink the pair-sort input enough to pay for its extra N-scale sort
     (needs roughly a 25%+ cut)."""
-    q = lambda x: max(1024, -(-int(x * headroom) // 1024) * 1024)  # noqa: E731
-    c4 = q(n_hi)
-    c2 = q(n_mid - n_hi)
+    c4 = _capacity_class(n_hi, headroom)
+    c2 = _capacity_class(n_mid - n_hi, headroom)
     if c4 + c2 > n:
         return None
     p_class = cap * c4 + 2 * c2 + (n - c4 - c2)
