@@ -169,6 +169,50 @@ def check_render_band() -> bool:
     return ok
 
 
+def check_diff_path() -> bool:
+    """Differentiable path on device: the jitted scalar loss must match a
+    host-side reduction of the jitted image, and one gradient step must
+    descend it.
+
+    Guards the fit pattern against a measured axon-relay miscompile: a
+    jitted program that captures an image-sized array CONSTANT returns a
+    wrong scalar loss (0.0101 -> 0.0373, deterministic, images unaffected).
+    render/diff.py and fit_demo.py therefore pass target/splats as jit
+    ARGUMENTS; this check asserts that pattern stays correct on hardware.
+    """
+    from splat_renderer_tpu.render import render_diff
+    from splat_renderer_tpu.render.pipeline import model_points as mp
+
+    scene = _scene()
+    cfg = RenderConfig(width=64, height=64, base_radius=0.05,
+                       tiles_per_splat_cap=16)
+    cam = spt.Camera(azimuth=0.5, elevation=0.3, aspect=1.0)
+    camera = {k: jnp.asarray(v) for k, v in cam.arrays().items()}
+    splats = mp(scene, scene.params(), jax.random.PRNGKey(0), 500,
+                PointConfig(), cfg)
+    target = render_diff(splats, camera, cfg, method="tiles")
+    theta0 = {k: jnp.full_like(splats[k], 0.5)
+              for k in ("cr", "cg", "cb", "opacity")}
+
+    def loss(theta, splats, target):
+        img = render_diff(dict(splats, **theta), camera, cfg, method="tiles")
+        return jnp.mean((img - target) ** 2)
+
+    l_dev = float(jax.jit(loss)(theta0, splats, target))
+    img0 = np.asarray(
+        jax.jit(lambda t, s: render_diff(dict(s, **t), camera, cfg,
+                                         method="tiles"))(theta0, splats)
+    )
+    l_host = float(((img0 - np.asarray(target)) ** 2).mean())
+    g = jax.jit(jax.grad(loss))(theta0, splats, target)
+    theta1 = jax.tree.map(lambda x, gx: x - 300.0 * gx, theta0, g)
+    l_step = float(jax.jit(loss)(theta1, splats, target))
+    ok = abs(l_dev - l_host) < 1e-6 and l_step < l_dev
+    print(f"{'diff-path loss+descent':>24}: jit|host={abs(l_dev - l_host):.2e}  "
+          f"step {l_dev:.6f}->{l_step:.6f}  {'OK' if ok else 'FAIL'}")
+    return ok
+
+
 def main() -> int:
     print(f"device: {jax.devices()[0]}")
     ok = True
@@ -198,6 +242,7 @@ def main() -> int:
     ok &= check_class_partition()
     ok &= check_engine_class_protocol()
     ok &= check_render_band()
+    ok &= check_diff_path()
     print("PARITY GATE:", "PASS" if ok else "FAIL")
     return 0 if ok else 1
 

@@ -12,6 +12,7 @@ from .blend import (
     splat_alpha,
 )
 from .compositor import render_tiles, tiles_to_image
+from .diff import render_diff, splat_screen_records_diff
 from .oracle import pixel_grid, render_oracle
 from .pipeline import (
     Engine,
@@ -24,6 +25,7 @@ from .projector import (
     project_planes,
     project_splats,
     screen_planes,
+    shade_planes,
     splat_screen_records,
     splat_screen_words,
 )
@@ -41,10 +43,13 @@ __all__ = [
     "screen_planes",
     "splat_screen_records",
     "splat_screen_words",
+    "render_diff",
     "render_frame",
     "render_oracle",
     "render_splats",
     "render_tiles",
+    "shade_planes",
+    "splat_screen_records_diff",
     "segmented_exclusive_product",
     "splat_alpha",
     "splat_screen_data",

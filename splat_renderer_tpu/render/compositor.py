@@ -61,11 +61,20 @@ def render_tiles(
     cfg: RenderConfig,
     pair_chunk: int = 1024,
     return_tiles: bool = False,
+    differentiable: bool = False,
 ) -> jnp.ndarray:
     """Composite the binned splats; returns the (H, W, 3) image, or the
     per-tile premultiplied partials (tile_color (T, tp, 3), tile_alpha
     (T, tp)) with return_tiles=True — the layer format of blend.over_merge
-    (splat-parallel band compositing combines these across devices)."""
+    (splat-parallel band compositing combines these across devices).
+
+    differentiable=True (render/diff.py's tiles path) carries transmittance
+    in LOG space so the per-chunk fold is a scatter-ADD (scatter-multiply
+    with duplicate indices has no JAX gradient rule): forward results agree
+    with the default path to fp roundoff (one log/exp per (chunk, tile)
+    factor, ~1e-7 relative), and alpha is clamped below 1 by 1e-7 so the log
+    stays finite — an opaque-saturated pixel's transmittance bottoms out at
+    ~1e-7 per contributing splat instead of exactly 0."""
     num_tiles = cfg.num_tiles
     tp = cfg.tile_pixels
     pair_tile = binned["pair_tile"]
@@ -104,18 +113,28 @@ def render_tiles(
         starts = jnp.concatenate(
             [jnp.ones((1,), bool), tile_ids[1:] != tile_ids[:-1]]
         )
+        if differentiable:
+            a = jnp.minimum(a, 1.0 - 1e-7)  # keep log1p finite (see docstring)
         t_local = segmented_exclusive_product(1.0 - a, starts)  # (c, tp)
-        weight = a * t_local * trans[tile_ids]  # (c, tp)
+        trans_carry = jnp.exp(trans)[tile_ids] if differentiable else trans[tile_ids]
+        weight = a * t_local * trans_carry  # (c, tp)
         rgb = data[:, 4:7]
         color = color.at[tile_ids].add(weight[:, :, None] * rgb[:, None, :])
-        trans = trans.at[tile_ids].multiply(1.0 - a)
+        if differentiable:
+            trans = trans.at[tile_ids].add(jnp.log1p(-a))
+        else:
+            trans = trans.at[tile_ids].multiply(1.0 - a)
         return (color, trans), None
 
     init = (
         jnp.zeros((num_tiles + 1, tp, 3), jnp.float32),
-        jnp.ones((num_tiles + 1, tp), jnp.float32),
+        jnp.zeros((num_tiles + 1, tp), jnp.float32)
+        if differentiable
+        else jnp.ones((num_tiles + 1, tp), jnp.float32),
     )
     (color, trans), _ = jax.lax.scan(body, init, (tiles_c, splats_c))
+    if differentiable:
+        trans = jnp.exp(trans)
     if return_tiles:
         return color[:num_tiles], 1.0 - trans[:num_tiles]
     return tiles_to_image(color[:num_tiles], 1.0 - trans[:num_tiles], cfg)

@@ -138,28 +138,25 @@ def project_splats(
     }
 
 
-def screen_planes(
+def shade_planes(
     splats: Splats,
     view_proj: jnp.ndarray,  # (4, 4)
     cam_pos: jnp.ndarray,  # (3,)
     cfg: RenderConfig,
 ) -> Dict[str, jnp.ndarray]:
-    """Projection + appearance + fixed-point quantization, all (N,) planes.
+    """Projection + appearance as CONTINUOUS (N,) planes — the float values
+    screen_planes snaps onto the fixed-point record grids.
 
-    THE single implementation both record paths share: returns the integer
-    grid columns of the render record (render/packing.py grids) — cx_fx /
-    cy_fx / r_fx (u32, 1/pos_scale px), op8/r8/g8/b8/ang8/ratio8 (u32, u8
-    grids) plus depth (f32).  The packed-words fast path and the (N, 10)
-    record builder both consume these, so they quantize identically
-    (bit-equality is test-asserted).
+    Split out so the differentiable path (render/diff.py) can render from the
+    same projection/lighting/ellipse math without the quantization (round /
+    int casts have zero gradient).  Returns {cx, cy, radius, opacity, r, g,
+    b, depth, angle, ratio} — the unquantized render record fields.
 
     Lighting: litColor = color * (ambient + diffuse * max(dot(n, L), 0))
     (src/ComputeShaderRenderer.ts:143-145) depends only on per-splat normals,
     so it moves out of the per-pixel loop entirely — the reference recomputes
     it per (pixel, splat) pair.
     """
-    from .packing import ANGLE_SCALE, COLOR_SCALE, POS_MAX, RATIO_SCALE
-
     proj = project_planes(
         view_proj, cam_pos,
         splats["px"], splats["py"], splats["pz"], splats["radius"], cfg,
@@ -253,26 +250,58 @@ def screen_planes(
         angle = jnp.zeros_like(nx)
         ratio = jnp.ones_like(nx)
 
+    return {
+        "cx": proj["cx"],
+        "cy": proj["cy"],
+        "radius": ell_radius,
+        "opacity": splats["opacity"],
+        "r": splats["cr"] * lamb,
+        "g": splats["cg"] * lamb,
+        "b": splats["cb"] * lamb,
+        "depth": proj["depth"],
+        "angle": angle,
+        "ratio": ratio,
+    }
+
+
+def screen_planes(
+    splats: Splats,
+    view_proj: jnp.ndarray,  # (4, 4)
+    cam_pos: jnp.ndarray,  # (3,)
+    cfg: RenderConfig,
+) -> Dict[str, jnp.ndarray]:
+    """Projection + appearance + fixed-point quantization, all (N,) planes.
+
+    THE single implementation both record paths share: snaps shade_planes'
+    continuous values onto the integer grid columns of the render record
+    (render/packing.py grids) — cx_fx / cy_fx / r_fx (u32, 1/pos_scale px),
+    op8/r8/g8/b8/ang8/ratio8 (u32, u8 grids) plus depth (f32).  The
+    packed-words fast path and the (N, 10) record builder both consume these,
+    so they quantize identically (bit-equality is test-asserted).
+    """
+    from .packing import ANGLE_SCALE, COLOR_SCALE, POS_MAX, RATIO_SCALE
+
+    c = shade_planes(splats, view_proj, cam_pos, cfg)
     ps, po = cfg.pos_scale, cfg.pos_offset
     q = lambda v: jnp.round(jnp.clip((v + po) * ps, 0, POS_MAX)).astype(jnp.uint32)
     c8 = lambda v: jnp.round(jnp.clip(v, 0.0, 1.0) * COLOR_SCALE).astype(jnp.uint32)
     return {
-        "cx_fx": q(proj["cx"]),
-        "cy_fx": q(proj["cy"]),
-        "r_fx": jnp.round(jnp.clip(ell_radius * ps, 0, POS_MAX)).astype(
+        "cx_fx": q(c["cx"]),
+        "cy_fx": q(c["cy"]),
+        "r_fx": jnp.round(jnp.clip(c["radius"] * ps, 0, POS_MAX)).astype(
             jnp.uint32
         ),
-        "op8": c8(splats["opacity"]),
-        "r8": c8(splats["cr"] * lamb),
-        "g8": c8(splats["cg"] * lamb),
-        "b8": c8(splats["cb"] * lamb),
+        "op8": c8(c["opacity"]),
+        "r8": c8(c["r"]),
+        "g8": c8(c["g"]),
+        "b8": c8(c["b"]),
         "ang8": (
-            jnp.round((angle + _math.pi) * ANGLE_SCALE).astype(jnp.int32) % 256
+            jnp.round((c["angle"] + _math.pi) * ANGLE_SCALE).astype(jnp.int32) % 256
         ).astype(jnp.uint32),
         "ratio8": jnp.round(
-            jnp.clip(ratio, 1.0 / RATIO_SCALE, 1.0) * RATIO_SCALE
+            jnp.clip(c["ratio"], 1.0 / RATIO_SCALE, 1.0) * RATIO_SCALE
         ).astype(jnp.uint32),
-        "depth": proj["depth"],
+        "depth": c["depth"],
     }
 
 

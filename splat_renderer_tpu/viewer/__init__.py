@@ -1,4 +1,4 @@
-from .serve import serve
+from .serve import make_server, serve
 from .turntable import render_turntable
 
-__all__ = ["render_turntable", "serve"]
+__all__ = ["make_server", "render_turntable", "serve"]

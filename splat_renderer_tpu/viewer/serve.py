@@ -84,13 +84,17 @@ loop(); dirty = true;
 </script></body></html>"""
 
 
-def serve(
+def make_server(
     engine: Engine,
     port: int = 8000,
     animate: Optional[Callable[[float], None]] = None,
     host: str = "127.0.0.1",
-) -> None:
-    """Serve the interactive viewer (blocking)."""
+) -> ThreadingHTTPServer:
+    """Build the viewer HTTP server without starting it.
+
+    port=0 binds an ephemeral port (read it from `.server_address[1]`) —
+    the test surface; `serve` is the blocking entry point.
+    """
     cam = Camera(aspect=engine.rcfg.width / engine.rcfg.height)
     lock = threading.Lock()
     frame_counter = [0]
@@ -157,8 +161,18 @@ def serve(
             self.end_headers()
             self.wfile.write(body)
 
-    httpd = ThreadingHTTPServer((host, port), Handler)
-    print(f"splat_renderer_tpu viewer: http://{host}:{port}")
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def serve(
+    engine: Engine,
+    port: int = 8000,
+    animate: Optional[Callable[[float], None]] = None,
+    host: str = "127.0.0.1",
+) -> None:
+    """Serve the interactive viewer (blocking)."""
+    httpd = make_server(engine, port, animate, host)
+    print(f"splat_renderer_tpu viewer: http://{host}:{httpd.server_address[1]}")
     httpd.serve_forever()
 
 

@@ -118,17 +118,17 @@ class TestViewerHandler:
         import time
         import urllib.request
 
-        from splat_renderer_tpu.viewer import serve
+        from splat_renderer_tpu.viewer.serve import make_server
 
         scene = _scene()
         eng = Engine(scene, PointConfig(descent_steps=1),
                      RenderConfig(width=32, height=32, base_radius=0.1),
                      n=128, compositor="tiles")
-        port = 8765
-        th = threading.Thread(target=serve, args=(eng,),
-                              kwargs={"port": port}, daemon=True)
+        httpd = make_server(eng, port=0)  # ephemeral: no collisions
+        port = httpd.server_address[1]
+        th = threading.Thread(target=httpd.serve_forever, daemon=True)
         th.start()
-        time.sleep(0.5)
+        time.sleep(0.1)
         page = urllib.request.urlopen(f"http://127.0.0.1:{port}/").read()
         assert b"splat_renderer_tpu" in page
         r = urllib.request.urlopen(

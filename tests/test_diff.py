@@ -1,0 +1,185 @@
+"""Differentiable-rendering tests (render/diff.py).
+
+The WebGPU reference is forward-only (WGSL has no autodiff); gradient flow
+through the pipeline is a rebuild-only capability, so there is no reference
+counterpart to cite — the ground truth here is finite differences and
+loss-descent behavior.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import splat_renderer_tpu as spt
+from splat_renderer_tpu.config import RenderConfig
+from splat_renderer_tpu.render import render_diff, render_splats
+from splat_renderer_tpu.render.pipeline import model_points
+
+CFG = RenderConfig(width=64, height=64, base_radius=0.08,
+                   tiles_per_splat_cap=16)
+
+
+def _scene_and_splats(key, n=300, cfg=CFG):
+    scene = spt.SDFScene(
+        spt.union(spt.Sphere(id="a", radius=0.5),
+                  spt.Box(id="b", position=(0.5, 0, 0), size=(0.3, 0.3, 0.3)))
+    )
+    cam = spt.Camera(azimuth=0.4, elevation=0.3, aspect=1.0)
+    camera = {k: jnp.asarray(v) for k, v in cam.arrays().items()}
+    splats = model_points(scene, scene.params(), key, n, spt.PointConfig(), cfg)
+    return scene, camera, splats
+
+
+class TestForward:
+    def test_matches_exact_pipeline_within_quantization(self, key):
+        """The diff render differs from the exact (quantized) pipeline only
+        by the grid snap: <= 1/pos_scale px positions, 1/255 colors."""
+        _, camera, splats = _scene_and_splats(key)
+        img_d = np.asarray(render_diff(splats, camera, CFG))
+        img_q = np.asarray(render_splats(splats, camera, CFG, "oracle"))
+        assert np.all(np.isfinite(img_d))
+        # quantization moves a splat edge across at most ~a pixel's worth of
+        # alpha at isolated pixels; images agree closely in the mean
+        assert np.abs(img_d - img_q).mean() < 2e-3
+
+    def test_tiles_method_matches_oracle_method(self, key):
+        _, camera, splats = _scene_and_splats(key)
+        img_o = np.asarray(render_diff(splats, camera, CFG, method="oracle"))
+        img_t = np.asarray(render_diff(splats, camera, CFG, method="tiles"))
+        np.testing.assert_allclose(img_t, img_o, atol=3e-5)
+
+    def test_unknown_method_raises(self, key):
+        _, camera, splats = _scene_and_splats(key)
+        with pytest.raises(ValueError):
+            render_diff(splats, camera, CFG, method="nope")
+
+
+class TestGradients:
+    @pytest.mark.parametrize("method", ["oracle", "tiles"])
+    def test_color_gradient_matches_finite_differences(self, key, method):
+        _, camera, splats = _scene_and_splats(key, n=120)
+        target = jnp.zeros((CFG.height, CFG.width, 3)) + 0.5
+
+        @jax.jit  # one compile, 9 evals (grad + 8 FD probes)
+        def loss(cr):
+            s = dict(splats, cr=cr)
+            img = render_diff(s, camera, CFG, method=method)
+            return jnp.mean((img - target) ** 2)
+
+        g = jax.jit(jax.grad(loss))(splats["cr"])
+        assert np.all(np.isfinite(np.asarray(g)))
+        # check a handful of indices against central differences
+        idx = np.argsort(-np.abs(np.asarray(g)))[:4]
+        eps = 1e-2
+        for i in idx:
+            e = jnp.zeros_like(splats["cr"]).at[i].set(eps)
+            fd = (loss(splats["cr"] + e) - loss(splats["cr"] - e)) / (2 * eps)
+            assert float(fd) == pytest.approx(float(g[i]), rel=0.05, abs=1e-7)
+
+    def test_position_gradient_matches_finite_differences(self, key):
+        """Positions move splat centers across pixels — the gradient is exact
+        between support-cutoff crossings; FD with a small step stays inside
+        the smooth region for most splats."""
+        _, camera, splats = _scene_and_splats(key, n=80)
+        target = jnp.zeros((CFG.height, CFG.width, 3)) + 0.3
+
+        @jax.jit
+        def loss(px):
+            s = dict(splats, px=px)
+            img = render_diff(s, camera, CFG)
+            return jnp.mean((img - target) ** 2)
+
+        g = jax.jit(jax.grad(loss))(splats["px"])
+        assert np.all(np.isfinite(np.asarray(g)))
+        idx = np.argsort(-np.abs(np.asarray(g)))[:3]
+        eps = 1e-4
+        ok = 0
+        for i in idx:
+            e = jnp.zeros_like(splats["px"]).at[i].set(eps)
+            fd = (loss(splats["px"] + e) - loss(splats["px"] - e)) / (2 * eps)
+            if float(fd) == pytest.approx(float(g[i]), rel=0.15, abs=1e-9):
+                ok += 1
+        # cutoff crossings can spoil individual FD probes; most must agree
+        assert ok >= 2
+
+    def test_opacity_and_radius_receive_gradient(self, key):
+        _, camera, splats = _scene_and_splats(key, n=200)
+
+        def loss(op, rad):
+            s = dict(splats, opacity=op, radius=rad)
+            img = render_diff(s, camera, CFG)
+            return jnp.mean(img**2)
+
+        go, gr = jax.grad(loss, argnums=(0, 1))(
+            splats["opacity"], splats["radius"]
+        )
+        assert np.all(np.isfinite(np.asarray(go)))
+        assert np.all(np.isfinite(np.asarray(gr)))
+        assert float(jnp.abs(go).max()) > 0
+        assert float(jnp.abs(gr).max()) > 0
+
+
+class TestFitting:
+    def test_color_fit_recovers_target(self, key):
+        """Inverse rendering smoke test: gray-initialized colors descend to a
+        color-render target; loss must drop by >10x in 40 GD steps."""
+        _, camera, splats = _scene_and_splats(key, n=250)
+        target = render_diff(splats, camera, CFG)
+
+        init = {
+            "cr": jnp.full_like(splats["cr"], 0.5),
+            "cg": jnp.full_like(splats["cg"], 0.5),
+            "cb": jnp.full_like(splats["cb"], 0.5),
+        }
+
+        # target passed as a jit ARGUMENT, not captured: over the axon TPU
+        # relay, image-sized array constants baked into a large program can
+        # yield a wrong scalar loss (see fit_demo.py / CLAUDE.md).
+        @jax.jit
+        def step(c, target):
+            def loss(c):
+                img = render_diff(dict(splats, **c), camera, CFG)
+                return jnp.mean((img - target) ** 2)
+
+            l, g = jax.value_and_grad(loss)(c)
+            return l, jax.tree.map(lambda x, gx: x - 200.0 * gx, c, g)
+
+        c = init
+        l0, c = step(c, target)
+        for _ in range(40):
+            l, c = step(c, target)
+        assert float(l) < float(l0) / 10.0
+
+    def test_end_to_end_sdf_parameter_gradient(self, key):
+        """Gradient flows through the WHOLE pipeline — seeding, Newton
+        projection, curvature, splat derivation, projection, blend — to an
+        SDF scene parameter (the sphere radius)."""
+        cfg = RenderConfig(width=48, height=48, base_radius=0.1,
+                           tiles_per_splat_cap=16)
+        scene = spt.SDFScene(spt.Sphere(id="s", radius=0.5))
+        cam = spt.Camera(aspect=1.0)
+        camera = {k: jnp.asarray(v) for k, v in cam.arrays().items()}
+        params = scene.params()
+
+        @jax.jit
+        def silhouette(params):
+            splats = model_points(
+                scene, params, key, 400, spt.PointConfig(), cfg
+            )
+            img = render_diff(splats, camera, cfg)
+            bg = jnp.asarray(cfg.background)
+            return jnp.mean(jnp.abs(img - bg))  # grows with apparent size
+
+        g = jax.jit(jax.grad(silhouette))(params)
+        g_rad = float(g["s"]["radius"])
+        assert np.isfinite(g_rad)
+        # a bigger sphere covers more pixels -> positive silhouette gradient
+        assert g_rad > 0
+        # finite-difference corroboration (coarse: reseeding noise is frozen
+        # by the fixed key, so FD is smooth in radius)
+        eps = 1e-3
+        p_hi = {"s": dict(params["s"], radius=params["s"]["radius"] + eps)}
+        p_lo = {"s": dict(params["s"], radius=params["s"]["radius"] - eps)}
+        fd = (silhouette(p_hi) - silhouette(p_lo)) / (2 * eps)
+        assert float(fd) == pytest.approx(g_rad, rel=0.2)
