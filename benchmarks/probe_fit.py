@@ -1,0 +1,71 @@
+"""Probe: jitted fit-step (value_and_grad) cost of the differentiable tile
+path (render/diff.py method='tiles') on the real chip, across scales.
+
+The forward tile pipeline's Pallas blend kernel has no VJP; the diff path
+composites with the XLA scan compositor (render_tiles, pair_chunk steps of
+(chunk, tile_pixels) work).  This probe tells us where the fitting wall is
+and whether a custom Pallas backward kernel is the next lever.
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/probe_fit.py
+"""
+
+import time
+
+import jax
+import jax.numpy as jnp
+
+import splat_renderer_tpu as spt
+from splat_renderer_tpu.config import PointConfig, RenderConfig
+from splat_renderer_tpu.render import render_diff
+from splat_renderer_tpu.render.pipeline import model_points
+from splat_renderer_tpu.utils.timing import time_fn
+
+
+def main():
+    scene = spt.SDFScene(
+        spt.smooth_union(
+            0.15,
+            spt.Sphere(id="s1", radius=0.5),
+            spt.Box(id="b1", position=(0.6, 0, 0), size=(0.3, 0.3, 0.3)),
+        )
+    )
+    for n, size, cap in ((10_000, 256, 16), (50_000, 512, 8),
+                         (200_000, 512, 4), (500_000, 1024, 4)):
+        cfg = RenderConfig(width=size, height=size, base_radius=0.05,
+                           tiles_per_splat_cap=cap)
+        cam = spt.Camera(azimuth=0.5, elevation=0.3, aspect=1.0)
+        camera = {k: jnp.asarray(v) for k, v in cam.arrays().items()}
+        splats = model_points(scene, scene.params(), jax.random.PRNGKey(0),
+                              n, PointConfig(), cfg)
+        target = render_diff(splats, camera, cfg, method="tiles")
+        theta = {k: jnp.full_like(splats[k], 0.5)
+                 for k in ("cr", "cg", "cb", "opacity")}
+
+        @jax.jit
+        def step(theta, splats, target):
+            def loss(t):
+                img = render_diff(dict(splats, **t), camera, cfg,
+                                  method="tiles")
+                return jnp.mean((img - target) ** 2)
+
+            l, g = jax.value_and_grad(loss)(theta)
+            return l, g
+
+        fwd = jax.jit(
+            lambda t, s, _cfg=cfg, _cam=camera: render_diff(
+                dict(s, **t), _cam, _cfg, method="tiles"
+            )
+        )
+
+        t0 = time.perf_counter()
+        l, _ = step(theta, splats, target)
+        compile_s = time.perf_counter() - t0
+        sec, _ = time_fn(step, theta, splats, target, iters=5)
+        fsec, _ = time_fn(fwd, theta, splats, iters=5)
+        print(f"n={n:>7} {size}x{size} cap={cap}: fit step {sec * 1e3:8.1f} ms"
+              f"  (fwd-only diff {fsec * 1e3:7.1f} ms, compile {compile_s:.0f}"
+              f" s, loss {float(l):.4f})")
+
+
+if __name__ == "__main__":
+    main()

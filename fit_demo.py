@@ -8,9 +8,13 @@ re-initializes all splat colors to gray, and fits them back to the target
 with Adam — a miniature 3DGS-style appearance optimization.
 
     python fit_demo.py [--steps 150] [--n 2000] [--size 128] [--method tiles]
+                       [--views 4] [--fields cr,cg,cb,opacity,px,py,pz,radius]
 
-Prints the loss curve and final PSNR; optionally writes before/after PNGs
-with --out.
+--views M fits against M orbit-ring views jointly (multi-view inverse
+rendering); --fields selects what to optimize — appearance fields start from
+flat gray, geometry fields (px/py/pz/radius) start from a perturbed truth
+and must descend back.  Prints the loss curve and final PSNR; optionally
+writes before/after PNGs with --out.
 """
 
 import argparse
@@ -32,6 +36,11 @@ def main():
     ap.add_argument("--size", type=int, default=128)
     ap.add_argument("--method", choices=("oracle", "tiles"), default="tiles")
     ap.add_argument("--lr", type=float, default=3e-2)
+    ap.add_argument("--views", type=int, default=1,
+                    help="fit against this many orbit-ring views jointly")
+    ap.add_argument("--fields", type=str, default="cr,cg,cb,opacity",
+                    help="comma-separated splat fields to optimize "
+                         "(any of cr,cg,cb,opacity,px,py,pz,radius)")
     ap.add_argument("--out", type=str, default=None,
                     help="write <out>_target/init/fit.png")
     args = ap.parse_args()
@@ -45,17 +54,35 @@ def main():
     )
     cfg = spt.RenderConfig(width=args.size, height=args.size,
                            base_radius=0.05, tiles_per_splat_cap=16)
-    cam = spt.Camera(azimuth=0.5, elevation=0.3, aspect=1.0)
-    camera = {k: jnp.asarray(v) for k, v in cam.arrays().items()}
+    cameras = []
+    for v in range(args.views):
+        cam = spt.Camera(
+            azimuth=0.5 + 2.0 * 3.14159265 * v / max(args.views, 1),
+            elevation=0.3, aspect=1.0,
+        )
+        cameras.append({k: jnp.asarray(a) for k, a in cam.arrays().items()})
     splats = model_points(
         scene, scene.params(), jax.random.PRNGKey(0), args.n,
         spt.PointConfig(), cfg,
     )
 
-    target = render_diff(splats, camera, cfg, method=args.method)
+    targets = [render_diff(splats, cam, cfg, method=args.method)
+               for cam in cameras]
+    camera, target = cameras[0], targets[0]
 
-    fit_fields = ("cr", "cg", "cb", "opacity")
-    theta = {k: jnp.full_like(splats[k], 0.5) for k in fit_fields}
+    fit_fields = tuple(f.strip() for f in args.fields.split(",") if f.strip())
+    appearance = {"cr", "cg", "cb", "opacity"}
+    noise_key = jax.random.PRNGKey(7)
+    theta = {}
+    for k in fit_fields:
+        if k in appearance:  # gray/flat start — recover appearance
+            theta[k] = jnp.full_like(splats[k], 0.5)
+        else:  # geometry: perturb the truth — recover shape
+            noise_key, sub = jax.random.split(noise_key)
+            theta[k] = splats[k] + 0.02 * jax.random.normal(
+                sub, splats[k].shape
+            )
+    theta_init = dict(theta)
     opt = optax.adam(args.lr)
     opt_state = opt.init(theta)
 
@@ -66,11 +93,14 @@ def main():
     # correct).  Passing the arrays as arguments avoids the miscompile and
     # is also standard jit hygiene (no constant re-embedding per retrace).
     @jax.jit
-    def step(theta, opt_state, splats, target):
+    def step(theta, opt_state, splats, targets):
         def loss_fn(theta):
-            img = render_diff(dict(splats, **theta), camera, cfg,
-                              method=args.method)
-            return jnp.mean((img - target) ** 2)
+            s = dict(splats, **theta)
+            per_view = [
+                jnp.mean((render_diff(s, cam, cfg, method=args.method) - t) ** 2)
+                for cam, t in zip(cameras, targets)
+            ]
+            return sum(per_view) / len(per_view)
 
         loss, grads = jax.value_and_grad(loss_fn)(theta)
         updates, opt_state = opt.update(grads, opt_state)
@@ -78,24 +108,22 @@ def main():
 
     t0 = time.perf_counter()
     for i in range(args.steps):
-        loss, theta, opt_state = step(theta, opt_state, splats, target)
+        loss, theta, opt_state = step(theta, opt_state, splats, targets)
         if i % 10 == 0 or i == args.steps - 1:
             psnr = -10.0 * jnp.log10(loss)
             print(f"step {i:4d}  mse {float(loss):.3e}  psnr {float(psnr):5.1f} dB")
     dt = time.perf_counter() - t0
     print(f"{args.steps} optimization steps in {dt:.1f} s "
           f"({1e3 * dt / args.steps:.1f} ms/step, {args.n} splats, "
-          f"{args.size}x{args.size}, method={args.method})")
+          f"{args.size}x{args.size}, {args.views} view(s), "
+          f"fields={','.join(fit_fields)}, method={args.method})")
 
     if args.out:
         from splat_renderer_tpu.utils.image import write_png
         import numpy as np
 
-        init_img = render_diff(
-            dict(splats, **{k: jnp.full_like(splats[k], 0.5)
-                            for k in fit_fields}),
-            camera, cfg, method=args.method,
-        )
+        init_img = render_diff(dict(splats, **theta_init), camera, cfg,
+                               method=args.method)
         fit_img = render_diff(dict(splats, **theta), camera, cfg,
                               method=args.method)
         for tag, img in (("target", target), ("init", init_img),

@@ -31,11 +31,14 @@ class TestMultiView:
         for v in range(4):
             cam_v = {k: a[v] for k, a in cams.items()}
             ref = render_splats(splats, cam_v, cfg, "tiles")
-            # lax.map changes projection fp by ulps; centers sitting on a
-            # 1/32-px quantization boundary can flip a cell, moving pixels
-            # near a splat's support edge by up to ~1% — bound that.
+            # XLA fuses the batched projection differently (fma vs mul+add),
+            # so a center sitting within an ulp of a 1/32-px quantization
+            # boundary can land one cell over, shifting its gaussian by that
+            # cell: a ~1e-3 alpha ripple at isolated support pixels (measured
+            # max 1.1e-3 over 1.7% of elements).  The pre-planes (N, 3)
+            # matmul projection reassociated freely and needed 0.05 here.
             diff = np.abs(np.asarray(imgs[v]) - np.asarray(ref))
-            assert diff.max() < 0.05, f"view {v}: max {diff.max()}"
+            assert diff.max() < 5e-3, f"view {v}: max {diff.max()}"
             assert (diff > 1e-5).mean() < 0.02, f"view {v}: too many diffs"
         # views genuinely differ
         assert not np.allclose(imgs[0], imgs[1])
