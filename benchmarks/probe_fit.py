@@ -29,6 +29,8 @@ def main():
             spt.Box(id="b1", position=(0.6, 0, 0), size=(0.3, 0.3, 0.3)),
         )
     )
+    import sys
+    methods = sys.argv[1:] or ["tiles", "pallas"]
     for n, size, cap in ((10_000, 256, 16), (50_000, 512, 8),
                          (200_000, 512, 4), (500_000, 1024, 4)):
         cfg = RenderConfig(width=size, height=size, base_radius=0.05,
@@ -37,7 +39,12 @@ def main():
         camera = {k: jnp.asarray(v) for k, v in cam.arrays().items()}
         splats = model_points(scene, scene.params(), jax.random.PRNGKey(0),
                               n, PointConfig(), cfg)
-        target = render_diff(splats, camera, cfg, method="tiles")
+        for method in methods:
+            _run_one(n, size, cap, cfg, camera, splats, method)
+
+
+def _run_one(n, size, cap, cfg, camera, splats, method):
+        target = render_diff(splats, camera, cfg, method=method)
         theta = {k: jnp.full_like(splats[k], 0.5)
                  for k in ("cr", "cg", "cb", "opacity")}
 
@@ -45,7 +52,7 @@ def main():
         def step(theta, splats, target):
             def loss(t):
                 img = render_diff(dict(splats, **t), camera, cfg,
-                                  method="tiles")
+                                  method=method)
                 return jnp.mean((img - target) ** 2)
 
             l, g = jax.value_and_grad(loss)(theta)
@@ -53,7 +60,7 @@ def main():
 
         fwd = jax.jit(
             lambda t, s, _cfg=cfg, _cam=camera: render_diff(
-                dict(s, **t), _cam, _cfg, method="tiles"
+                dict(s, **t), _cam, _cfg, method=method
             )
         )
 
@@ -62,7 +69,8 @@ def main():
         compile_s = time.perf_counter() - t0
         sec, _ = time_fn(step, theta, splats, target, iters=5)
         fsec, _ = time_fn(fwd, theta, splats, iters=5)
-        print(f"n={n:>7} {size}x{size} cap={cap}: fit step {sec * 1e3:8.1f} ms"
+        print(f"n={n:>7} {size}x{size} cap={cap} {method:6s}: "
+              f"fit step {sec * 1e3:8.1f} ms"
               f"  (fwd-only diff {fsec * 1e3:7.1f} ms, compile {compile_s:.0f}"
               f" s, loss {float(l):.4f})")
 

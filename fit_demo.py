@@ -34,7 +34,10 @@ def main():
     ap.add_argument("--steps", type=int, default=150)
     ap.add_argument("--n", type=int, default=2000)
     ap.add_argument("--size", type=int, default=128)
-    ap.add_argument("--method", choices=("oracle", "tiles"), default="tiles")
+    ap.add_argument("--method", choices=("oracle", "tiles", "pallas"),
+                    default="tiles",
+                    help="'pallas' = custom-VJP Pallas kernels "
+                         "(ops/tile_blend_diff.py): the fast path on TPU")
     ap.add_argument("--lr", type=float, default=3e-2)
     ap.add_argument("--views", type=int, default=1,
                     help="fit against this many orbit-ring views jointly")

@@ -804,10 +804,123 @@ def bin_packed_words(
         axis=1,
     )
 
+    counts = _pair_counts(tx0, ty0, w, h, dtx_d, dty_d, miss, cfg)
+    out = stream_tables(counts, p, block, cfg)
+    out["pair_w"] = pair_w
+    out["class_counts"] = jnp.stack([n_hi, n_mid])
+    out["class_overflow"] = class_overflow
+    return out
+
+
+# stream lane-section order of the differentiable f32 pair stream
+DIFF_FIELDS = ("cx", "cy", "radius", "opacity", "r", "g", "b")
+
+
+def bin_planes_diff(
+    planes: Dict[str, jnp.ndarray],  # continuous (N,) fields (shade_planes)
+    cfg: RenderConfig,
+    block: int,
+) -> Binned:
+    """Binning for the DIFFERENTIABLE Pallas blend (ops/tile_blend_diff):
+    tile-sorted pair stream of CONTINUOUS f32 record planes plus the same
+    window tables as bin_packed_words — and the two permutation columns the
+    custom-VJP backward needs to route per-pair gradients back to input
+    order (`rank_sorted` pair->rank, `src` rank->input index).
+
+    Isotropic only (the diff path's scope); no quantization anywhere — the
+    values blend exactly as shade_planes produced them, matching
+    render_diff's scan path semantics.  All integer structure (footprints,
+    tiles, tables) is derived from forward VALUES and treated as constant by
+    the gradient (stop-gradient structure, standard differentiable
+    rasterization — see render/diff.py)."""
+    if cfg.oriented:
+        raise ValueError("bin_planes_diff: isotropic profiles only")
+    if block % 1024:
+        raise ValueError("block must be a multiple of 1024")
+    cx, cy, radius = planes["cx"], planes["cy"], planes["radius"]
+    depth = planes["depth"]
+    n = cx.shape[0]
+    cap = cfg.tiles_per_splat_cap
+    num_tiles = cfg.num_tiles
+
+    # ---- record stage: canonical (depth, input index) sort; the sorted
+    # iota column is src (rank -> input index) ----
+    iota_n = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+    field_cols = tuple(
+        jnp.clip(planes[k], 0.0, 1.0) if k in ("opacity", "r", "g", "b")
+        else planes[k]
+        for k in DIFF_FIELDS
+    )
+    res = jax.lax.sort((depth, iota_n) + field_cols, num_keys=2)
+    depth_s, src = res[0], res[1]
+    cols_s = res[2:]  # canonical-order field planes
+
+    tx0, ty0, w, h = _footprint_cols(
+        cols_s[0], cols_s[1], cols_s[2], jnp.isfinite(depth_s), cfg
+    )
+    c_d, miss, dtx_d, dty_d = _diag_prune(
+        cols_s[0], cols_s[1], cols_s[2], tx0, ty0, w, h, cfg
+    )
+
+    # ---- pair stage: slot-major (cap, n) expansion, (tile, rank) sort ----
+    c = jax.lax.broadcasted_iota(jnp.int32, (cap, n), 0)
+    wb = w[None, :]
+    dy = jnp.zeros_like(c)  # c // w via compares (no vector int div on TPU)
+    for k in range(1, cap):
+        dy = dy + (c >= k * wb).astype(jnp.int32)
+    tile = (ty0[None, :] + dy) * cfg.tiles_x + (tx0[None, :] + (c - dy * wb))
+    active = (c < (w * h)[None, :]) & ~((c == c_d[None, :]) & miss[None, :])
+    tile_flat = jnp.where(active, tile, num_tiles).reshape(-1)
+    rank_col = iota_n.astype(jnp.uint32)
+    rank_flat = jnp.broadcast_to(rank_col[None, :], (cap, n)).reshape(-1)
+    payload = tuple(
+        jnp.broadcast_to(col[None, :], (cap, n)).reshape(-1) for col in cols_s
+    )
+    p = n * cap
+
+    rank_bits = _ceil_log2(max(n, 2))
+    tile_bits = _ceil_log2(num_tiles + 1)
+    if tile_bits + rank_bits <= 32:
+        shift = 32 - tile_bits
+        fused = (tile_flat.astype(jnp.uint32) << shift) | rank_flat
+        res = jax.lax.sort((fused,) + payload, num_keys=1, is_stable=False)
+        rank_sorted = res[0] & jnp.uint32((1 << shift) - 1)
+        sorted_payload = res[1:]
+    else:
+        res = jax.lax.sort(
+            (tile_flat, rank_flat.astype(jnp.int32)) + payload,
+            num_keys=2,
+            is_stable=False,
+        )
+        rank_sorted = res[1].astype(jnp.uint32)
+        sorted_payload = res[2:]
+
+    rows = (p + block + 127) // 128
+    pad = rows * 128 - p
+    zpad = jnp.zeros((pad,), jnp.float32)
+    pair_f = jnp.concatenate(
+        [jnp.concatenate([col, zpad]).reshape(rows, 128) for col in sorted_payload],
+        axis=1,
+    )  # (rows, 128 * 7) f32
+
+    counts = _pair_counts(tx0, ty0, w, h, dtx_d, dty_d, miss, cfg)
+    out = stream_tables(counts, p, block, cfg)
+    out["pair_f"] = pair_f
+    out["rank_sorted"] = rank_sorted
+    out["src"] = src
+    return out
+
+
+def _pair_counts(
+    tx0: jnp.ndarray, ty0: jnp.ndarray, w: jnp.ndarray, h: jnp.ndarray,
+    dtx_d: jnp.ndarray, dty_d: jnp.ndarray, miss: jnp.ndarray,
+    cfg: RenderConfig,
+) -> jnp.ndarray:
+    """Exact per-tile pair counts: MXU coverage histogram minus the
+    diagonal-prune corrections.  The pruned (splat, tile) set is rank-1
+    separable per splat ([tx == dtx][ty == dty] * miss), so the correction is
+    one more MXU matmul — the histogram stays scatter-free."""
     counts = _coverage_counts(tx0, ty0, w, h, cfg)
-    # subtract the diagonal-prune corrections: the pruned (splat, tile) set
-    # is rank-1 separable per splat ([tx == dtx][ty == dty] * miss), so the
-    # correction is one more MXU matmul — the histogram stays scatter-free
     iota_tx = jax.lax.broadcasted_iota(jnp.int32, (1, cfg.tiles_x), 1)
     iota_ty = jax.lax.broadcasted_iota(jnp.int32, (1, cfg.tiles_y), 1)
     ex = (iota_tx == dtx_d[:, None]).astype(jnp.float32)
@@ -815,7 +928,26 @@ def bin_packed_words(
     corr = jnp.einsum(
         "ny,nx->yx", ey, ex, precision=jax.lax.Precision.HIGHEST
     ).reshape(-1).astype(jnp.int32)
-    counts = counts - corr
+    return counts - corr
+
+
+def stream_tables(
+    counts: jnp.ndarray,  # (T,) exact per-tile pair counts
+    p: int,  # total pair slots in the sorted stream
+    block: int,
+    cfg: RenderConfig,
+) -> Binned:
+    """Per-block/per-tile scalar tables for the streaming blend kernels,
+    derived from the per-tile counts alone (shared by the packed-words path
+    and the differentiable f32-planes path — bin_planes_diff).
+
+    Window bases are per-tile run starts rounded DOWN to a multiple of
+    `block`, so every kernel window is a contiguous full-lane block; empty
+    tiles get NO windows.  The per-block tables turn the kernel's index maps
+    and masks into single SMEM loads (the Mosaic per-grid-step floor is
+    dominated by scalar index_map work; measured 0.45 us/step with computed
+    maps)."""
+    num_tiles = cfg.num_tiles
     offsets = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts, dtype=jnp.int32)]
     )
@@ -844,10 +976,6 @@ def bin_packed_words(
 
     start_units = jnp.concatenate([start // block, jnp.zeros((1,), jnp.int32)])
 
-    # per-block scalar tables: the kernel's index maps and masks become single
-    # SMEM loads instead of chained loads + arithmetic (the Mosaic per-grid-
-    # step floor is dominated by scalar index_map work; measured 0.45 us/step
-    # with computed maps)
     tile_ix = jnp.minimum(block_tile, num_tiles)
     is_real = block_tile < num_tiles
     block_window = jnp.where(
@@ -870,7 +998,6 @@ def bin_packed_words(
     real = tile_list < num_tiles
     t_win0 = jnp.where(real, start_units[safe], 0)
     return {
-        "pair_w": pair_w,
         "offsets": offsets,
         "counts": counts,
         "start_units": start_units,
@@ -886,6 +1013,4 @@ def bin_packed_words(
         "tile_local0": jnp.where(real, t_win0 * block - offsets[safe], 0),
         "tile_count": jnp.where(real, counts[safe], 0),
         "tiles_used": jnp.sum(nz.astype(jnp.int32)),
-        "class_counts": jnp.stack([n_hi, n_mid]),
-        "class_overflow": class_overflow,
     }

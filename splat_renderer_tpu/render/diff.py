@@ -23,13 +23,18 @@ support cutoff) follows the standard differentiable-rasterization treatment
 and gradients flow through the continuous factors — exact almost everywhere,
 zero across the reordering/cutoff boundaries themselves.
 
-Two scales:
+Three scales:
 - method="oracle": O(N x pixels) dense blend — every splat against every
   pixel; the reference gradient for small fits.
 - method="tiles":  the real tile pipeline (canonical sort -> binning ->
   per-tile scan compositor).  Binning indices are ints (no gradient needed);
   the compositor's gathers/scatter-accumulates are differentiable, so this
   scales fitting to the same splat counts the forward path renders.
+- method="pallas": the training-grade path — a custom-VJP Pallas kernel pair
+  (ops/tile_blend_diff.py) streams the same tile-sorted pair layout as the
+  exact renderer's kernel, forward AND backward (the 3DGS blend adjoint
+  re-derived as a forward-order suffix-from-total pass).  Isotropic
+  profiles only; ~order-of-magnitude faster fit steps than "tiles".
 """
 
 from __future__ import annotations
@@ -88,6 +93,8 @@ def render_diff(
     camera: CameraArrays,
     cfg: RenderConfig,
     method: str = "oracle",
+    block: int = 1024,
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """Differentiable splat render -> (H, W, 3) image.
 
@@ -101,6 +108,24 @@ def render_diff(
     "radius"/"cr"/"cg"/"cb"/"opacity"/"nx"/"ny"/"nz"] (normals contribute
     through the lighting term and the oriented-ellipse shape).
     """
+    if method == "pallas":
+        if cfg.oriented or cfg.opaque:
+            raise ValueError(
+                "render_diff(method='pallas') supports isotropic gaussian "
+                "profiles only (use method='tiles')"
+            )
+        from ..ops.tile_blend_diff import blend_planes_pallas
+        from .compositor import tiles_to_image
+
+        c = shade_planes(splats, camera["view_proj"], camera["cam_pos"], cfg)
+        clip01 = lambda v: jnp.clip(v, 0.0, 1.0)  # noqa: E731
+        tile_color, tile_alpha = blend_planes_pallas(
+            cfg, block, interpret,
+            c["cx"], c["cy"], c["radius"], clip01(c["opacity"]),
+            clip01(c["r"]), clip01(c["g"]), clip01(c["b"]), c["depth"],
+        )
+        return tiles_to_image(tile_color, tile_alpha, cfg)
+
     records = splat_screen_records_diff(
         splats, camera["view_proj"], camera["cam_pos"], cfg
     )
@@ -114,4 +139,6 @@ def render_diff(
         # paths out of the backward program entirely.)
         binned = bin_splats(jax.lax.stop_gradient(data), cfg)
         return render_tiles(data, binned, cfg, differentiable=True)
-    raise ValueError(f"unknown method {method!r} (use 'oracle' or 'tiles')")
+    raise ValueError(
+        f"unknown method {method!r} (use 'oracle', 'tiles' or 'pallas')"
+    )

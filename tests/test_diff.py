@@ -120,6 +120,74 @@ class TestGradients:
         assert float(jnp.abs(gr).max()) > 0
 
 
+class TestPallasDiff:
+    """The custom-VJP Pallas blend (ops/tile_blend_diff.py), interpret mode.
+
+    Ground truth is the scan-compositor diff path whose gradients are
+    themselves FD-verified above — both paths share semantics (continuous
+    planes, alpha <= 1 - 1e-7 clamp, stop-gradient structure)."""
+
+    def test_forward_matches_tiles(self, key):
+        _, camera, splats = _scene_and_splats(key, n=250)
+        img_t = np.asarray(render_diff(splats, camera, CFG, method="tiles"))
+        img_p = np.asarray(
+            render_diff(splats, camera, CFG, method="pallas", interpret=True)
+        )
+        np.testing.assert_allclose(img_p, img_t, atol=3e-6)
+
+    def test_gradients_match_tiles(self, key):
+        _, camera, splats = _scene_and_splats(key, n=200)
+        target = jnp.full((CFG.height, CFG.width, 3), 0.4)
+        fields = ("px", "py", "pz", "radius", "opacity", "cr", "cg", "cb")
+
+        def make_loss(method):
+            def f(theta):
+                img = render_diff(dict(splats, **theta), camera, CFG,
+                                  method=method, interpret=True)
+                return jnp.mean((img - target) ** 2)
+            return f
+
+        theta = {k: splats[k] for k in fields}
+        gt = jax.grad(make_loss("tiles"))(theta)
+        gp = jax.grad(make_loss("pallas"))(theta)
+        for k in fields:
+            a, b = np.asarray(gt[k]), np.asarray(gp[k])
+            scale = np.abs(a).max() + 1e-12
+            assert np.isfinite(b).all(), k
+            assert np.abs(a - b).max() / scale < 1e-4, (
+                f"{k}: maxrel {np.abs(a - b).max() / scale:.2e}"
+            )
+
+    def test_oriented_raises(self, key):
+        import dataclasses
+
+        _, camera, splats = _scene_and_splats(key, n=64)
+        cfg_o = dataclasses.replace(CFG, oriented=True)
+        with pytest.raises(ValueError):
+            render_diff(splats, camera, cfg_o, method="pallas", interpret=True)
+
+    def test_fit_descends(self, key):
+        _, camera, splats = _scene_and_splats(key, n=200)
+        target = render_diff(splats, camera, CFG, method="pallas",
+                             interpret=True)
+        theta = {k: jnp.full_like(splats[k], 0.5) for k in ("cr", "cg", "cb")}
+
+        @jax.jit
+        def step(c, target):
+            def loss(c):
+                img = render_diff(dict(splats, **c), camera, CFG,
+                                  method="pallas", interpret=True)
+                return jnp.mean((img - target) ** 2)
+
+            l, g = jax.value_and_grad(loss)(c)
+            return l, jax.tree.map(lambda x, gx: x - 200.0 * gx, c, g)
+
+        l0, theta = step(theta, target)
+        for _ in range(15):
+            l, theta = step(theta, target)
+        assert float(l) < float(l0) / 4.0
+
+
 class TestFitting:
     def test_color_fit_recovers_target(self, key):
         """Inverse rendering smoke test: gray-initialized colors descend to a
