@@ -279,6 +279,39 @@ def main() -> None:
     surf_j = jax.jit(surface)
     t_surf, _ = time_fn(surf_j, params, camera, key, warmup=2, iters=5)
 
+    # ---- inverse rendering: one fit step (value_and_grad through the
+    # custom-VJP Pallas diff path, render/diff.py method="pallas") at
+    # 200k @512^2 — the training-speed metric; guarded so a diff-path
+    # regression can never take the whole bench down ----
+    t_fit = None
+    try:
+        from splat_renderer_tpu.render import render_diff
+
+        fcfg = RenderConfig(width=512, height=512, base_radius=0.008,
+                            tiles_per_splat_cap=4)
+        fs = jax.jit(lambda p, k: model_points(scene, p, k, 200_000, pcfg, fcfg))(
+            params, key
+        )
+        fcam = {k_: jnp.asarray(v) for k_, v in
+                spt.Camera(aspect=1.0).arrays().items()}
+        ftarget = jax.jit(
+            lambda s: render_diff(s, fcam, fcfg, method="pallas")
+        )(fs)
+        ftheta = {k_: jnp.full_like(fs[k_], 0.5)
+                  for k_ in ("cr", "cg", "cb", "opacity")}
+
+        @jax.jit
+        def fit_step(theta, s, target):
+            def loss(t):
+                img = render_diff(dict(s, **t), fcam, fcfg, method="pallas")
+                return jnp.mean((img - target) ** 2)
+
+            return jax.value_and_grad(loss)(theta)
+
+        t_fit, _ = time_fn(fit_step, ftheta, fs, ftarget, warmup=1, iters=3)
+    except Exception as e:  # pragma: no cover - bench resilience
+        print(f"# fit-step metric skipped: {type(e).__name__}: {e}")
+
     # fixed per-dispatch launch overhead of this transport (a trivial jit):
     # all single-dispatch numbers above include it additively; the scan/
     # multi-view sequence metrics amortize it (utils/timing.py caveat)
@@ -315,6 +348,9 @@ def main() -> None:
         "blend_capacity_class": mb,
         "radius_clamped_frac": round(clamp_frac, 5),
         "radius_raw_max_px": round(r_raw_max, 2),
+        "fit_step_200k_512_ms": (
+            round(t_fit * 1e3, 3) if t_fit is not None else None
+        ),
         "dispatch_overhead_ms": round(t_disp * 1e3, 3),
         "n_splats": N_SPLATS,
         "resolution": f"{WIDTH}x{HEIGHT}",

@@ -213,6 +213,54 @@ def check_diff_path() -> bool:
     return ok
 
 
+def check_diff_pallas() -> bool:
+    """Custom-VJP Pallas blend (ops/tile_blend_diff.py) on device: forward
+    matches the scan diff path and gradients match its autodiff — the
+    Mosaic-lowered twin of tests/test_diff.py::TestPallasDiff (interpret
+    mode cannot catch lowering divergences; the round-2 exact kernel needed
+    four on-device fixes)."""
+    from splat_renderer_tpu.render import render_diff
+    from splat_renderer_tpu.render.pipeline import model_points as mp
+
+    scene = _scene()
+    cfg = RenderConfig(width=64, height=64, base_radius=0.05,
+                       tiles_per_splat_cap=16)
+    cam = spt.Camera(azimuth=0.5, elevation=0.3, aspect=1.0)
+    camera = {k: jnp.asarray(v) for k, v in cam.arrays().items()}
+    splats = mp(scene, scene.params(), jax.random.PRNGKey(0), 500,
+                PointConfig(), cfg)
+    img_t = np.asarray(
+        jax.jit(lambda s: render_diff(s, camera, cfg, method="tiles"))(splats)
+    )
+    img_p = np.asarray(
+        jax.jit(lambda s: render_diff(s, camera, cfg, method="pallas"))(splats)
+    )
+    fwd_diff = float(np.abs(img_t - img_p).max())
+
+    target = jnp.full((cfg.height, cfg.width, 3), 0.4)
+    fields = ("px", "radius", "opacity", "cr")
+
+    def make_loss(method):
+        def f(theta, splats, target):
+            img = render_diff(dict(splats, **theta), camera, cfg,
+                              method=method)
+            return jnp.mean((img - target) ** 2)
+        return f
+
+    theta = {k: splats[k] for k in fields}
+    gt = jax.jit(jax.grad(make_loss("tiles")))(theta, splats, target)
+    gp = jax.jit(jax.grad(make_loss("pallas")))(theta, splats, target)
+    grad_rel = max(
+        float(np.abs(np.asarray(gt[k]) - np.asarray(gp[k])).max()
+              / (np.abs(np.asarray(gt[k])).max() + 1e-12))
+        for k in fields
+    )
+    ok = fwd_diff < 2e-5 and grad_rel < 1e-3
+    print(f"{'diff-pallas fwd+grad':>24}: fwd|tiles={fwd_diff:.2e}  "
+          f"grad maxrel={grad_rel:.2e}  {'OK' if ok else 'FAIL'}")
+    return ok
+
+
 def main() -> int:
     print(f"device: {jax.devices()[0]}")
     ok = True
@@ -243,6 +291,7 @@ def main() -> int:
     ok &= check_engine_class_protocol()
     ok &= check_render_band()
     ok &= check_diff_path()
+    ok &= check_diff_pallas()
     print("PARITY GATE:", "PASS" if ok else "FAIL")
     return 0 if ok else 1
 

@@ -58,11 +58,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import RenderConfig
-from ..render.binning import DIFF_FIELDS, bin_planes_diff
+from ..render.binning import bin_planes_diff, diff_fields
+from ..render.blend import ellipse_cos_sin
 from .tile_blend import _exclusive_cumprod_rows, _tile_pixel_coords
 
-NFIELDS = len(DIFF_FIELDS)  # cx, cy, radius, opacity, r, g, b
 ALPHA_CAP = 1.0 - 1e-7  # shared with render/compositor.py differentiable mode
+
+
+def _nfields(cfg: RenderConfig) -> int:
+    return len(diff_fields(cfg))  # 7 isotropic, 9 oriented (+angle, ratio)
 
 
 def _inclusive_cumsum_rows(x: jnp.ndarray) -> jnp.ndarray:
@@ -78,27 +82,42 @@ def _inclusive_cumsum_rows(x: jnp.ndarray) -> jnp.ndarray:
     return x
 
 
-def _window_fields(w_all: jnp.ndarray, g: int):
+def _window_fields(w_all: jnp.ndarray, g: int, nfields: int):
     """Slice one 128-record group's per-field (128, 1) columns out of the
-    lane-transposed (128, groups) planes of a (groups, 128*7) f32 window."""
-    return [w_all[:, 128 * k : 128 * (k + 1)].T[:, g : g + 1] for k in range(NFIELDS)]
+    lane-transposed (128, groups) planes of a (groups, 128*nfields) f32
+    window."""
+    return [w_all[:, 128 * k : 128 * (k + 1)].T[:, g : g + 1] for k in range(nfields)]
 
 
 def _group_alpha(cfg, cols, g_lo, cnt, px, py):
     """Continuous alpha panel for one group — the diff path's twin of the
     packed kernel's dequantized evaluation, matching blend.splat_alpha_planes
-    (isotropic) + the diff clamp.  Returns the intermediates the backward
-    reuses."""
+    (isotropic or oriented ellipse) + the diff clamp.  Returns the
+    intermediates the backward reuses."""
     inv_2sigma2 = 0.5 / (cfg.sigma * cfg.sigma)
     margin2 = cfg.bounds_margin * cfg.bounds_margin
     row = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
-    cx, cy, r, op, cr, cg, cb = cols
+    cx, cy, r, op, cr, cg, cb = cols[:7]
     local = g_lo + row
     ok = (local >= 0) & (local < cnt) & (r >= cfg.min_screen_radius)
     dx = px - cx  # (128, tp)
     dy = py - cy
-    dist2 = dx * dx + dy * dy
-    scale2 = r * r
+    v = dict(cx=cx, cy=cy, r=r, op=op, cr=cr, cg=cg, cb=cb, dx=dx, dy=dy)
+    if cfg.oriented:
+        # splat_alpha_planes' oriented branch: distance in the screen-ellipse
+        # frame, divide-free cutoff via the ratio-scaled metric
+        ang, ratio = cols[7], cols[8]
+        rr = jnp.maximum(ratio, 1e-3)
+        ca, sa = ellipse_cos_sin(ang)
+        u = ca * dx + sa * dy
+        vr = (-sa * dx + ca * dy) * rr
+        dist2 = u * u + vr * vr
+        scale = r * rr
+        v.update(ang=ang, ratio=ratio, rr=rr, ca=ca, sa=sa, u=u, vr=vr)
+    else:
+        dist2 = dx * dx + dy * dy
+        scale = r
+    scale2 = scale * scale
     inv_s2 = 1.0 / jnp.maximum(scale2, 1e-12)
     nd2 = dist2 * inv_s2
     shape = jnp.where(
@@ -106,11 +125,8 @@ def _group_alpha(cfg, cols, g_lo, cnt, px, py):
     )
     a_raw = op * shape
     a = jnp.minimum(a_raw, ALPHA_CAP)
-    return dict(
-        cx=cx, cy=cy, r=r, op=op, cr=cr, cg=cg, cb=cb,
-        dx=dx, dy=dy, dist2=dist2, inv_s2=inv_s2, nd2=nd2,
-        shape=shape, a_raw=a_raw, a=a,
-    )
+    v.update(dist2=dist2, inv_s2=inv_s2, nd2=nd2, shape=shape, a_raw=a_raw, a=a)
+    return v
 
 
 def _make_fwd_kernel(cfg: RenderConfig, block: int):
@@ -119,6 +135,7 @@ def _make_fwd_kernel(cfg: RenderConfig, block: int):
     tp = cfg.tile_pixels
     num_tiles = cfg.num_tiles
     groups = block // 128
+    nf = _nfields(cfg)
 
     def kernel(bt_ref, bf_ref, bwin_ref, bl0_ref, bcnt_ref, w_ref, out_ref, acc_ref):
         b = pl.program_id(0)
@@ -139,7 +156,7 @@ def _make_fwd_kernel(cfg: RenderConfig, block: int):
             local0 = bl0_ref[b]
             cnt = bcnt_ref[b]
             for g in range(groups):
-                cols = _window_fields(w_all, g)
+                cols = _window_fields(w_all, g, nf)
                 v = _group_alpha(cfg, cols, local0 + g * 128, cnt, px, py)
                 a = v["a"]
                 q = 1.0 - a
@@ -174,6 +191,7 @@ def _make_bwd_kernel(cfg: RenderConfig, block: int):
     num_tiles = cfg.num_tiles
     groups = block // 128
     inv_2sigma2 = 0.5 / (cfg.sigma * cfg.sigma)
+    nf = _nfields(cfg)
 
     def kernel(
         bt_ref, bf_ref, bwin_ref, bwout_ref, bl0_ref, bcnt_ref,
@@ -212,7 +230,7 @@ def _make_bwd_kernel(cfg: RenderConfig, block: int):
             ga_sat = gA_row * t_fin  # the gA T_fin numerator, hoisted
 
             for g in range(groups):
-                cols = _window_fields(w_all, g)
+                cols = _window_fields(w_all, g, nf)
                 v = _group_alpha(cfg, cols, local0 + g * 128, cnt, px, py)
                 a = v["a"]
                 t_excl = _exclusive_cumprod_rows(1.0 - a)
@@ -237,13 +255,39 @@ def _make_bwd_kernel(cfg: RenderConfig, block: int):
                 g_shape = g_prod * v["op"]
                 g_nd2 = g_shape * (-inv_2sigma2) * shape  # 0 outside support
                 g_dist2 = g_nd2 * v["inv_s2"]
-                g_cx = jnp.sum(g_dist2 * (-2.0) * v["dx"], axis=1, keepdims=True)
-                g_cy = jnp.sum(g_dist2 * (-2.0) * v["dy"], axis=1, keepdims=True)
-                # nd2 = dist2 / max(r^2, eps): d/dr = -2 nd2 / r (gate at eps)
+                # nd2 = dist2 / max(scale^2, eps): d/dscale_i = -2 nd2 /
+                # scale_i per factor (gate at eps)
                 g_sum_nd2 = jnp.sum(g_nd2 * v["nd2"], axis=1, keepdims=True)
                 r = v["r"]
-                r2_live = (r * r > 1e-12).astype(jnp.float32)
-                g_r = g_sum_nd2 * (-2.0) * r2_live / jnp.maximum(r, 1e-9)
+                if cfg.oriented:
+                    rr, ca, sa = v["rr"], v["ca"], v["sa"]
+                    s2_live = ((r * rr) * (r * rr) > 1e-12).astype(jnp.float32)
+                    g_u = g_dist2 * 2.0 * v["u"]
+                    g_vr = g_dist2 * 2.0 * v["vr"]
+                    # dx/dy chain through the rotation (+ the ratio-scaled v)
+                    ddx = g_u * ca + g_vr * (-sa * rr)
+                    ddy = g_u * sa + g_vr * (ca * rr)
+                    g_cx = jnp.sum(-ddx, axis=1, keepdims=True)
+                    g_cy = jnp.sum(-ddy, axis=1, keepdims=True)
+                    g_ca = jnp.sum(g_u * v["dx"] + g_vr * v["dy"] * rr,
+                                   axis=1, keepdims=True)
+                    g_sa = jnp.sum(g_u * v["dy"] - g_vr * v["dx"] * rr,
+                                   axis=1, keepdims=True)
+                    g_ang = -g_ca * sa + g_sa * ca
+                    g_r = g_sum_nd2 * (-2.0) * s2_live / jnp.maximum(r, 1e-9)
+                    # ratio reaches dist2 twice: vr = (.)*rr and scale = r*rr
+                    g_rr = (
+                        jnp.sum(g_vr * v["vr"], axis=1, keepdims=True) / rr
+                        + g_sum_nd2 * (-2.0) * s2_live / rr
+                    )
+                    g_ratio = jnp.where(v["ratio"] >= 1e-3, g_rr, 0.0)
+                else:
+                    r2_live = (r * r > 1e-12).astype(jnp.float32)
+                    g_cx = jnp.sum(g_dist2 * (-2.0) * v["dx"], axis=1,
+                                   keepdims=True)
+                    g_cy = jnp.sum(g_dist2 * (-2.0) * v["dy"], axis=1,
+                                   keepdims=True)
+                    g_r = g_sum_nd2 * (-2.0) * r2_live / jnp.maximum(r, 1e-9)
                 g_cr = jnp.sum(gC[0:1, :] * at, axis=1, keepdims=True)
                 g_cg = jnp.sum(gC[1:2, :] * at, axis=1, keepdims=True)
                 g_cb = jnp.sum(gC[2:3, :] * at, axis=1, keepdims=True)
@@ -251,6 +295,8 @@ def _make_bwd_kernel(cfg: RenderConfig, block: int):
                 # write this group's row of the grad window: (128, 1) columns
                 # transpose to (1, 128) lane rows per field section
                 vals = (g_cx, g_cy, g_r, g_op, g_cr, g_cg, g_cb)
+                if cfg.oriented:
+                    vals = vals + (g_ang, g_ratio)
                 for k, col in enumerate(vals):
                     mine = col.T  # (1, 128)
                     sec = slice(128 * k, 128 * (k + 1))
@@ -282,7 +328,7 @@ def _fwd_pallas(binned, cfg: RenderConfig, block: int, interpret: bool):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(n_blocks_cap,),
-        in_specs=[pl.BlockSpec((bw, 128 * NFIELDS), lambda b, bt, bf, bwin, bl0, bcnt: (bwin[b], 0))],
+        in_specs=[pl.BlockSpec((bw, 128 * _nfields(cfg)), lambda b, bt, bf, bwin, bl0, bcnt: (bwin[b], 0))],
         out_specs=pl.BlockSpec(
             (1, 8, tp), lambda b, bt, bf, bwin, bl0, bcnt: (bt[b], 0, 0)
         ),
@@ -335,18 +381,18 @@ def _bwd_pallas(
         num_scalar_prefetch=6,
         grid=(n_blocks_cap,),
         in_specs=[
-            pl.BlockSpec((bw, 128 * NFIELDS), lambda b, bt, bf, bwin, bwo, bl0, bcnt: (bwin[b], 0)),
+            pl.BlockSpec((bw, 128 * _nfields(cfg)), lambda b, bt, bf, bwin, bwo, bl0, bcnt: (bwin[b], 0)),
             pl.BlockSpec((1, 8, tp), lambda b, bt, bf, bwin, bwo, bl0, bcnt: (bt[b], 0, 0)),
         ],
         out_specs=pl.BlockSpec(
-            (bw, 128 * NFIELDS), lambda b, bt, bf, bwin, bwo, bl0, bcnt: (bwo[b], 0)
+            (bw, 128 * _nfields(cfg)), lambda b, bt, bf, bwin, bwo, bl0, bcnt: (bwo[b], 0)
         ),
         scratch_shapes=[pltpu.VMEM((8, tp), jnp.float32)],
     )
     gout = pl.pallas_call(
         _make_bwd_kernel(cfg, block),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((rows_out, 128 * NFIELDS), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((rows_out, 128 * _nfields(cfg)), jnp.float32),
         interpret=interpret,
     )(
         binned["block_tile"], binned["block_first"], binned["block_window"],
@@ -368,7 +414,7 @@ def _route_grads(binned, gout, n: int, cfg: RenderConfig):
     valid = iota_p < total  # stream rows past the runs hold garbage/trash
 
     cols = []
-    for k in range(NFIELDS):
+    for k in range(_nfields(cfg)):
         col = gout[:rows, 128 * k : 128 * (k + 1)].reshape(-1)[:p]
         cols.append(jnp.where(valid, col, 0.0))
 
@@ -396,6 +442,8 @@ def blend_planes_pallas(
     cr: jnp.ndarray,
     cg: jnp.ndarray,
     cb: jnp.ndarray,
+    angle: jnp.ndarray,
+    ratio: jnp.ndarray,
     depth: jnp.ndarray,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Differentiable Pallas tile blend over continuous (N,) record planes.
@@ -403,23 +451,31 @@ def blend_planes_pallas(
     Returns (tile_color (T, tp, 3), tile_alpha (T, tp)) — feed through
     compositor.tiles_to_image for the image.  Gradients flow to every plane
     except depth (compositing ORDER is structure, like the tile assignment —
-    standard differentiable-rasterization semantics, see render/diff.py)."""
-    out, _ = _diff_fwd(cfg, block, interpret, cx, cy, radius, opacity, cr, cg, cb, depth)
+    standard differentiable-rasterization semantics, see render/diff.py).
+    angle/ratio participate only for oriented cfgs (isotropic profiles get
+    zero gradients for them)."""
+    out, _ = _diff_fwd(
+        cfg, block, interpret,
+        cx, cy, radius, opacity, cr, cg, cb, angle, ratio, depth,
+    )
     return out
 
 
-def _planes_dict(cx, cy, radius, opacity, cr, cg, cb, depth) -> Dict[str, jnp.ndarray]:
+def _planes_dict(
+    cx, cy, radius, opacity, cr, cg, cb, angle, ratio, depth
+) -> Dict[str, jnp.ndarray]:
     return {
         "cx": cx, "cy": cy, "radius": radius, "opacity": opacity,
-        "r": cr, "g": cg, "b": cb, "depth": depth,
+        "r": cr, "g": cg, "b": cb, "angle": angle, "ratio": ratio,
+        "depth": depth,
     }
 
 
-def _diff_fwd(cfg, block, interpret, cx, cy, radius, opacity, cr, cg, cb, depth):
-    planes = _planes_dict(cx, cy, radius, opacity, cr, cg, cb, depth)
+def _diff_fwd(cfg, block, interpret, *plane_args):
+    planes = _planes_dict(*plane_args)
     binned = bin_planes_diff(planes, cfg, block)
     tile_color, tile_alpha = _fwd_pallas(binned, cfg, block, interpret)
-    res = (binned, tile_color, tile_alpha, cx.shape[0])
+    res = (binned, tile_color, tile_alpha, plane_args[0].shape[0])
     return (tile_color, tile_alpha), res
 
 
@@ -429,14 +485,16 @@ def _diff_bwd(cfg, block, interpret, res, cot):
     gout = _bwd_pallas(
         binned, tile_color, tile_alpha, g_color, g_alpha, cfg, block, interpret
     )
-    g_cx, g_cy, g_r, g_op, g_cr, g_cg, g_cb = _route_grads(binned, gout, n, cfg)
+    grads = _route_grads(binned, gout, n, cfg)
+    g_cx, g_cy, g_r, g_op, g_cr, g_cg, g_cb = grads[:7]
+    zero = jnp.zeros_like(g_cx)
+    g_ang, g_ratio = (grads[7], grads[8]) if cfg.oriented else (zero, zero)
     # depth orders the composite (structure): zero cotangent, like the scan
-    # path where the depth column feeds only sort keys
-    g_depth = jnp.zeros_like(g_cx)
+    # path where the depth column feeds only sort keys.
     # NOTE: callers pass opacity/colors already clipped to [0, 1]
     # (render_diff), so the in-binning clip is the identity and needs no
     # gradient gating here.
-    return (g_cx, g_cy, g_r, g_op, g_cr, g_cg, g_cb, g_depth)
+    return (g_cx, g_cy, g_r, g_op, g_cr, g_cg, g_cb, g_ang, g_ratio, zero)
 
 
 blend_planes_pallas.defvjp(_diff_fwd, _diff_bwd)

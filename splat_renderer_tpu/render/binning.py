@@ -812,8 +812,14 @@ def bin_packed_words(
     return out
 
 
-# stream lane-section order of the differentiable f32 pair stream
+# stream lane-section order of the differentiable f32 pair stream;
+# oriented profiles append the ellipse fields
 DIFF_FIELDS = ("cx", "cy", "radius", "opacity", "r", "g", "b")
+DIFF_FIELDS_ORIENTED = DIFF_FIELDS + ("angle", "ratio")
+
+
+def diff_fields(cfg: RenderConfig) -> Tuple[str, ...]:
+    return DIFF_FIELDS_ORIENTED if cfg.oriented else DIFF_FIELDS
 
 
 def bin_planes_diff(
@@ -827,14 +833,13 @@ def bin_planes_diff(
     custom-VJP backward needs to route per-pair gradients back to input
     order (`rank_sorted` pair->rank, `src` rank->input index).
 
-    Isotropic only (the diff path's scope); no quantization anywhere — the
-    values blend exactly as shade_planes produced them, matching
-    render_diff's scan path semantics.  All integer structure (footprints,
-    tiles, tables) is derived from forward VALUES and treated as constant by
-    the gradient (stop-gradient structure, standard differentiable
-    rasterization — see render/diff.py)."""
-    if cfg.oriented:
-        raise ValueError("bin_planes_diff: isotropic profiles only")
+    No quantization anywhere — the values blend exactly as shade_planes
+    produced them, matching render_diff's scan path semantics.  Oriented
+    profiles carry two extra plane sections (angle, ratio) and use the exact
+    rotated-ellipse AABB for tile coverage, like the exact pipeline.  All
+    integer structure (footprints, tiles, tables) is derived from forward
+    VALUES and treated as constant by the gradient (stop-gradient structure,
+    standard differentiable rasterization — see render/diff.py)."""
     if block % 1024:
         raise ValueError("block must be a multiple of 1024")
     cx, cy, radius = planes["cx"], planes["cy"], planes["radius"]
@@ -846,17 +851,20 @@ def bin_planes_diff(
     # ---- record stage: canonical (depth, input index) sort; the sorted
     # iota column is src (rank -> input index) ----
     iota_n = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+    fields = diff_fields(cfg)
     field_cols = tuple(
         jnp.clip(planes[k], 0.0, 1.0) if k in ("opacity", "r", "g", "b")
         else planes[k]
-        for k in DIFF_FIELDS
+        for k in fields
     )
     res = jax.lax.sort((depth, iota_n) + field_cols, num_keys=2)
     depth_s, src = res[0], res[1]
     cols_s = res[2:]  # canonical-order field planes
 
     tx0, ty0, w, h = _footprint_cols(
-        cols_s[0], cols_s[1], cols_s[2], jnp.isfinite(depth_s), cfg
+        cols_s[0], cols_s[1], cols_s[2], jnp.isfinite(depth_s), cfg,
+        ang=cols_s[7] if cfg.oriented else None,
+        ratio=cols_s[8] if cfg.oriented else None,
     )
     c_d, miss, dtx_d, dty_d = _diag_prune(
         cols_s[0], cols_s[1], cols_s[2], tx0, ty0, w, h, cfg

@@ -109,10 +109,11 @@ def render_diff(
     through the lighting term and the oriented-ellipse shape).
     """
     if method == "pallas":
-        if cfg.oriented or cfg.opaque:
+        if cfg.opaque:
             raise ValueError(
-                "render_diff(method='pallas') supports isotropic gaussian "
-                "profiles only (use method='tiles')"
+                "render_diff(method='pallas'): the opaque hard-coverage "
+                "profile has zero gradient almost everywhere — use the "
+                "gaussian profiles (isotropic or oriented)"
             )
         from ..ops.tile_blend_diff import blend_planes_pallas
         from .compositor import tiles_to_image
@@ -122,7 +123,8 @@ def render_diff(
         tile_color, tile_alpha = blend_planes_pallas(
             cfg, block, interpret,
             c["cx"], c["cy"], c["radius"], clip01(c["opacity"]),
-            clip01(c["r"]), clip01(c["g"]), clip01(c["b"]), c["depth"],
+            clip01(c["r"]), clip01(c["g"]), clip01(c["b"]),
+            c["angle"], c["ratio"], c["depth"],
         )
         return tiles_to_image(tile_color, tile_alpha, cfg)
 

@@ -158,13 +158,47 @@ class TestPallasDiff:
                 f"{k}: maxrel {np.abs(a - b).max() / scale:.2e}"
             )
 
-    def test_oriented_raises(self, key):
+    def test_oriented_gradients_match_tiles(self, key):
+        """The ellipse branch: forward + grads through angle/ratio (via the
+        normals) against the scan path."""
+        import dataclasses
+
+        cfg_o = dataclasses.replace(CFG, oriented=True)
+        _, camera, splats = _scene_and_splats(key, n=150, cfg=cfg_o)
+        img_t = np.asarray(render_diff(splats, camera, cfg_o, method="tiles"))
+        img_p = np.asarray(
+            render_diff(splats, camera, cfg_o, method="pallas", interpret=True)
+        )
+        np.testing.assert_allclose(img_p, img_t, atol=3e-6)
+
+        target = jnp.full((cfg_o.height, cfg_o.width, 3), 0.4)
+        fields = ("px", "nx", "ny", "radius", "opacity", "cr")
+
+        def make_loss(method):
+            def f(theta):
+                img = render_diff(dict(splats, **theta), camera, cfg_o,
+                                  method=method, interpret=True)
+                return jnp.mean((img - target) ** 2)
+            return f
+
+        theta = {k: splats[k] for k in fields}
+        gt = jax.grad(make_loss("tiles"))(theta)
+        gp = jax.grad(make_loss("pallas"))(theta)
+        for k in fields:
+            a, b = np.asarray(gt[k]), np.asarray(gp[k])
+            scale = np.abs(a).max() + 1e-12
+            assert np.isfinite(b).all(), k
+            assert np.abs(a - b).max() / scale < 1e-3, (
+                f"{k}: maxrel {np.abs(a - b).max() / scale:.2e}"
+            )
+
+    def test_opaque_raises(self, key):
         import dataclasses
 
         _, camera, splats = _scene_and_splats(key, n=64)
-        cfg_o = dataclasses.replace(CFG, oriented=True)
+        cfg_z = dataclasses.replace(CFG, oriented=True, opaque=True)
         with pytest.raises(ValueError):
-            render_diff(splats, camera, cfg_o, method="pallas", interpret=True)
+            render_diff(splats, camera, cfg_z, method="pallas", interpret=True)
 
     def test_fit_descends(self, key):
         _, camera, splats = _scene_and_splats(key, n=200)
