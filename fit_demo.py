@@ -22,9 +22,9 @@ import time
 
 import jax
 import jax.numpy as jnp
-import optax
 
 import splat_renderer_tpu as spt
+from splat_renderer_tpu import fit
 from splat_renderer_tpu.render import render_diff
 from splat_renderer_tpu.render.pipeline import model_points
 
@@ -69,66 +69,39 @@ def main():
         spt.PointConfig(), cfg,
     )
 
-    targets = [render_diff(splats, cam, cfg, method=args.method)
-               for cam in cameras]
+    targets = fit.render_targets(splats, cameras, cfg, method=args.method)
     camera, target = cameras[0], targets[0]
 
     fit_fields = tuple(f.strip() for f in args.fields.split(",") if f.strip())
-    appearance = {"cr", "cg", "cb", "opacity"}
+    appearance = set(fit.FIT_FIELDS_APPEARANCE)
     noise_key = jax.random.PRNGKey(7)
-    theta = {}
+    init = {}
     for k in fit_fields:
         if k in appearance:  # gray/flat start — recover appearance
-            theta[k] = jnp.full_like(splats[k], 0.5)
+            init[k] = jnp.full_like(splats[k], 0.5)
         else:  # geometry: perturb the truth — recover shape
             noise_key, sub = jax.random.split(noise_key)
-            theta[k] = splats[k] + 0.02 * jax.random.normal(
-                sub, splats[k].shape
-            )
-    theta_init = dict(theta)
-    opt = optax.adam(args.lr)
-    opt_state = opt.init(theta)
-
-    # target and splats are explicit jit ARGUMENTS, not closure captures:
-    # over the axon TPU relay, a jitted program that bakes an image-sized
-    # array in as a constant can return a wrong scalar loss (measured
-    # 0.0101 -> 0.0373, deterministic; images and per-pixel outputs stay
-    # correct).  Passing the arrays as arguments avoids the miscompile and
-    # is also standard jit hygiene (no constant re-embedding per retrace).
-    @jax.jit
-    def step(theta, opt_state, splats, targets):
-        def loss_fn(theta):
-            s = dict(splats, **theta)
-            per_view = [
-                jnp.mean((render_diff(s, cam, cfg, method=args.method) - t) ** 2)
-                for cam, t in zip(cameras, targets)
-            ]
-            return sum(per_view) / len(per_view)
-
-        loss, grads = jax.value_and_grad(loss_fn)(theta)
-        updates, opt_state = opt.update(grads, opt_state)
-        return loss, optax.apply_updates(theta, updates), opt_state
+            init[k] = splats[k] + 0.02 * jax.random.normal(sub, splats[k].shape)
 
     t0 = time.perf_counter()
-    for i in range(args.steps):
-        loss, theta, opt_state = step(theta, opt_state, splats, targets)
-        if i % 10 == 0 or i == args.steps - 1:
-            psnr = -10.0 * jnp.log10(loss)
-            print(f"step {i:4d}  mse {float(loss):.3e}  psnr {float(psnr):5.1f} dB")
+    fitted, losses = fit.fit_splats(
+        splats, cameras, targets, cfg, fields=fit_fields, steps=args.steps,
+        lr=args.lr, method=args.method, init=init, log_every=10,
+    )
     dt = time.perf_counter() - t0
     print(f"{args.steps} optimization steps in {dt:.1f} s "
           f"({1e3 * dt / args.steps:.1f} ms/step, {args.n} splats, "
           f"{args.size}x{args.size}, {args.views} view(s), "
-          f"fields={','.join(fit_fields)}, method={args.method})")
+          f"fields={','.join(fit_fields)}, method={args.method}, "
+          f"final psnr {float(fit.psnr(losses[-1])):.1f} dB)")
 
     if args.out:
         from splat_renderer_tpu.utils.image import write_png
         import numpy as np
 
-        init_img = render_diff(dict(splats, **theta_init), camera, cfg,
+        init_img = render_diff(dict(splats, **init), camera, cfg,
                                method=args.method)
-        fit_img = render_diff(dict(splats, **theta), camera, cfg,
-                              method=args.method)
+        fit_img = render_diff(fitted, camera, cfg, method=args.method)
         for tag, img in (("target", target), ("init", init_img),
                          ("fit", fit_img)):
             path = f"{args.out}_{tag}.png"

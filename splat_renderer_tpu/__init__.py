@@ -12,6 +12,9 @@ A Gaussian-splat modeling + rendering engine in JAX/XLA/Pallas:
 - `ops`:      Pallas TPU kernels for the hot paths (tile blend, radix sort).
 - `parallel`: multi-chip sharding (view-DP x tile-TP x point-SP) over a
               jax.sharding.Mesh.
+- `fit`:      inverse rendering — 3DGS-style gradient-descent fitting of
+              splat fields to target images (render/diff.py + a custom-VJP
+              Pallas kernel pair); the reference is forward-only.
 
 Reference: /root/reference (TypeScript + WGSL, WebGPU).  This is a from-
 scratch TPU-first design, not a port; docstrings cite reference file:line for
