@@ -42,6 +42,9 @@ def render_targets(
     return tuple(f(splats, cam) for cam in cameras)
 
 
+DENSIFY_FIELDS = ("px", "py", "pz", "radius", "opacity")
+
+
 def fit_splats(
     splats: Splats,
     cameras: Sequence[CameraArrays],
@@ -53,24 +56,40 @@ def fit_splats(
     method: str = "pallas",
     init: Optional[Dict[str, jnp.ndarray]] = None,
     log_every: int = 0,
+    densify_every: int = 0,
+    densify_threshold: float = 1e-5,
+    prune_opacity: float = 0.005,
+    key: Optional[jax.Array] = None,
 ) -> Tuple[Splats, jnp.ndarray]:
     """Optimize `fields` of `splats` so renders match `targets` (MSE, Adam).
 
     cameras/targets are parallel sequences (multi-view joint fit).  `init`
     overrides the starting value per field (default: the current values in
     `splats` — pass e.g. gray planes to re-fit appearance from scratch).
+
+    densify_every > 0 enables 3DGS adaptive density control (density_control)
+    every that many steps: splats whose ACCUMULATED positional-gradient
+    magnitude exceeds densify_threshold split into freed capacity (pruned
+    low-opacity slots); requires px/py/pz/radius/opacity in `fields` and
+    resets the Adam state at each event (the population changed).
+
     Returns (splats with fitted fields, (steps,) loss curve).
     """
     if len(cameras) != len(targets):
         raise ValueError("cameras and targets must pair up")
     if not fields:
         raise ValueError("nothing to fit: fields is empty")
+    if densify_every and not set(DENSIFY_FIELDS) <= set(fields):
+        raise ValueError(
+            f"densify_every needs fields to include {DENSIFY_FIELDS}"
+        )
     import optax
 
     theta = {k: (init[k] if init and k in init else splats[k]) for k in fields}
     opt = optax.adam(lr)
     opt_state = opt.init(theta)
     targets = tuple(targets)
+    key = jax.random.PRNGKey(0) if key is None else key
 
     @jax.jit
     def step(theta, opt_state, splats, targets):
@@ -83,18 +102,120 @@ def fit_splats(
             return sum(per_view) / len(per_view)
 
         loss, grads = jax.value_and_grad(loss_fn)(theta)
+        pos_g = (
+            jnp.abs(grads["px"]) + jnp.abs(grads["py"]) + jnp.abs(grads["pz"])
+            if densify_every
+            else jnp.zeros(())
+        )
         updates, opt_state = opt.update(grads, opt_state)
-        return loss, optax.apply_updates(theta, updates), opt_state
+        return loss, optax.apply_updates(theta, updates), opt_state, pos_g
 
     losses = []
+    score = 0.0
     for i in range(steps):
-        loss, theta, opt_state = step(theta, opt_state, splats, targets)
+        loss, theta, opt_state, pos_g = step(theta, opt_state, splats, targets)
         losses.append(loss)
+        score = score + pos_g
         if log_every and (i % log_every == 0 or i == steps - 1):
             print(f"fit step {i:4d}  mse {float(loss):.3e}")
+        if densify_every and (i + 1) % densify_every == 0 and i + 1 < steps:
+            key, sub = jax.random.split(key)
+            merged, stats = jax.jit(density_control, static_argnames=())(
+                dict(splats, **theta), score / densify_every, sub,
+                densify_threshold, prune_opacity,
+            )
+            splats = merged
+            theta = {k: merged[k] for k in fields}
+            opt_state = opt.init(theta)  # population changed: fresh moments
+            score = 0.0
+            if log_every:
+                print(
+                    f"  densify @{i + 1}: split {int(stats['split'])}, "
+                    f"pruned {int(stats['pruned'])}, live {int(stats['live'])}"
+                )
     return dict(splats, **theta), jnp.stack(losses)
 
 
 def psnr(mse: jnp.ndarray) -> jnp.ndarray:
     """Peak signal-to-noise ratio of an MSE loss (images in [0, 1])."""
     return -10.0 * jnp.log10(jnp.maximum(mse, 1e-12))
+
+
+def density_control(
+    splats: Splats,
+    score: jnp.ndarray,  # (N,) accumulated positional-gradient magnitude
+    key: jax.Array,
+    densify_threshold: float,
+    prune_opacity: float = 0.005,
+    split_factor: float = 1.6,
+    jitter: float = 0.01,
+) -> Tuple[Splats, Dict[str, jnp.ndarray]]:
+    """One 3DGS adaptive-density event under STATIC shapes.
+
+    The original (Kerbl et al. 2023 sec. 5.2) reallocates a dynamic array;
+    on TPU the splat count N is a static capacity and liveness is encoded in
+    the fields themselves: a dead slot has radius = 0 (footprint drops it —
+    render/binning._footprint_cols) and opacity = 0.
+
+    - prune: live splats with opacity < prune_opacity die (their slots join
+      the free pool).
+    - densify: live splats whose accumulated positional-gradient score
+      exceeds densify_threshold SPLIT — the i-th highest-scoring candidate
+      clones into the i-th free slot (rank-matching via one sort + an
+      N-scale gather/scatter, no dynamic shapes; candidates beyond the free
+      pool wait for the next event).  Both halves shrink by split_factor and
+      the clone is jittered by `jitter` * its world radius.
+
+    Returns (new splats, stats {pruned, split, live}).
+    """
+    n = score.shape[0]
+    radius = splats["radius"]
+    opacity = splats["opacity"]
+    live = radius > 0.0
+    prune = live & (opacity < prune_opacity)
+    keep = live & ~prune
+    free = ~keep
+
+    cand = keep & (score > densify_threshold)
+    # order candidates best-first and free slots index-first (one sort each;
+    # rank-matching pairs the i-th best candidate with the i-th free slot)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+    _, cand_idx = jax.lax.sort_key_val(jnp.where(cand, -score, jnp.inf), iota)
+    _, free_idx = jax.lax.sort_key_val(
+        jnp.where(free, iota, n).astype(jnp.int32), iota
+    )
+    n_cand = jnp.sum(cand.astype(jnp.int32))
+    n_free = jnp.sum(free.astype(jnp.int32))
+    k_live = jnp.minimum(n_cand, n_free)  # pairs actually split
+    pair_ok = iota < k_live
+    src = jnp.where(pair_ok, cand_idx, 0)  # candidate for pair i
+    dst = jnp.where(pair_ok, free_idx, n)  # its clone's slot (n = dropped)
+
+    out = dict(splats)
+    # prune: zero the slot (radius 0 = culled everywhere)
+    out["radius"] = jnp.where(prune, 0.0, radius)
+    out["opacity"] = jnp.where(prune, 0.0, opacity)
+    # split originals shrink (mask scatter: slots of the paired candidates;
+    # add-then-threshold so unpaired writes to slot 0 cannot clobber)
+    split_mask = (
+        jnp.zeros((n,), jnp.int32)
+        .at[src].add(pair_ok.astype(jnp.int32), mode="drop")
+    ) > 0
+    out["radius"] = jnp.where(split_mask, out["radius"] / split_factor,
+                              out["radius"])
+    # clones: copy every field from src into dst, jittered + shrunk
+    keys = jax.random.split(key, 3)
+    for f in out:
+        vals = out[f][src]  # post-shrink values of the candidates
+        if f in ("px", "py", "pz"):
+            axis = ("px", "py", "pz").index(f)
+            vals = vals + jitter * out["radius"][src] * jax.random.normal(
+                keys[axis], vals.shape
+            )
+        out[f] = out[f].at[dst].set(jnp.where(pair_ok, vals, 0.0), mode="drop")
+    stats = {
+        "pruned": jnp.sum(prune.astype(jnp.int32)),
+        "split": k_live,
+        "live": jnp.sum((out["radius"] > 0.0).astype(jnp.int32)),
+    }
+    return out, stats

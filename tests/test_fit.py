@@ -70,3 +70,76 @@ class TestFitSplats:
 
     def test_psnr(self):
         assert float(fit.psnr(jnp.asarray(0.01))) == pytest.approx(20.0)
+
+
+class TestDensityControl:
+    def _toy(self, n=8):
+        base = {
+            "px": jnp.arange(n, dtype=jnp.float32),
+            "py": jnp.zeros((n,)), "pz": jnp.zeros((n,)),
+            "radius": jnp.full((n,), 0.1),
+            "opacity": jnp.full((n,), 0.8),
+            "cr": jnp.linspace(0, 1, n), "cg": jnp.zeros((n,)),
+            "cb": jnp.ones((n,)),
+            "nx": jnp.zeros((n,)), "ny": jnp.zeros((n,)),
+            "nz": jnp.ones((n,)),
+        }
+        return base
+
+    def test_prune_and_split(self):
+        s = self._toy()
+        # slot 2 nearly transparent -> pruned; slot 5 high score -> splits
+        s["opacity"] = s["opacity"].at[2].set(0.001)
+        score = jnp.zeros((8,)).at[5].set(1.0)
+        out, stats = fit.density_control(
+            s, score, jax.random.PRNGKey(0), densify_threshold=0.5
+        )
+        assert int(stats["pruned"]) == 1 and int(stats["split"]) == 1
+        # the pruned slot is immediately reused by the split's clone
+        assert float(out["opacity"][2]) == pytest.approx(0.8)
+        assert float(out["radius"][5]) == pytest.approx(0.1 / 1.6)
+        assert float(out["radius"][2]) == pytest.approx(0.1 / 1.6)
+        assert float(out["cr"][2]) == pytest.approx(float(s["cr"][5]))
+        # clone is near (jittered), not identical
+        assert abs(float(out["px"][2]) - 5.0) < 0.01
+        assert int(stats["live"]) == 8  # one died, one was born
+
+    def test_no_candidates_no_change(self):
+        s = self._toy()
+        out, stats = fit.density_control(
+            s, jnp.zeros((8,)), jax.random.PRNGKey(0), densify_threshold=0.5
+        )
+        assert int(stats["split"]) == 0 and int(stats["pruned"]) == 0
+        for k in s:
+            np.testing.assert_array_equal(np.asarray(out[k]), np.asarray(s[k]))
+
+    def test_split_bounded_by_free_slots(self):
+        s = self._toy()
+        score = jnp.ones((8,))  # everyone wants to split, nobody is free
+        out, stats = fit.density_control(
+            s, score, jax.random.PRNGKey(0), densify_threshold=0.5
+        )
+        assert int(stats["split"]) == 0
+        np.testing.assert_array_equal(np.asarray(out["radius"]),
+                                      np.asarray(s["radius"]))
+
+    def test_densified_fit_runs(self, key):
+        cams, splats = _setup(key, n=150, views=1)
+        targets = fit.render_targets(splats, cams, CFG, method="tiles")
+        noise = 0.05 * jax.random.normal(jax.random.PRNGKey(3),
+                                         splats["px"].shape)
+        fields = ("px", "py", "pz", "radius", "opacity", "cr", "cg", "cb")
+        fitted, losses = fit.fit_splats(
+            splats, cams, targets, CFG, fields=fields, steps=12, lr=3e-3,
+            method="tiles", init={"px": splats["px"] + noise},
+            densify_every=5, densify_threshold=1e-7,
+        )
+        assert np.isfinite(np.asarray(losses)).all()
+        assert float(losses[-1]) < float(losses[0])
+
+    def test_densify_requires_geometry_fields(self, key):
+        cams, splats = _setup(key, n=64, views=1)
+        targets = fit.render_targets(splats, cams, CFG, method="tiles")
+        with pytest.raises(ValueError):
+            fit.fit_splats(splats, cams, targets, CFG, fields=("cr",),
+                           densify_every=5)
