@@ -141,6 +141,86 @@ def psnr(mse: jnp.ndarray) -> jnp.ndarray:
     return -10.0 * jnp.log10(jnp.maximum(mse, 1e-12))
 
 
+def fit_splats_dp(
+    splats: Splats,
+    cameras: CameraArrays,  # leaves stacked (V, ...) — orbit_ring format
+    targets: jnp.ndarray,  # (V, H, W, 3)
+    mesh,  # jax.sharding.Mesh (all devices used, flat view axis)
+    cfg: RenderConfig,
+    fields: Sequence[str] = FIT_FIELDS_APPEARANCE,
+    steps: int = 100,
+    lr: float = 3e-2,
+    method: str = "tiles",
+    init: Optional[Dict[str, jnp.ndarray]] = None,
+    interpret: bool = False,
+) -> Tuple[Splats, jnp.ndarray]:
+    """Multi-view fit with the VIEW axis sharded over the device mesh.
+
+    Each device renders + differentiates its local views (lax.map, so the
+    per-view programs stay single-view shaped); the global gradient is one
+    `psum` of the local grads over ICI — gradient data parallelism, the
+    standard scaling axis of 3DGS-style training.  theta and splats stay
+    replicated; the Adam update runs identically everywhere.
+
+    The reference has no distributed anything (SURVEY.md section 2.5); this
+    composes the rebuild's fit capability with its mesh layer.  Exactness:
+    matches single-device fit_splats up to the usual batched-projection fp
+    wiggle (tests/test_fit.py::TestFitDP).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    n_dev = mesh.devices.size
+    v = targets.shape[0]
+    if v % n_dev:
+        raise ValueError(f"view count {v} must divide over {n_dev} devices")
+    if not fields:
+        raise ValueError("nothing to fit: fields is empty")
+    import optax
+
+    flat_mesh = jax.sharding.Mesh(mesh.devices.reshape(-1), ("v",))
+    theta = {k: (init[k] if init and k in init else splats[k]) for k in fields}
+    opt = optax.adam(lr)
+    opt_state = opt.init(theta)
+
+    def local_value_and_grad(theta, splats, cams_local, tgts_local):
+        def loss_fn(theta):
+            s = dict(splats, **theta)
+
+            def one(ct):
+                cam, tgt = ct
+                img = render_diff(s, cam, cfg, method=method,
+                                  interpret=interpret)
+                return jnp.mean((img - tgt) ** 2)
+
+            return jnp.mean(jax.lax.map(one, (cams_local, tgts_local)))
+
+        loss, grads = jax.value_and_grad(loss_fn)(theta)
+        # global mean over equal per-device view counts = mean of local means
+        loss = jax.lax.pmean(loss, "v")
+        grads = jax.tree.map(lambda g: jax.lax.pmean(g, "v"), grads)
+        return loss, grads
+
+    vg = jax.shard_map(
+        local_value_and_grad,
+        mesh=flat_mesh,
+        in_specs=(P(), P(), P("v"), P("v")),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def step(theta, opt_state, splats, cameras, targets):
+        loss, grads = vg(theta, splats, cameras, targets)
+        updates, opt_state = opt.update(grads, opt_state)
+        return loss, optax.apply_updates(theta, updates), opt_state
+
+    losses = []
+    for _ in range(steps):
+        loss, theta, opt_state = step(theta, opt_state, splats, cameras, targets)
+        losses.append(loss)
+    return dict(splats, **theta), jnp.stack(losses)
+
+
 def density_control(
     splats: Splats,
     score: jnp.ndarray,  # (N,) accumulated positional-gradient magnitude

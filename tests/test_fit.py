@@ -72,6 +72,46 @@ class TestFitSplats:
         assert float(fit.psnr(jnp.asarray(0.01))) == pytest.approx(20.0)
 
 
+class TestFitDP:
+    def test_matches_single_device(self, key):
+        """View-DP fit over the 8-device CPU mesh descends like the
+        single-device loop on the same 8 views."""
+        from splat_renderer_tpu.parallel.sharding import make_mesh
+
+        cams_l, splats = _setup(key, n=150, views=8)
+        cfg = RenderConfig(width=32, height=32, base_radius=0.1,
+                           tiles_per_splat_cap=16)
+        targets_l = fit.render_targets(splats, cams_l, cfg, method="tiles")
+        cams = jax.tree.map(lambda *xs: jnp.stack(xs), *cams_l)
+        targets = jnp.stack(targets_l)
+        init = {k: jnp.full_like(splats[k], 0.5) for k in ("cr", "cg", "cb")}
+
+        mesh = make_mesh(dp=8, sp=1)
+        fitted_dp, losses_dp = fit.fit_splats_dp(
+            splats, cams, targets, mesh, cfg, fields=("cr", "cg", "cb"),
+            steps=10, lr=5e-2, method="tiles", init=init,
+        )
+        _, losses_1 = fit.fit_splats(
+            splats, cams_l, targets_l, cfg, fields=("cr", "cg", "cb"),
+            steps=10, lr=5e-2, method="tiles", init=init,
+        )
+        assert float(losses_dp[-1]) < float(losses_dp[0]) / 2.0
+        # same optimization trajectory up to batched-projection fp wiggle
+        np.testing.assert_allclose(np.asarray(losses_dp),
+                                   np.asarray(losses_1), rtol=2e-2)
+
+    def test_view_count_must_divide(self, key):
+        from splat_renderer_tpu.parallel.sharding import make_mesh
+
+        cams_l, splats = _setup(key, n=64, views=3)
+        cfg = RenderConfig(width=32, height=32, base_radius=0.1)
+        targets_l = fit.render_targets(splats, cams_l, cfg, method="tiles")
+        cams = jax.tree.map(lambda *xs: jnp.stack(xs), *cams_l)
+        with pytest.raises(ValueError):
+            fit.fit_splats_dp(splats, cams, jnp.stack(targets_l),
+                              make_mesh(dp=8, sp=1), cfg)
+
+
 class TestDensityControl:
     def _toy(self, n=8):
         base = {
