@@ -287,6 +287,12 @@ def main() -> int:
         surface_render_config(640, 368, base_radius=0.02, tiles_per_splat_cap=16),
         20_000,
     )
+    ok &= check(
+        "quad-surface 360p",  # reference-exact square quads (cfg.quad)
+        surface_render_config(640, 368, base_radius=0.02,
+                              tiles_per_splat_cap=16, quad=True),
+        20_000,
+    )
     ok &= check_class_partition()
     ok &= check_engine_class_protocol()
     ok &= check_render_band()

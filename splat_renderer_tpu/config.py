@@ -81,6 +81,14 @@ class RenderConfig:
     # normal (the reference's tangent-frame quads, src/Renderer.ts:90-117).
     # False = isotropic discs (the reference's splat pipeline).
     oriented: bool = False
+    # Square-quad coverage for the opaque mode: the reference's live path
+    # draws FULL tangent-frame squares with no disc discard
+    # (src/Renderer.ts:95-131, fragment :133-144 ignores uv), so its
+    # footprint keeps the corners the inscribed ellipse/disc drops.  True =
+    # reference-exact square coverage (|u| <= r along the ellipse frame,
+    # |v| <= r * ratio across); False (default) = the ellipse/disc model.
+    # Only meaningful with opaque=True.
+    quad: bool = False
     # Screen-ellipse model for oriented splats:
     #   "foreshorten": minor axis along the normal's screen projection,
     #       minor/major = |n . view| — the reference's tangent-quad look

@@ -175,7 +175,17 @@ def _blend_window(cfg, spec, eps, sat_every, w_all, acc_ref, local0, cnt, px, py
                 scale = r
             scale2 = scale * scale
             nd2 = d2 / jnp.maximum(scale2, 1e-12)  # exp argument only
-            if cfg.opaque:
+            if cfg.opaque and cfg.quad:
+                # reference-exact square coverage (src/Renderer.ts:95-131 —
+                # the live path never discards on uv); op sequence mirrors
+                # blend.splat_alpha_planes' quad branch exactly (both
+                # compares against scale2 in the ratio-scaled metric)
+                if cfg.oriented:
+                    inside = (u * u <= scale2) & (vr * vr <= scale2)
+                else:
+                    inside = (dx * dx <= scale2) & (dy * dy <= scale2)
+                shape = jnp.where(inside, 1.0, 0.0)
+            elif cfg.opaque:
                 # z-buffer semantics: nearest covering splat wins exactly
                 # (front-to-back + alpha 1), src/Renderer.ts:189-201
                 shape = jnp.where(d2 <= scale2, 1.0, 0.0)

@@ -103,10 +103,18 @@ def _footprint_cols(
 
         ca, sa = ellipse_cos_sin(ang)
         rr = jnp.clip(ratio, 0.0, 1.0)
-        r2 = rr * rr
         slack = 1.0 / cfg.pos_scale
-        hx = pad * jnp.sqrt(sa * sa + r2 * ca * ca) + slack
-        hy = pad * jnp.sqrt(ca * ca + r2 * sa * sa) + slack
+        if cfg.opaque and cfg.quad:
+            # square footprint (cfg.quad): corners at +-r*ratio e_u +- r e_v
+            # (minor along the angle direction, like the ellipse) -> AABB
+            # extents r*ratio|cos| + r|sin| in x, r*ratio|sin| + r|cos| in y
+            aca, asa = jnp.abs(ca), jnp.abs(sa)
+            hx = pad * (rr * aca + asa) + slack
+            hy = pad * (rr * asa + aca) + slack
+        else:
+            r2 = rr * rr
+            hx = pad * jnp.sqrt(sa * sa + r2 * ca * ca) + slack
+            hy = pad * jnp.sqrt(ca * ca + r2 * sa * sa) + slack
     else:
         hx = pad
         hy = pad
@@ -195,6 +203,10 @@ def _diag_prune(
     dy = cy - corner_y
     pad = radius * cfg.bounds_margin + 1.0 / cfg.pos_scale
     miss = applicable & (dx * dx + dy * dy > pad * pad)
+    if cfg.opaque and cfg.quad:
+        # square footprints reach the diagonal tile wherever their AABB does
+        # — the disc-corner prune does not apply
+        miss = jnp.zeros_like(miss)
     c_d = (1 - ciy) * 2 + (1 - cix)
     dtx = tx0 + 1 - cix
     dty = ty0 + 1 - ciy

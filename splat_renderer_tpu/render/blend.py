@@ -162,7 +162,19 @@ def splat_alpha_planes(
     # four abs/compare lanes in the hot kernel.  Applied uniformly (oracle
     # included), so parity is exact.
     margin2 = cfg.bounds_margin * cfg.bounds_margin
-    if cfg.opaque:
+    if cfg.opaque and cfg.quad:
+        # the reference's live path draws FULL squares (src/Renderer.ts:
+        # 95-131; the fragment never discards on uv): coverage is the
+        # screen-frame square with the ellipse's half-extents — minor
+        # radius*ratio ALONG the angle direction (u), major radius across
+        # (v).  In the ratio-scaled metric both compares collapse to scale2:
+        # |u| <= r*rr <=> u^2 <= scale2;  |v| <= r <=> (v*rr)^2 <= scale2.
+        if cfg.oriented:
+            inside = (u * u <= scale2) & (vr * vr <= scale2)
+        else:
+            inside = (dx * dx <= scale2) & (dy * dy <= scale2)
+        shape = jnp.where(inside, 1.0, 0.0)
+    elif cfg.opaque:
         shape = jnp.where(dist2 <= scale2, 1.0, 0.0)
     else:
         shape = jnp.where(

@@ -944,6 +944,92 @@ class TestOrientedAndOpaque:
         assert np.mean(np.abs(img[28:36, 28:36] - bg)) > 0.1
 
 
+class TestQuadFootprint:
+    """cfg.quad: the reference's live path draws FULL tangent-frame squares
+    (src/Renderer.ts:95-131; the fragment ignores uv), so its opaque
+    footprint keeps the corners our ellipse/disc model drops.  quad=True is
+    the reference-exact coverage."""
+
+    def test_square_covers_disc_corners(self):
+        cfg_d = RenderConfig(width=32, height=32, opaque=True)
+        cfg_q = cfg_d.replace(quad=True)
+        data = jnp.array([[16.0, 16.0, 6.0, 1.0, 1, 0, 0, 1.0, 0.0, 1.0]],
+                         jnp.float32)
+        corner = jnp.array([16.0 + 4.5, 16.0 + 4.5])  # |d| = 6.36 > r = 6
+        a_disc = splat_alpha(data, corner, cfg_d)
+        a_quad = splat_alpha(data, corner, cfg_q)
+        assert float(a_disc[0]) == 0.0 and float(a_quad[0]) == 1.0
+
+    def test_rotated_square(self):
+        """At 45 degrees the square's corner points along +x: a pixel beyond
+        the axis-aligned half-width but inside the rotated corner flips."""
+        cfg = RenderConfig(width=64, height=64, opaque=True, oriented=True,
+                           quad=True)
+        d0 = jnp.array([[32.0, 32.0, 6.0, 1.0, 1, 1, 1, 1.0, 0.0, 1.0]],
+                       jnp.float32)
+        d45 = d0.at[0, 8].set(np.pi / 4)
+        px = jnp.array([32.0 + 7.5, 32.0])  # beyond the side, inside the
+        a0 = splat_alpha(d0, px, cfg)       # corner reach sqrt(2) * 6 = 8.49
+        a45 = splat_alpha(d45, px, cfg)
+        assert float(a0[0]) == 0.0 and float(a45[0]) == 1.0
+
+    def test_quad_pallas_and_tiles_match_oracle(self, rng):
+        from splat_renderer_tpu.render.binning import bin_splats_packed
+        from splat_renderer_tpu.render.packing import quantize_screen_data
+        from splat_renderer_tpu.ops.tile_blend import render_tiles_pallas
+
+        cfg = RenderConfig(width=48, height=48, opaque=True, oriented=True,
+                           quad=True, tiles_per_splat_cap=16)
+        data = quantize_screen_data(
+            _random_screen_splats(rng, 100, cfg, r_lo=2.0, r_hi=8.0,
+                                  oriented=True),
+            cfg,
+        )
+        data = data.at[:, 3].set(1.0)
+        img_o = render_oracle(data, cfg)
+        st = bin_splats_packed(data, cfg, block=1024)
+        img_p = render_tiles_pallas(data, st, cfg, block=1024, eps=0.0,
+                                    interpret=True)
+        np.testing.assert_allclose(img_p, img_o, atol=2e-5)
+        _, _, ds = depth_sort(data[:, 7], data)
+        img_t = render_tiles(ds, bin_splats(ds, cfg), cfg)
+        np.testing.assert_allclose(img_t, img_o, atol=2e-5)
+
+    def test_corner_fraction_quantified(self, rng):
+        """Quantify the ellipse-model divergence the quad mode closes.
+
+        Single splat (clean geometry): the differing pixels are EXACTLY the
+        four corner regions, fraction -> 1 - pi/4 ~ 21.5% of the square.
+        Dense scene: quad coverage is a superset per splat, so it can only
+        ADD covered pixels (winner changes recolor but never uncover)."""
+        cfg_e = RenderConfig(width=64, height=64, opaque=True, oriented=True,
+                             tiles_per_splat_cap=16)
+        cfg_q = cfg_e.replace(quad=True)
+        one = jnp.array([[32.0, 32.0, 10.0, 1.0, 1, 0, 0, 1.0, 0.0, 1.0]],
+                        jnp.float32)
+        img_e1 = np.asarray(render_oracle(one, cfg_e))
+        img_q1 = np.asarray(render_oracle(one, cfg_q))
+        bg = np.asarray(cfg_q.background)
+        cov_e = (np.abs(img_e1 - bg).max(-1) > 1e-6)
+        cov_q = (np.abs(img_q1 - bg).max(-1) > 1e-6)
+        frac = (cov_q & ~cov_e).sum() / cov_q.sum()
+        assert frac == pytest.approx(1.0 - np.pi / 4, abs=0.03), frac
+
+        from splat_renderer_tpu.render.packing import quantize_screen_data
+
+        data = quantize_screen_data(
+            _random_screen_splats(rng, 60, cfg_e, r_lo=3.0, r_hi=8.0,
+                                  oriented=True),
+            cfg_e,
+        ).at[:, 3].set(1.0)
+        img_e = np.asarray(render_oracle(data, cfg_e))
+        img_q = np.asarray(render_oracle(data, cfg_q))
+        covered_e = (np.abs(img_e - bg).max(-1) > 1e-6)
+        covered_q = (np.abs(img_q - bg).max(-1) > 1e-6)
+        assert not np.any(covered_e & ~covered_q)
+        assert np.any(covered_q & ~covered_e)  # corners genuinely add pixels
+
+
 class TestEdgeCases:
     def test_packing_extreme_values(self):
         """Clamp behavior at the fixed-point grid edges."""
