@@ -54,6 +54,7 @@ def fit_splats(
     steps: int = 100,
     lr: float = 3e-2,
     method: str = "pallas",
+    loss: str = "l2",
     init: Optional[Dict[str, jnp.ndarray]] = None,
     log_every: int = 0,
     densify_every: int = 0,
@@ -61,7 +62,11 @@ def fit_splats(
     prune_opacity: float = 0.005,
     key: Optional[jax.Array] = None,
 ) -> Tuple[Splats, jnp.ndarray]:
-    """Optimize `fields` of `splats` so renders match `targets` (MSE, Adam).
+    """Optimize `fields` of `splats` so renders match `targets` (Adam).
+
+    `loss` selects the objective (utils/ssim.py registry): "l2" (MSE, the
+    default), "l1", or "ssim" — the 3DGS-standard (1-lam)*L1 + lam*(1-SSIM)
+    mix (Kerbl et al. 2023 sec. 3).
 
     cameras/targets are parallel sequences (multi-view joint fit).  `init`
     overrides the starting value per field (default: the current values in
@@ -85,6 +90,9 @@ def fit_splats(
         )
     import optax
 
+    from .utils.ssim import image_loss
+
+    loss_img = image_loss(loss)
     theta = {k: (init[k] if init and k in init else splats[k]) for k in fields}
     opt = optax.adam(lr)
     opt_state = opt.init(theta)
@@ -96,7 +104,7 @@ def fit_splats(
         def loss_fn(theta):
             s = dict(splats, **theta)
             per_view = [
-                jnp.mean((render_diff(s, cam, cfg, method=method) - t) ** 2)
+                loss_img(render_diff(s, cam, cfg, method=method), t)
                 for cam, t in zip(cameras, targets)
             ]
             return sum(per_view) / len(per_view)
@@ -113,11 +121,13 @@ def fit_splats(
     losses = []
     score = 0.0
     for i in range(steps):
-        loss, theta, opt_state, pos_g = step(theta, opt_state, splats, targets)
-        losses.append(loss)
+        loss_val, theta, opt_state, pos_g = step(
+            theta, opt_state, splats, targets
+        )
+        losses.append(loss_val)
         score = score + pos_g
         if log_every and (i % log_every == 0 or i == steps - 1):
-            print(f"fit step {i:4d}  mse {float(loss):.3e}")
+            print(f"fit step {i:4d}  {loss} {float(loss_val):.3e}")
         if densify_every and (i + 1) % densify_every == 0 and i + 1 < steps:
             key, sub = jax.random.split(key)
             merged, stats = jax.jit(density_control, static_argnames=())(
@@ -151,8 +161,9 @@ def fit_splats_dp(
     steps: int = 100,
     lr: float = 3e-2,
     method: str = "tiles",
+    loss: str = "l2",
     init: Optional[Dict[str, jnp.ndarray]] = None,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ) -> Tuple[Splats, jnp.ndarray]:
     """Multi-view fit with the VIEW axis sharded over the device mesh.
 
@@ -177,6 +188,9 @@ def fit_splats_dp(
         raise ValueError("nothing to fit: fields is empty")
     import optax
 
+    from .utils.ssim import image_loss
+
+    loss_img = image_loss(loss)
     flat_mesh = jax.sharding.Mesh(mesh.devices.reshape(-1), ("v",))
     theta = {k: (init[k] if init and k in init else splats[k]) for k in fields}
     opt = optax.adam(lr)
@@ -190,7 +204,7 @@ def fit_splats_dp(
                 cam, tgt = ct
                 img = render_diff(s, cam, cfg, method=method,
                                   interpret=interpret)
-                return jnp.mean((img - tgt) ** 2)
+                return loss_img(img, tgt)
 
             return jnp.mean(jax.lax.map(one, (cams_local, tgts_local)))
 

@@ -94,7 +94,7 @@ def render_diff(
     cfg: RenderConfig,
     method: str = "oracle",
     block: int = 1024,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ) -> jnp.ndarray:
     """Differentiable splat render -> (H, W, 3) image.
 
@@ -117,6 +117,10 @@ def render_diff(
             )
         from ..ops.tile_blend_diff import blend_planes_pallas
         from .compositor import tiles_to_image
+        from .pipeline import on_tpu
+
+        if interpret is None:
+            interpret = not on_tpu()  # Mosaic needs hardware; CPU interprets
 
         c = shade_planes(splats, camera["view_proj"], camera["cam_pos"], cfg)
         clip01 = lambda v: jnp.clip(v, 0.0, 1.0)  # noqa: E731

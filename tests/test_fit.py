@@ -183,3 +183,85 @@ class TestDensityControl:
         with pytest.raises(ValueError):
             fit.fit_splats(splats, cams, targets, CFG, fields=("cr",),
                            densify_every=5)
+
+
+class TestSSIM:
+    """utils/ssim.py: the 3DGS training objective (L1 + D-SSIM)."""
+
+    def test_identity_is_one(self, key):
+        from splat_renderer_tpu.utils.ssim import dssim_l1, ssim
+
+        img = jax.random.uniform(key, (32, 32, 3))
+        assert float(ssim(img, img)) == pytest.approx(1.0, abs=1e-6)
+        assert float(dssim_l1(img, img)) == pytest.approx(0.0, abs=1e-6)
+
+    def test_matches_dense_numpy_reference(self, key):
+        """Separable SAME-padded blur == one dense 11x11 zero-padded conv."""
+        from splat_renderer_tpu.utils.ssim import _SIGMA, _WINDOW, ssim
+
+        k1, k2 = jax.random.split(key)
+        a = np.asarray(jax.random.uniform(k1, (24, 24)))
+        b = np.clip(a + 0.1 * np.asarray(jax.random.normal(k2, (24, 24))), 0, 1)
+
+        x = np.arange(_WINDOW) - (_WINDOW - 1) / 2.0
+        g = np.exp(-(x**2) / (2.0 * _SIGMA**2))
+        g /= g.sum()
+        w = np.outer(g, g)
+        pad = _WINDOW // 2
+
+        def blur(img):
+            p = np.pad(img, pad)
+            out = np.zeros_like(img)
+            for i in range(img.shape[0]):
+                for j in range(img.shape[1]):
+                    out[i, j] = (p[i:i + _WINDOW, j:j + _WINDOW] * w).sum()
+            return out
+
+        c1, c2 = 0.01**2, 0.03**2
+        mx, my = blur(a), blur(b)
+        vx, vy = blur(a * a) - mx * mx, blur(b * b) - my * my
+        cov = blur(a * b) - mx * my
+        ref = np.mean(
+            ((2 * mx * my + c1) * (2 * cov + c2))
+            / ((mx * mx + my * my + c1) * (vx + vy + c2))
+        )
+        assert float(ssim(a, b)) == pytest.approx(ref, abs=2e-5)
+
+    def test_monotone_in_noise(self, key):
+        from splat_renderer_tpu.utils.ssim import ssim
+
+        img = jax.random.uniform(key, (32, 32, 3))
+        noise = jax.random.normal(jax.random.PRNGKey(3), img.shape)
+        s1 = float(ssim(img, jnp.clip(img + 0.05 * noise, 0, 1)))
+        s2 = float(ssim(img, jnp.clip(img + 0.30 * noise, 0, 1)))
+        assert 1.0 > s1 > s2
+
+    def test_differentiable(self, key):
+        from splat_renderer_tpu.utils.ssim import dssim_l1
+
+        k1, k2 = jax.random.split(key)
+        img = jax.random.uniform(k1, (16, 16, 3))
+        tgt = jax.random.uniform(k2, (16, 16, 3))
+        g = jax.grad(lambda im: dssim_l1(im, tgt))(img)
+        assert np.isfinite(np.asarray(g)).all()
+        assert float(jnp.abs(g).max()) > 0.0
+
+    def test_registry(self):
+        from splat_renderer_tpu.utils.ssim import image_loss
+
+        a = jnp.zeros((8, 8, 3))
+        b = jnp.ones((8, 8, 3)) * 0.5
+        assert float(image_loss("l2")(a, b)) == pytest.approx(0.25)
+        assert float(image_loss("l1")(a, b)) == pytest.approx(0.5)
+        with pytest.raises(ValueError):
+            image_loss("huber")
+
+    def test_fit_with_ssim_loss_descends(self, key):
+        cams, splats = _setup(key, views=1)
+        targets = fit.render_targets(splats, cams, CFG, method="tiles")
+        init = {k: jnp.full_like(splats[k], 0.5) for k in ("cr", "cg", "cb")}
+        _, losses = fit.fit_splats(
+            splats, cams, targets, CFG, fields=("cr", "cg", "cb"),
+            steps=15, lr=5e-2, method="tiles", loss="ssim", init=init,
+        )
+        assert float(losses[-1]) < float(losses[0]) / 2.0
