@@ -142,7 +142,7 @@ def main() -> None:
                              blend_kernel="tile")
 
     full_j = jax.jit(full)
-    t_full, _ = time_fn(full_j, splats, camera, warmup=2, iters=5)
+    t_full, img_exact = time_fn(full_j, splats, camera, warmup=2, iters=5)
 
     def full_flat(s, c):
         return render_splats(s, c, rcfg, "pallas", BLOCK, blend_max_blocks=mb)
@@ -158,6 +158,30 @@ def main() -> None:
                              blend_max_blocks=mt, blend_kernel="tile")
 
     t_fast, _ = time_fn(jax.jit(full_fast), splats, camera, warmup=2, iters=5)
+
+    # ---- turbo profile (config.turbo_render_config): fast_math + support
+    # cut at 1.3r — documented approximation preset; SSIM vs the exact frame
+    # is reported alongside so the trade is always visible ----
+    rcfg_turbo = spt.turbo_render_config(
+        WIDTH, HEIGHT, base_radius=0.008, tiles_per_splat_cap=4
+    )
+    data_turbo = jax.jit(lambda s, c: splat_screen_data(s, c, rcfg_turbo))(
+        splats, camera
+    )
+    binned_turbo = jax.jit(lambda d: bin_splats_packed(d, rcfg_turbo, BLOCK))(
+        data_turbo
+    )
+    mt_turbo = int(np.asarray(binned_turbo["tiles_used"]) * 1.15) + 8
+
+    def full_turbo(s, c):
+        return render_splats(s, c, rcfg_turbo, "pallas", BLOCK,
+                             blend_max_blocks=mt_turbo, blend_kernel="tile")
+
+    t_turbo, img_turbo = time_fn(jax.jit(full_turbo), splats, camera,
+                                 warmup=2, iters=5)
+    from splat_renderer_tpu.utils.ssim import ssim
+
+    ssim_turbo = float(jax.jit(ssim)(img_turbo, img_exact))
 
     # ---- config 1: oracle, 10k splats @256x256 ----
     ocfg = RenderConfig(width=256, height=256, base_radius=0.03)
@@ -330,6 +354,9 @@ def main() -> None:
         "frame_ms_flat_kernel": round(t_flat * 1e3, 3),
         "frame_ms_fast": round(t_fast * 1e3, 3),
         "fps_fast": round(1.0 / t_fast, 2),
+        "frame_ms_turbo": round(t_turbo * 1e3, 3),
+        "fps_turbo": round(1.0 / t_turbo, 2),
+        "ssim_turbo_vs_exact": round(ssim_turbo, 5),
         "project_ms": round(t_project * 1e3, 3),
         "sort_ms": round(t_sort * 1e3, 3),
         "bin_ms": round(t_bin * 1e3, 3),

@@ -1,0 +1,124 @@
+"""Inverse-rendering quality benchmark: PSNR/SSIM of multi-view re-fits.
+
+The forward bench (bench.py) times one fit STEP; this measures what the
+training stack actually converges to — the 3DGS-style experiment the
+WebGPU reference (forward-only) cannot run at all:
+
+  1. model a scene -> N splats, render V target views (the diff "tiles"
+     path, so targets carry no quantization),
+  2. destroy the appearance (gray init), re-fit it from the targets with
+     each objective ("l2" vs the 3DGS "ssim" = 0.8*L1 + 0.2*D-SSIM mix),
+  3. report PSNR / SSIM on a HELD-OUT view (never fitted) per objective.
+
+Usage:
+  python benchmarks/fit_quality.py [--n 5000] [--res 128] [--views 4]
+      [--steps 80] [--method tiles] [--cpu]
+
+On CPU pass --cpu (pins the platform before backend init — the axon
+sitecustomize ignores JAX_PLATFORMS, CLAUDE.md); small defaults keep the
+CPU run to a few minutes.  On the TPU use --method pallas for the
+custom-VJP kernel path and larger --n/--res.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=5000)
+    ap.add_argument("--res", type=int, default=128)
+    ap.add_argument("--views", type=int, default=4)
+    ap.add_argument("--steps", type=int, default=80)
+    ap.add_argument("--lr", type=float, default=5e-2)
+    ap.add_argument("--method", default="tiles",
+                    choices=("oracle", "tiles", "pallas"))
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    import splat_renderer_tpu as spt
+    from splat_renderer_tpu import fit
+    from splat_renderer_tpu.config import PointConfig, RenderConfig
+    from splat_renderer_tpu.render.diff import render_diff
+    from splat_renderer_tpu.render.pipeline import model_points
+    from splat_renderer_tpu.utils.ssim import ssim
+
+    scene = spt.SDFScene(
+        spt.smooth_union(
+            0.1,
+            spt.Sphere(id="s", radius=0.5),
+            spt.Box(id="b", position=(0.6, 0, 0), size=(0.3, 0.3, 0.3)),
+        )
+    )
+    cfg = RenderConfig(width=args.res, height=args.res, base_radius=0.03,
+                       tiles_per_splat_cap=9)
+    splats = model_points(scene, scene.params(), jax.random.PRNGKey(0),
+                          args.n, PointConfig(), cfg)
+
+    def cam_at(az):
+        c = spt.Camera(azimuth=az, elevation=0.3, aspect=1.0)
+        return {k: jnp.asarray(v) for k, v in c.arrays().items()}
+
+    fit_cams = [cam_at(0.4 + 2 * np.pi * v / args.views)
+                for v in range(args.views)]
+    held_out = cam_at(0.4 + np.pi / args.views)  # between two fit views
+
+    render = jax.jit(
+        lambda s, c: render_diff(s, c, cfg, method=args.method)
+    )
+    targets = [render(splats, c) for c in fit_cams]
+    truth_held = render(splats, held_out)
+
+    fields = ("cr", "cg", "cb", "opacity")
+    init = {k: jnp.full_like(splats[k], 0.5) for k in fields}
+
+    rows = []
+    for loss_name in ("l2", "ssim"):
+        t0 = time.perf_counter()
+        fitted, losses = fit.fit_splats(
+            splats, fit_cams, targets, cfg, fields=fields, steps=args.steps,
+            lr=args.lr, method=args.method, loss=loss_name, init=init,
+        )
+        dt = time.perf_counter() - t0
+        img = render(fitted, held_out)
+        mse = float(jnp.mean((img - truth_held) ** 2))
+        row = {
+            "loss": loss_name,
+            "psnr_held_out_db": round(float(fit.psnr(jnp.asarray(mse))), 2),
+            "ssim_held_out": round(float(ssim(img, truth_held)), 4),
+            "final_train_loss": round(float(losses[-1]), 6),
+            "fit_seconds": round(dt, 1),
+        }
+        rows.append(row)
+        print(f"# {loss_name:>4}: psnr {row['psnr_held_out_db']} dB  "
+              f"ssim {row['ssim_held_out']}  ({dt:.0f}s)", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "fit_quality_held_out",
+        "n_splats": args.n,
+        "resolution": f"{args.res}x{args.res}",
+        "views_fit": args.views,
+        "steps": args.steps,
+        "method": args.method,
+        "device": str(jax.devices()[0]),
+        "results": rows,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -293,6 +293,13 @@ def main() -> int:
                               tiles_per_splat_cap=16, quad=True),
         20_000,
     )
+    ok &= check(
+        "turbo 360p",  # approximation preset must still self-gate vs its
+        # own oracle (the deviation is only vs margin-1.5 ground truth)
+        spt.turbo_render_config(640, 368, base_radius=0.03,
+                                tiles_per_splat_cap=4),
+        20_000,
+    )
     ok &= check_class_partition()
     ok &= check_engine_class_protocol()
     ok &= check_render_band()

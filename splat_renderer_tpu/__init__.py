@@ -23,7 +23,8 @@ behavior parity only.
 
 from . import sdf
 from .camera import Camera, OrbitCameraController, orbit_ring
-from .config import PointConfig, RenderConfig, surface_render_config
+from .config import (PointConfig, RenderConfig, surface_render_config,
+                     turbo_render_config)
 from .sdf import (
     Box,
     Capsule,
@@ -46,6 +47,7 @@ __all__ = [
     "PointConfig",
     "RenderConfig",
     "surface_render_config",
+    "turbo_render_config",
     "SDFScene",
     "Sphere",
     "Torus",

@@ -1240,3 +1240,46 @@ class TestClassPartition:
         assert _class_caps(990_000, 1_000_000, 1_000_000, 4) is None
         # caps can never exceed n
         assert _class_caps(900_000, 950_000, 1_000_000, 4) is None
+
+
+class TestTurboProfile:
+    """turbo_render_config: the documented approximation preset.
+
+    The preset only moves existing knobs (fast_math, bounds_margin), so the
+    pipeline must still self-gate against its OWN oracle at the turbo
+    config, and the deviation vs margin-1.5 ground truth must stay above the
+    documented quality bar (config.py::turbo_render_config)."""
+
+    def _scene_images(self, key):
+        scene = spt.SDFScene(
+            spt.smooth_union(0.1, spt.Sphere(id="a", radius=0.5),
+                             spt.Box(id="b", position=(0.6, 0, 0),
+                                     size=(0.3, 0.3, 0.3)))
+        )
+        exact = RenderConfig(width=96, height=96, base_radius=0.04,
+                             tiles_per_splat_cap=9)
+        turbo = spt.turbo_render_config(
+            96, 96, base_radius=0.04, tiles_per_splat_cap=9
+        )
+        cam = {k: jnp.asarray(v)
+               for k, v in spt.Camera(aspect=1.0).arrays().items()}
+        splats = model_points(scene, scene.params(), key, 3000,
+                              spt.PointConfig(), exact)
+        return splats, cam, exact, turbo
+
+    def test_quality_bound_vs_exact(self, key):
+        from splat_renderer_tpu.utils.ssim import ssim
+
+        splats, cam, exact, turbo = self._scene_images(key)
+        ref = render_splats(splats, cam, exact, "tiles")
+        img = render_splats(splats, cam, turbo, "tiles")
+        assert float(ssim(img, ref)) > 0.985
+
+    def test_self_consistent_with_own_oracle(self, key):
+        from splat_renderer_tpu.render.oracle import render_oracle
+        from splat_renderer_tpu.render.pipeline import splat_screen_data
+
+        splats, cam, _, turbo = self._scene_images(key)
+        img_t = render_splats(splats, cam, turbo, "tiles")
+        img_o = render_oracle(splat_screen_data(splats, cam, turbo), turbo)
+        np.testing.assert_allclose(img_t, img_o, atol=3e-5)
