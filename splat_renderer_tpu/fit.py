@@ -61,6 +61,9 @@ def fit_splats(
     densify_threshold: float = 1e-5,
     prune_opacity: float = 0.005,
     key: Optional[jax.Array] = None,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 0,
+    resume: bool = False,
 ) -> Tuple[Splats, jnp.ndarray]:
     """Optimize `fields` of `splats` so renders match `targets` (Adam).
 
@@ -77,6 +80,13 @@ def fit_splats(
     magnitude exceeds densify_threshold split into freed capacity (pruned
     low-opacity slots); requires px/py/pz/radius/opacity in `fields` and
     resets the Adam state at each event (the population changed).
+
+    checkpoint_path + checkpoint_every > 0 write the FULL training state
+    (theta, Adam moments, splats, densify score, RNG key, step, loss curve)
+    to one .npz every that many steps (utils/snapshot.save_pytree);
+    resume=True restarts from the file if it exists — the resumed run is
+    step-for-step identical to the uninterrupted one (Adam is deterministic;
+    tests/test_fit.py::TestFitCheckpoint asserts bitwise equality).
 
     Returns (splats with fitted fields, (steps,) loss curve).
     """
@@ -118,9 +128,29 @@ def fit_splats(
         updates, opt_state = opt.update(grads, opt_state)
         return loss, optax.apply_updates(theta, updates), opt_state, pos_g
 
+    from .utils.snapshot import load_pytree, save_pytree
+
     losses = []
-    score = 0.0
-    for i in range(steps):
+    score = jnp.zeros(splats["radius"].shape if densify_every else ())
+    start = 0
+    if checkpoint_path and resume:
+        import os
+
+        if os.path.exists(checkpoint_path):
+            st = load_pytree(
+                checkpoint_path,
+                {
+                    "theta": theta, "opt_state": opt_state,
+                    "splats": dict(splats), "score": score, "key": key,
+                    "step": jnp.zeros((), jnp.int32),
+                    "losses": jnp.zeros((0,)),
+                },
+            )
+            theta, opt_state = st["theta"], st["opt_state"]
+            splats, score, key = st["splats"], st["score"], st["key"]
+            start = int(st["step"])
+            losses = list(st["losses"])
+    for i in range(start, steps):
         loss_val, theta, opt_state, pos_g = step(
             theta, opt_state, splats, targets
         )
@@ -137,12 +167,24 @@ def fit_splats(
             splats = merged
             theta = {k: merged[k] for k in fields}
             opt_state = opt.init(theta)  # population changed: fresh moments
-            score = 0.0
+            score = jnp.zeros_like(score)
             if log_every:
                 print(
                     f"  densify @{i + 1}: split {int(stats['split'])}, "
                     f"pruned {int(stats['pruned'])}, live {int(stats['live'])}"
                 )
+        if checkpoint_path and checkpoint_every and (
+            (i + 1) % checkpoint_every == 0 or i + 1 == steps
+        ):
+            save_pytree(
+                checkpoint_path,
+                {
+                    "theta": theta, "opt_state": opt_state,
+                    "splats": dict(splats), "score": score, "key": key,
+                    "step": jnp.asarray(i + 1, jnp.int32),
+                    "losses": jnp.stack(losses),
+                },
+            )
     return dict(splats, **theta), jnp.stack(losses)
 
 

@@ -51,3 +51,35 @@ def load_splats(path: str) -> Splats:
                 jnp.asarray(z["normal"]),
             )
         return {k: jnp.asarray(z[k]) for k in PLANE_FIELDS}
+
+
+def save_pytree(path: str, tree) -> None:
+    """Checkpoint an arbitrary array pytree (optimizer states, fit loops).
+
+    Leaves are keyed by their `jax.tree_util` key path, so any pytree whose
+    structure the loader can reproduce (see `load_pytree`) round-trips —
+    including optax optimizer states.  No pickling: arrays only.
+    """
+    import jax
+
+    leaves = jax.tree_util.tree_flatten_with_path(tree)[0]
+    np.savez_compressed(
+        path, **{jax.tree_util.keystr(p): np.asarray(v) for p, v in leaves}
+    )
+
+
+def load_pytree(path: str, like):
+    """Load a `save_pytree` archive into the structure of `like`.
+
+    `like` supplies the tree STRUCTURE (and leaf order); its leaf values are
+    ignored.  Shapes are whatever was saved — callers resuming a training
+    loop get back exactly the arrays they checkpointed.
+    """
+    import jax
+
+    paths_leaves, treedef = jax.tree_util.tree_flatten_with_path(like)
+    with np.load(path) as z:
+        leaves = [
+            jnp.asarray(z[jax.tree_util.keystr(p)]) for p, _ in paths_leaves
+        ]
+    return jax.tree_util.tree_unflatten(treedef, leaves)

@@ -72,6 +72,67 @@ class TestFitSplats:
         assert float(fit.psnr(jnp.asarray(0.01))) == pytest.approx(20.0)
 
 
+class TestFitCheckpoint:
+    """Checkpoint/resume of the full training state (utils/snapshot)."""
+
+    def test_resume_is_bitwise_identical(self, key, tmp_path):
+        cams, splats = _setup(key, views=1)
+        targets = fit.render_targets(splats, cams, CFG, method="tiles")
+        kwargs = dict(fields=("cr", "cg"), lr=5e-2, method="tiles")
+        ref, ref_losses = fit.fit_splats(
+            splats, cams, targets, CFG, steps=8, **kwargs
+        )
+        ck = str(tmp_path / "fit.npz")
+        fit.fit_splats(
+            splats, cams, targets, CFG, steps=4,
+            checkpoint_path=ck, checkpoint_every=2, **kwargs
+        )
+        res, res_losses = fit.fit_splats(
+            splats, cams, targets, CFG, steps=8,
+            checkpoint_path=ck, checkpoint_every=2, resume=True, **kwargs
+        )
+        np.testing.assert_array_equal(np.asarray(ref_losses),
+                                      np.asarray(res_losses))
+        for f in ("cr", "cg"):
+            np.testing.assert_array_equal(np.asarray(ref[f]),
+                                          np.asarray(res[f]))
+
+    def test_resume_with_densify_state(self, key, tmp_path):
+        cams, splats = _setup(key, n=128, views=1)
+        targets = fit.render_targets(splats, cams, CFG, method="tiles")
+        fields = ("px", "py", "pz", "radius", "opacity")
+        ck = str(tmp_path / "fit_d.npz")
+        fit.fit_splats(
+            splats, cams, targets, CFG, fields=fields, steps=3, lr=1e-3,
+            method="tiles", densify_every=2, checkpoint_path=ck,
+            checkpoint_every=3,
+        )
+        fitted, losses = fit.fit_splats(
+            splats, cams, targets, CFG, fields=fields, steps=6, lr=1e-3,
+            method="tiles", densify_every=2, checkpoint_path=ck,
+            checkpoint_every=3, resume=True,
+        )
+        assert losses.shape == (6,)
+        assert np.all(np.isfinite(np.asarray(losses)))
+        assert fitted["px"].shape == splats["px"].shape
+
+    def test_pytree_roundtrip(self, tmp_path):
+        from splat_renderer_tpu.utils.snapshot import load_pytree, save_pytree
+
+        tree = {"a": jnp.arange(5.0), "b": {"c": jnp.ones((2, 3)),
+                                            "d": jnp.asarray(3)}}
+        p = str(tmp_path / "t.npz")
+        save_pytree(p, tree)
+        like = jax.tree.map(jnp.zeros_like, tree)
+        out = load_pytree(p, like)
+        jax.tree.map(
+            lambda x, y: np.testing.assert_array_equal(
+                np.asarray(x), np.asarray(y)
+            ),
+            tree, out,
+        )
+
+
 class TestFitDP:
     def test_matches_single_device(self, key):
         """View-DP fit over the 8-device CPU mesh descends like the
