@@ -1,0 +1,196 @@
+"""3DGS ``.ply`` interchange: load/save splat sets in the standard
+Gaussian-splatting point format (Kerbl et al. 2023 reference implementation's
+binary_little_endian layout: x/y/z, nx/ny/nz, f_dc_0..2 SH colors,
+opacity logit, scale_0..2 log-scales, rot_0..3 quaternion).
+
+The WebGPU reference persists nothing (its splats are remodeled from the SDF
+every frame); this is the bridge that lets REAL pre-trained Gaussian-splat
+scenes flow into the TPU engine, and fitted scenes flow back out to every
+standard 3DGS viewer.
+
+Mapping to our surface-disc model (points/properties.py planes):
+
+- ``load_ply``: a 3DGS Gaussian is a full 3D covariance R diag(s)^2 R^T; our
+  splats are oriented discs.  The disc normal is the axis of SMALLEST scale
+  (the flattest direction); the disc radius is the geometric mean of the two
+  in-plane scales.  Isotropic-ish gaussians degrade gracefully (any axis is
+  as good as another).  Color = 0.5 + C0 * f_dc (the SH DC term; higher
+  bands are view-dependent and dropped), opacity = sigmoid(logit).
+- ``save_ply``: the inverse — scales (r, r, r*PLY_THIN), a quaternion
+  rotating +z onto the normal, f_dc = (color - 0.5) / C0, logit(opacity).
+
+Host-side numpy only (file I/O is not a jit concern); arrays land as the
+(N,) plane pytree the render path consumes.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+from ..points.properties import Splats
+
+SH_C0 = 0.28209479177387814  # Y_0^0, the 3DGS color basis constant
+PLY_THIN = 0.1  # exported disc thickness as a fraction of its radius
+
+_EXPORT_PROPS = (
+    "x", "y", "z", "nx", "ny", "nz",
+    "f_dc_0", "f_dc_1", "f_dc_2", "opacity",
+    "scale_0", "scale_1", "scale_2",
+    "rot_0", "rot_1", "rot_2", "rot_3",
+)
+
+_PLY_TYPES = {
+    "float": "<f4", "float32": "<f4", "double": "<f8", "float64": "<f8",
+    "uchar": "u1", "uint8": "u1", "char": "i1", "int8": "i1",
+    "short": "<i2", "ushort": "<u2", "int": "<i4", "int32": "<i4",
+    "uint": "<u4", "uint32": "<u4",
+}
+
+
+def _read_header(f) -> tuple:
+    """Parse the ASCII header; returns (n_vertex, numpy structured dtype)."""
+    magic = f.readline().strip()
+    if magic != b"ply":
+        raise ValueError("not a PLY file")
+    n_vertex, props, in_vertex = 0, [], False
+    fmt = None
+    while True:
+        line = f.readline()
+        if not line:
+            raise ValueError("unterminated PLY header")
+        tok = line.decode("ascii", "replace").strip().split()
+        if not tok:
+            continue
+        if tok[0] == "format":
+            fmt = tok[1]
+        elif tok[0] == "element":
+            in_vertex = tok[1] == "vertex"
+            if in_vertex:
+                n_vertex = int(tok[2])
+        elif tok[0] == "property" and in_vertex:
+            if tok[1] == "list":
+                raise ValueError("list properties unsupported in vertex data")
+            props.append((tok[2], _PLY_TYPES[tok[1]]))
+        elif tok[0] == "end_header":
+            break
+    if fmt != "binary_little_endian":
+        raise ValueError(f"unsupported PLY format {fmt!r} "
+                         "(3DGS uses binary_little_endian)")
+    return n_vertex, np.dtype(props)
+
+
+def load_ply(path: str) -> Splats:
+    """Load a 3DGS ``.ply`` into the splat plane pytree.
+
+    Unknown extra properties (f_rest_* SH bands etc.) are skipped; files
+    missing the gaussian fields fall back sensibly (no scales -> unit
+    radius, no rotation -> +z normals, no f_dc -> mid-gray).
+    """
+    import jax.numpy as jnp
+
+    with open(path, "rb") as f:
+        n, dtype = _read_header(f)
+        rec = np.frombuffer(f.read(n * dtype.itemsize), dtype=dtype, count=n)
+    names = set(rec.dtype.names)
+
+    def col(name, default):
+        if name in names:
+            return rec[name].astype(np.float32)
+        return np.full((n,), default, np.float32)
+
+    # scales: log-space in 3DGS; normal = smallest-scale axis of R
+    if {"scale_0", "scale_1", "scale_2"} <= names:
+        s = np.exp(np.stack([rec["scale_0"], rec["scale_1"],
+                             rec["scale_2"]], 1).astype(np.float32))
+    else:
+        s = np.ones((n, 3), np.float32)
+    if {"rot_0", "rot_1", "rot_2", "rot_3"} <= names:
+        q = np.stack([rec["rot_0"], rec["rot_1"], rec["rot_2"],
+                      rec["rot_3"]], 1).astype(np.float32)
+        q /= np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+        w, x, y, z = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+        # columns of R(q): R[:, j] is the world direction of local axis j
+        R = np.stack([
+            np.stack([1 - 2 * (y * y + z * z), 2 * (x * y + w * z),
+                      2 * (x * z - w * y)], 1),
+            np.stack([2 * (x * y - w * z), 1 - 2 * (x * x + z * z),
+                      2 * (y * z + w * x)], 1),
+            np.stack([2 * (x * z + w * y), 2 * (y * z - w * x),
+                      1 - 2 * (x * x + y * y)], 1),
+        ], axis=2)  # (n, 3, 3): R[i, :, j] = column j
+    else:
+        R = np.broadcast_to(np.eye(3, dtype=np.float32), (n, 3, 3)).copy()
+    j_min = np.argmin(s, axis=1)  # flattest axis = disc normal
+    normal = np.take_along_axis(R, j_min[:, None, None], axis=2)[:, :, 0]
+    in_plane = np.sort(s, axis=1)[:, 1:]  # the two larger scales
+    radius = np.sqrt(in_plane[:, 0] * in_plane[:, 1])
+
+    color = np.clip(
+        0.5 + SH_C0 * np.stack(
+            [col("f_dc_0", 0.0), col("f_dc_1", 0.0), col("f_dc_2", 0.0)], 1
+        ), 0.0, 1.0,
+    )
+    op_logit = col("opacity", 0.0)
+    opacity = 1.0 / (1.0 + np.exp(-op_logit)) if "opacity" in names else (
+        np.full((n,), 0.8, np.float32))
+    return {
+        "px": jnp.asarray(col("x", 0.0)), "py": jnp.asarray(col("y", 0.0)),
+        "pz": jnp.asarray(col("z", 0.0)),
+        "radius": jnp.asarray(radius.astype(np.float32)),
+        "cr": jnp.asarray(color[:, 0]), "cg": jnp.asarray(color[:, 1]),
+        "cb": jnp.asarray(color[:, 2]),
+        "opacity": jnp.asarray(opacity.astype(np.float32)),
+        "nx": jnp.asarray(normal[:, 0]), "ny": jnp.asarray(normal[:, 1]),
+        "nz": jnp.asarray(normal[:, 2]),
+    }
+
+
+def save_ply(path: str, splats: Splats) -> None:
+    """Write the splat set as a standard 3DGS ``.ply`` (binary LE).
+
+    Discs become thin gaussians: in-plane scales = radius, normal-axis
+    scale = radius * PLY_THIN, rotation = the quaternion taking +z to the
+    normal.  Any 3DGS viewer renders the result directly.
+    """
+    n = int(np.asarray(splats["px"]).shape[0])
+    cols: Dict[str, np.ndarray] = {}
+    for k in ("px", "py", "pz", "nx", "ny", "nz", "radius", "opacity",
+              "cr", "cg", "cb"):
+        cols[k] = np.asarray(splats[k], dtype=np.float32)
+    cols["x"], cols["y"], cols["z"] = cols["px"], cols["py"], cols["pz"]
+    for i, c in enumerate(("cr", "cg", "cb")):
+        cols[f"f_dc_{i}"] = (cols[c] - 0.5) / SH_C0
+    op = np.clip(cols["opacity"], 1e-6, 1.0 - 1e-6)
+    cols["opacity"] = np.log(op / (1.0 - op))
+    r = np.maximum(cols["radius"], 1e-12)
+    cols["scale_0"] = cols["scale_1"] = np.log(r)
+    cols["scale_2"] = np.log(r * PLY_THIN)
+    # quaternion taking +z to n: axis = z x n, w = 1 + z.n (half-angle form)
+    nx, ny, nz = cols["nx"], cols["ny"], cols["nz"]
+    w = 1.0 + nz
+    qx, qy, qz = -ny, nx, np.zeros_like(nx)
+    # n ~ -z: the half-angle form degenerates; use a 180-degree flip about x
+    flip = w < 1e-6
+    w = np.where(flip, 0.0, w)
+    qx = np.where(flip, 1.0, qx)
+    qy = np.where(flip, 0.0, qy)
+    norm = np.sqrt(w * w + qx * qx + qy * qy + qz * qz)
+    for name, v in (("rot_0", w), ("rot_1", qx), ("rot_2", qy),
+                    ("rot_3", qz)):
+        cols[name] = (v / np.maximum(norm, 1e-12)).astype(np.float32)
+
+    header = ["ply", "format binary_little_endian 1.0",
+              f"element vertex {n}"]
+    header += [f"property float {p}" for p in _EXPORT_PROPS]
+    header.append("end_header")
+    rec = np.empty((n,), np.dtype([(p, "<f4") for p in _EXPORT_PROPS]))
+    for p in _EXPORT_PROPS:
+        rec[p] = cols[p]
+    with open(path, "wb") as f:
+        f.write(("\n".join(header) + "\n").encode("ascii"))
+        f.write(rec.tobytes())
+
+
+__all__ = ["load_ply", "save_ply", "SH_C0", "PLY_THIN"]
