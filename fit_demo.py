@@ -9,6 +9,8 @@ with Adam — a miniature 3DGS-style appearance optimization.
 
     python fit_demo.py [--steps 150] [--n 2000] [--size 128] [--method tiles]
                        [--views 4] [--fields cr,cg,cb,opacity,px,py,pz,radius]
+                       [--ply-in scene.ply] [--ply-out fitted.ply]
+                       [--checkpoint fit_state.npz]
 
 --views M fits against M orbit-ring views jointly (multi-view inverse
 rendering); --fields selects what to optimize — appearance fields start from
@@ -46,6 +48,14 @@ def main():
                          "(any of cr,cg,cb,opacity,px,py,pz,radius)")
     ap.add_argument("--out", type=str, default=None,
                     help="write <out>_target/init/fit.png")
+    ap.add_argument("--ply-in", type=str, default=None,
+                    help="fit THIS 3DGS .ply scene instead of the demo "
+                         "scene's modeled splats (utils/ply.py)")
+    ap.add_argument("--ply-out", type=str, default=None,
+                    help="export the fitted splats as a 3DGS .ply")
+    ap.add_argument("--checkpoint", type=str, default=None,
+                    help="checkpoint the training state here every 25 "
+                         "steps and resume from it if it exists")
     args = ap.parse_args()
 
     scene = spt.SDFScene(
@@ -64,10 +74,16 @@ def main():
             elevation=0.3, aspect=1.0,
         )
         cameras.append({k: jnp.asarray(a) for k, a in cam.arrays().items()})
-    splats = model_points(
-        scene, scene.params(), jax.random.PRNGKey(0), args.n,
-        spt.PointConfig(), cfg,
-    )
+    if args.ply_in:
+        from splat_renderer_tpu.utils import load_ply
+
+        splats = load_ply(args.ply_in)
+        print(f"loaded {splats['px'].shape[0]} splats from {args.ply_in}")
+    else:
+        splats = model_points(
+            scene, scene.params(), jax.random.PRNGKey(0), args.n,
+            spt.PointConfig(), cfg,
+        )
 
     targets = fit.render_targets(splats, cameras, cfg, method=args.method)
     camera, target = cameras[0], targets[0]
@@ -87,6 +103,9 @@ def main():
     fitted, losses = fit.fit_splats(
         splats, cameras, targets, cfg, fields=fit_fields, steps=args.steps,
         lr=args.lr, method=args.method, init=init, log_every=10,
+        checkpoint_path=args.checkpoint,
+        checkpoint_every=25 if args.checkpoint else 0,
+        resume=bool(args.checkpoint),
     )
     dt = time.perf_counter() - t0
     print(f"{args.steps} optimization steps in {dt:.1f} s "
@@ -107,6 +126,12 @@ def main():
             path = f"{args.out}_{tag}.png"
             write_png(path, np.asarray(jnp.clip(img, 0, 1)))
             print("wrote", path)
+
+    if args.ply_out:
+        from splat_renderer_tpu.utils import save_ply
+
+        save_ply(args.ply_out, fitted)
+        print("wrote", args.ply_out)
 
 
 if __name__ == "__main__":
