@@ -22,7 +22,12 @@ behavior parity only.
 """
 
 from . import sdf
-from .camera import Camera, OrbitCameraController, orbit_ring
+from .camera import (
+    Camera,
+    OrbitCameraController,
+    orbit_camera_arrays,
+    orbit_ring,
+)
 from .config import (PointConfig, RenderConfig, surface_render_config,
                      turbo_render_config)
 from .sdf import (
@@ -52,6 +57,7 @@ __all__ = [
     "Sphere",
     "Torus",
     "intersection",
+    "orbit_camera_arrays",
     "orbit_ring",
     "sdf",
     "smooth_union",

@@ -123,6 +123,58 @@ class Camera:
         }
 
 
+def orbit_camera_arrays(
+    pose: Dict,
+    fov_deg: float = 45.0,
+    aspect: float = 1.0,
+    near: float = 0.1,
+    far: float = 100.0,
+    time: float = 0.0,
+):
+    """Differentiable (jnp) counterpart of `Camera.arrays()`.
+
+    `pose` is a pytree of traced scalars/vectors —
+    {"azimuth": (), "elevation": (), "distance": (), "target": (3,)} —
+    so `jax.grad` flows from an image loss back to the camera pose
+    (fit.fit_camera): pose registration by inverse rendering, the third leg
+    after splat fields and SDF scene params.  fov/aspect/near/far stay
+    static (they are RenderConfig-class quantities, not pose).
+
+    Matches Camera.arrays() to fp32 for equal parameters
+    (tests/test_camera.py::TestTracedCamera).
+    """
+    import jax.numpy as jnp
+
+    az = jnp.asarray(pose["azimuth"], jnp.float32)
+    el = jnp.asarray(pose["elevation"], jnp.float32)
+    d = jnp.asarray(pose["distance"], jnp.float32)
+    target = jnp.asarray(pose["target"], jnp.float32)
+    ce = jnp.cos(el)
+    eye = target + d * jnp.stack(
+        [ce * jnp.sin(az), jnp.sin(el), ce * jnp.cos(az)]
+    )
+    # look_at (gl-matrix semantics, same as the numpy path above)
+    f = target - eye
+    f = f / jnp.linalg.norm(f)
+    s = jnp.cross(f, jnp.array([0.0, 1.0, 0.0], jnp.float32))
+    s = s / jnp.linalg.norm(s)
+    u = jnp.cross(s, f)
+    view = jnp.stack([
+        jnp.concatenate([s, -jnp.dot(s, eye)[None]]),
+        jnp.concatenate([u, -jnp.dot(u, eye)[None]]),
+        jnp.concatenate([-f, jnp.dot(f, eye)[None]]),
+        jnp.array([0.0, 0.0, 0.0, 1.0], jnp.float32),
+    ])
+    proj = jnp.asarray(
+        perspective(math.radians(fov_deg), aspect, near, far)
+    )
+    return {
+        "view_proj": (proj @ view).astype(jnp.float32),
+        "cam_pos": eye.astype(jnp.float32),
+        "time": jnp.float32(time),
+    }
+
+
 class OrbitCameraController:
     """Input-delta → camera-parameter mapping (src/OrbitCameraController.ts).
 

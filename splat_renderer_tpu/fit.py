@@ -193,6 +193,60 @@ def psnr(mse: jnp.ndarray) -> jnp.ndarray:
     return -10.0 * jnp.log10(jnp.maximum(mse, 1e-12))
 
 
+def fit_camera(
+    splats: Splats,
+    pose_init: Dict,
+    target: jnp.ndarray,
+    cfg: RenderConfig,
+    steps: int = 100,
+    lr: float = 1e-2,
+    method: str = "tiles",
+    loss: str = "l2",
+    fov_deg: float = 45.0,
+) -> Tuple[Dict, jnp.ndarray]:
+    """Recover the camera POSE that produced `target` (pose registration).
+
+    The whole render is a JAX program, so the image loss differentiates
+    through projection back to the orbit parameters themselves
+    (camera.orbit_camera_arrays) — the inverse-rendering leg the splat and
+    SDF fits don't cover.  pose_init is
+    {"azimuth", "elevation", "distance", "target"}; returns the optimized
+    pose pytree and the loss curve.
+
+    Good for registering a known splat scene against a photo, or refining a
+    noisy pose estimate; like all local registration it needs pose_init in
+    the convergence basin (a few degrees / percent off is fine —
+    tests/test_fit.py::TestFitCamera).
+    """
+    import optax
+
+    from .camera import orbit_camera_arrays
+    from .utils.ssim import image_loss
+
+    loss_img = image_loss(loss)
+    aspect = cfg.width / cfg.height
+    pose = {k: jnp.asarray(v, jnp.float32) for k, v in pose_init.items()}
+    opt = optax.adam(lr)
+    opt_state = opt.init(pose)
+
+    @jax.jit
+    def step(pose, opt_state, splats, target):
+        def loss_fn(pose):
+            cam = orbit_camera_arrays(pose, fov_deg=fov_deg, aspect=aspect)
+            img = render_diff(splats, cam, cfg, method=method)
+            return loss_img(img, target)
+
+        val, grads = jax.value_and_grad(loss_fn)(pose)
+        updates, opt_state = opt.update(grads, opt_state)
+        return val, optax.apply_updates(pose, updates), opt_state
+
+    losses = []
+    for _ in range(steps):
+        val, pose, opt_state = step(pose, opt_state, splats, target)
+        losses.append(val)
+    return pose, jnp.stack(losses)
+
+
 def fit_splats_dp(
     splats: Splats,
     cameras: CameraArrays,  # leaves stacked (V, ...) — orbit_ring format

@@ -109,3 +109,40 @@ class TestOrbitRing:
         assert len({tuple(np.round(p, 5)) for p in arrs["cam_pos"]}) == 8
         # all at the requested distance
         np.testing.assert_allclose(np.linalg.norm(arrs["cam_pos"], axis=1), 3.0, atol=1e-5)
+
+
+class TestTracedCamera:
+    """orbit_camera_arrays (jnp, differentiable) vs Camera.arrays (numpy)."""
+
+    def test_matches_numpy_camera(self):
+        from splat_renderer_tpu.camera import orbit_camera_arrays
+
+        cam = Camera(azimuth=0.7, elevation=-0.3, distance=4.5,
+                     target=np.array([0.2, -0.1, 0.3], np.float32),
+                     fov_deg=45.0, aspect=16 / 9)
+        want = cam.arrays(time=1.5)
+        pose = {"azimuth": 0.7, "elevation": -0.3, "distance": 4.5,
+                "target": np.array([0.2, -0.1, 0.3], np.float32)}
+        got = orbit_camera_arrays(pose, fov_deg=45.0, aspect=16 / 9, time=1.5)
+        np.testing.assert_allclose(np.asarray(got["view_proj"]),
+                                   want["view_proj"], atol=2e-5)
+        np.testing.assert_allclose(np.asarray(got["cam_pos"]),
+                                   want["cam_pos"], atol=2e-6)
+        assert float(got["time"]) == 1.5
+
+    def test_gradients_flow_to_pose(self):
+        import jax
+        import jax.numpy as jnp
+
+        from splat_renderer_tpu.camera import orbit_camera_arrays
+
+        pose = {"azimuth": jnp.float32(0.5), "elevation": jnp.float32(0.2),
+                "distance": jnp.float32(3.0),
+                "target": jnp.zeros(3, jnp.float32)}
+
+        def f(pose):
+            return jnp.sum(orbit_camera_arrays(pose)["view_proj"] ** 2)
+
+        g = jax.grad(f)(pose)
+        assert all(np.all(np.isfinite(np.asarray(v))) for v in g.values())
+        assert float(jnp.abs(g["azimuth"])) > 0.0
