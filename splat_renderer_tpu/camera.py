@@ -143,7 +143,10 @@ def orbit_camera_arrays(
     Matches Camera.arrays() to fp32 for equal parameters
     (tests/test_camera.py::TestTracedCamera).
     """
+    import jax
     import jax.numpy as jnp
+
+    hi = jax.lax.Precision.HIGHEST  # CLAUDE.md: f32 dots default to bf16 MXU
 
     az = jnp.asarray(pose["azimuth"], jnp.float32)
     el = jnp.asarray(pose["elevation"], jnp.float32)
@@ -160,16 +163,16 @@ def orbit_camera_arrays(
     s = s / jnp.linalg.norm(s)
     u = jnp.cross(s, f)
     view = jnp.stack([
-        jnp.concatenate([s, -jnp.dot(s, eye)[None]]),
-        jnp.concatenate([u, -jnp.dot(u, eye)[None]]),
-        jnp.concatenate([-f, jnp.dot(f, eye)[None]]),
+        jnp.concatenate([s, -jnp.dot(s, eye, precision=hi)[None]]),
+        jnp.concatenate([u, -jnp.dot(u, eye, precision=hi)[None]]),
+        jnp.concatenate([-f, jnp.dot(f, eye, precision=hi)[None]]),
         jnp.array([0.0, 0.0, 0.0, 1.0], jnp.float32),
     ])
     proj = jnp.asarray(
         perspective(math.radians(fov_deg), aspect, near, far)
     )
     return {
-        "view_proj": (proj @ view).astype(jnp.float32),
+        "view_proj": jnp.dot(proj, view, precision=hi).astype(jnp.float32),
         "cam_pos": eye.astype(jnp.float32),
         "time": jnp.float32(time),
     }

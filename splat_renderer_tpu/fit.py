@@ -128,7 +128,7 @@ def fit_splats(
         updates, opt_state = opt.update(grads, opt_state)
         return loss, optax.apply_updates(theta, updates), opt_state, pos_g
 
-    from .utils.snapshot import load_pytree, save_pytree
+    from .utils.snapshot import checkpoint_file, load_pytree, save_pytree
 
     losses = []
     score = jnp.zeros(splats["radius"].shape if densify_every else ())
@@ -136,19 +136,41 @@ def fit_splats(
     if checkpoint_path and resume:
         import os
 
-        if os.path.exists(checkpoint_path):
-            st = load_pytree(
-                checkpoint_path,
-                {
-                    "theta": theta, "opt_state": opt_state,
-                    "splats": dict(splats), "score": score, "key": key,
-                    "step": jnp.zeros((), jnp.int32),
-                    "losses": jnp.zeros((0,)),
-                },
-            )
+        if os.path.exists(checkpoint_file(checkpoint_path)):
+            try:
+                st = load_pytree(
+                    checkpoint_path,
+                    {
+                        "theta": theta, "opt_state": opt_state,
+                        "splats": dict(splats), "score": score, "key": key,
+                        "step": jnp.zeros((), jnp.int32),
+                        "losses": jnp.zeros((0,)),
+                    },
+                )
+            except KeyError as e:
+                raise ValueError(
+                    f"checkpoint {checkpoint_path!r} is incompatible with "
+                    f"this fit (different fields/loss/densify settings?): "
+                    f"missing leaf {e}"
+                ) from e
+            # a stale checkpoint from a different run (other splat count,
+            # other fields) must not silently hijack this one
+            for k in theta:
+                if st["theta"][k].shape != theta[k].shape:
+                    raise ValueError(
+                        f"checkpoint {checkpoint_path!r} is incompatible: "
+                        f"theta[{k!r}] has shape {st['theta'][k].shape}, "
+                        f"this fit needs {theta[k].shape}"
+                    )
+            start = int(st["step"])
+            if start > steps:
+                raise ValueError(
+                    f"checkpoint {checkpoint_path!r} already holds {start} "
+                    f"steps > requested steps={steps}; raise steps or start "
+                    "fresh (resume=False)"
+                )
             theta, opt_state = st["theta"], st["opt_state"]
             splats, score, key = st["splats"], st["score"], st["key"]
-            start = int(st["step"])
             losses = list(st["losses"])
     for i in range(start, steps):
         loss_val, theta, opt_state, pos_g = step(
@@ -220,7 +242,7 @@ def fit_camera(
     """
     import optax
 
-    from .camera import orbit_camera_arrays
+    from .camera import Camera, orbit_camera_arrays
     from .utils.ssim import image_loss
 
     loss_img = image_loss(loss)
@@ -238,7 +260,17 @@ def fit_camera(
 
         val, grads = jax.value_and_grad(loss_fn)(pose)
         updates, opt_state = opt.update(grads, opt_state)
-        return val, optax.apply_updates(pose, updates), opt_state
+        pose = optax.apply_updates(pose, updates)
+        # the Camera class's interaction clamps (camera.py:69-72): crossing
+        # the pole makes look_at's basis collapse (NaN poisons Adam), and
+        # distance through 0 flips the camera through the target
+        pose["elevation"] = jnp.clip(
+            pose["elevation"], -Camera.MAX_ELEVATION, Camera.MAX_ELEVATION
+        )
+        pose["distance"] = jnp.clip(
+            pose["distance"], Camera.MIN_DISTANCE, Camera.MAX_DISTANCE
+        )
+        return val, pose, opt_state
 
     losses = []
     for _ in range(steps):

@@ -50,12 +50,17 @@ _PLY_TYPES = {
 
 
 def _read_header(f) -> tuple:
-    """Parse the ASCII header; returns (n_vertex, numpy structured dtype)."""
+    """Parse the ASCII header.
+
+    Returns (n_vertex, vertex structured dtype, bytes to skip before the
+    vertex data) — elements declared BEFORE vertex are skipped by their
+    fixed record size (files where such an element has a variable-length
+    list property cannot be skipped and are rejected rather than misread).
+    """
     magic = f.readline().strip()
     if magic != b"ply":
         raise ValueError("not a PLY file")
-    n_vertex, props, in_vertex = 0, [], False
-    fmt = None
+    elements, fmt = [], None
     while True:
         line = f.readline()
         if not line:
@@ -66,19 +71,35 @@ def _read_header(f) -> tuple:
         if tok[0] == "format":
             fmt = tok[1]
         elif tok[0] == "element":
-            in_vertex = tok[1] == "vertex"
-            if in_vertex:
-                n_vertex = int(tok[2])
-        elif tok[0] == "property" and in_vertex:
-            if tok[1] == "list":
-                raise ValueError("list properties unsupported in vertex data")
-            props.append((tok[2], _PLY_TYPES[tok[1]]))
+            elements.append({"name": tok[1], "count": int(tok[2]),
+                             "props": []})
+        elif tok[0] == "property" and elements:
+            # list props have no fixed size; record them as None
+            elements[-1]["props"].append(
+                None if tok[1] == "list"
+                else (tok[-1], _PLY_TYPES[tok[1]])
+            )
         elif tok[0] == "end_header":
             break
     if fmt != "binary_little_endian":
         raise ValueError(f"unsupported PLY format {fmt!r} "
                          "(3DGS uses binary_little_endian)")
-    return n_vertex, np.dtype(props)
+    skip = 0
+    for el in elements:
+        if el["name"] == "vertex":
+            if any(p is None for p in el["props"]):
+                raise ValueError(
+                    "list properties unsupported in vertex data"
+                )
+            return el["count"], np.dtype(el["props"]), skip
+        if any(p is None for p in el["props"]):
+            raise ValueError(
+                f"element {el['name']!r} before vertex has list-typed "
+                "properties; its size is data-dependent and cannot be "
+                "skipped"
+            )
+        skip += el["count"] * np.dtype(el["props"]).itemsize
+    raise ValueError("PLY file has no vertex element")
 
 
 def load_ply(path: str) -> Splats:
@@ -91,7 +112,8 @@ def load_ply(path: str) -> Splats:
     import jax.numpy as jnp
 
     with open(path, "rb") as f:
-        n, dtype = _read_header(f)
+        n, dtype, skip = _read_header(f)
+        f.seek(skip, 1)
         rec = np.frombuffer(f.read(n * dtype.itemsize), dtype=dtype, count=n)
     names = set(rec.dtype.names)
 
@@ -153,12 +175,17 @@ def save_ply(path: str, splats: Splats) -> None:
     Discs become thin gaussians: in-plane scales = radius, normal-axis
     scale = radius * PLY_THIN, rotation = the quaternion taking +z to the
     normal.  Any 3DGS viewer renders the result directly.
+
+    Dead capacity slots (radius <= 0 — the engine's liveness encoding,
+    fit.density_control) are DROPPED: foreign viewers have no liveness
+    convention, and a roundtrip must not resurrect pruned splats.
     """
-    n = int(np.asarray(splats["px"]).shape[0])
+    live = np.asarray(splats["radius"]) > 0.0
     cols: Dict[str, np.ndarray] = {}
     for k in ("px", "py", "pz", "nx", "ny", "nz", "radius", "opacity",
               "cr", "cg", "cb"):
-        cols[k] = np.asarray(splats[k], dtype=np.float32)
+        cols[k] = np.asarray(splats[k], dtype=np.float32)[live]
+    n = int(cols["px"].shape[0])
     cols["x"], cols["y"], cols["z"] = cols["px"], cols["py"], cols["pz"]
     for i, c in enumerate(("cr", "cg", "cb")):
         cols[f"f_dc_{i}"] = (cols[c] - 0.5) / SH_C0

@@ -53,19 +53,34 @@ def load_splats(path: str) -> Splats:
         return {k: jnp.asarray(z[k]) for k in PLANE_FIELDS}
 
 
+def checkpoint_file(path: str) -> str:
+    """The actual on-disk file for a checkpoint path: np.savez appends
+    '.npz' to suffix-less names, so existence checks must too."""
+    return path if path.endswith(".npz") else path + ".npz"
+
+
 def save_pytree(path: str, tree) -> None:
     """Checkpoint an arbitrary array pytree (optimizer states, fit loops).
 
     Leaves are keyed by their `jax.tree_util` key path, so any pytree whose
     structure the loader can reproduce (see `load_pytree`) round-trips —
     including optax optimizer states.  No pickling: arrays only.
+
+    The write is ATOMIC (temp file + os.replace): a crash mid-save — the
+    exact event checkpoints exist for — can never destroy the previous
+    good checkpoint.
     """
+    import os
+
     import jax
 
+    path = checkpoint_file(path)
     leaves = jax.tree_util.tree_flatten_with_path(tree)[0]
+    tmp = path + ".tmp.npz"
     np.savez_compressed(
-        path, **{jax.tree_util.keystr(p): np.asarray(v) for p, v in leaves}
+        tmp, **{jax.tree_util.keystr(p): np.asarray(v) for p, v in leaves}
     )
+    os.replace(tmp, path)
 
 
 def load_pytree(path: str, like):
@@ -78,7 +93,7 @@ def load_pytree(path: str, like):
     import jax
 
     paths_leaves, treedef = jax.tree_util.tree_flatten_with_path(like)
-    with np.load(path) as z:
+    with np.load(checkpoint_file(path)) as z:
         leaves = [
             jnp.asarray(z[jax.tree_util.keystr(p)]) for p, _ in paths_leaves
         ]

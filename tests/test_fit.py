@@ -145,6 +145,37 @@ class TestFitCheckpoint:
         assert np.all(np.isfinite(np.asarray(losses)))
         assert fitted["px"].shape == splats["px"].shape
 
+    def test_suffixless_path_and_incompatibility_guards(self, key, tmp_path):
+        cams, splats = _setup(key)
+        targets = fit.render_targets(splats, cams, CFG, method="tiles")
+        kwargs = dict(fields=("cr",), lr=5e-2, method="tiles")
+        ck = str(tmp_path / "state")  # no .npz: np.savez appends it
+        fit.fit_splats(splats, cams, targets, CFG, steps=4,
+                       checkpoint_path=ck, checkpoint_every=2, **kwargs)
+        # resume must find the file savez actually wrote
+        _, losses = fit.fit_splats(splats, cams, targets, CFG, steps=6,
+                                   checkpoint_path=ck, checkpoint_every=2,
+                                   resume=True, **kwargs)
+        assert losses.shape == (6,)
+        # a checkpoint from a different splat population must not hijack
+        smaller = {k: v[:100] for k, v in splats.items()}
+        tg2 = fit.render_targets(smaller, cams, CFG, method="tiles")
+        with pytest.raises(ValueError, match="incompatible"):
+            fit.fit_splats(smaller, cams, tg2, CFG, steps=6,
+                           checkpoint_path=ck, checkpoint_every=2,
+                           resume=True, **kwargs)
+        # different fields -> different leaves -> clear error
+        with pytest.raises(ValueError, match="incompatible"):
+            fit.fit_splats(splats, cams, targets, CFG, steps=6,
+                           checkpoint_path=ck, checkpoint_every=2,
+                           resume=True, fields=("cb",), lr=5e-2,
+                           method="tiles")
+        # asking for fewer steps than already done is a user error
+        with pytest.raises(ValueError, match="already holds"):
+            fit.fit_splats(splats, cams, targets, CFG, steps=3,
+                           checkpoint_path=ck, checkpoint_every=2,
+                           resume=True, **kwargs)
+
     def test_pytree_roundtrip(self, tmp_path):
         from splat_renderer_tpu.utils.snapshot import load_pytree, save_pytree
 

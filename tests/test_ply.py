@@ -107,6 +107,57 @@ class TestForeignFiles:
         np.testing.assert_allclose(np.asarray(s["opacity"]), want_op,
                                    atol=1e-6)
 
+    def test_skips_elements_before_vertex(self, tmp_path):
+        # spec-valid file with a fixed-size element preceding vertex: the
+        # loader must skip its bytes, not misread them as vertex data
+        p = str(tmp_path / "pre.ply")
+        n = 4
+        header = [
+            "ply", "format binary_little_endian 1.0",
+            "element camera 1",
+            "property float cx", "property float cy",
+            f"element vertex {n}",
+            "property float x", "property float y", "property float z",
+            "end_header",
+        ]
+        cam = np.asarray([9.0, 9.0], "<f4")
+        vert = np.arange(3 * n, dtype="<f4").reshape(n, 3)
+        with open(p, "wb") as f:
+            f.write(("\n".join(header) + "\n").encode())
+            f.write(cam.tobytes())
+            f.write(vert.tobytes())
+        s = load_ply(p)
+        np.testing.assert_allclose(np.asarray(s["px"]), vert[:, 0])
+        np.testing.assert_allclose(np.asarray(s["pz"]), vert[:, 2])
+
+    def test_rejects_unskippable_list_element(self, tmp_path):
+        p = str(tmp_path / "face.ply")
+        header = [
+            "ply", "format binary_little_endian 1.0",
+            "element face 2",
+            "property list uchar int vertex_indices",
+            "element vertex 1",
+            "property float x",
+            "end_header",
+        ]
+        with open(p, "wb") as f:
+            f.write(("\n".join(header) + "\n").encode())
+        with pytest.raises(ValueError, match="list-typed"):
+            load_ply(p)
+
+    def test_export_drops_dead_slots(self, key, tmp_path):
+        splats = {k: np.asarray(v).copy() for k, v in _splats(key).items()}
+        splats = {k: jnp.asarray(v) for k, v in splats.items()}
+        # kill half the slots the way density_control does
+        radius = np.asarray(splats["radius"]).copy()
+        radius[::2] = 0.0
+        splats["radius"] = jnp.asarray(radius)
+        p = str(tmp_path / "dead.ply")
+        save_ply(p, splats)
+        back = load_ply(p)
+        assert back["px"].shape[0] == int((radius > 0).sum())
+        assert float(np.min(np.asarray(back["radius"]))) > 0.0
+
     def test_rejects_ascii(self, tmp_path):
         p = str(tmp_path / "a.ply")
         self._write_3dgs(p, ascii_fmt=True)
