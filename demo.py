@@ -2,13 +2,15 @@
 served to a browser with mouse orbit.  Run on a TPU host:
 
     python demo.py [--surface] [--port 8000]
+    python demo.py --ply garden.ply      # orbit a pre-trained 3DGS scene
+                                         # (f_rest SH bands rendered live)
 """
 
 import argparse
 import math
 
 import splat_renderer_tpu as spt
-from splat_renderer_tpu.render.pipeline import Engine
+from splat_renderer_tpu.render.pipeline import Engine, SplatEngine
 from splat_renderer_tpu.viewer import serve
 
 
@@ -20,7 +22,25 @@ def main():
     ap.add_argument("--width", type=int, default=1280)
     ap.add_argument("--height", type=int, default=720)
     ap.add_argument("--points", type=int, default=None)
+    ap.add_argument("--ply", type=str, default=None,
+                    help="serve THIS 3DGS .ply scene (with its SH bands) "
+                         "instead of the SDF demo scene")
+    ap.add_argument("--cap", type=int, default=8,
+                    help="tiles_per_splat_cap (raise for big-footprint "
+                         "scenes; bench reports radius_clamped_frac)")
     args = ap.parse_args()
+
+    if args.ply:
+        from splat_renderer_tpu.utils import load_ply
+
+        splats, sh = load_ply(args.ply, with_sh=True)
+        rcfg = spt.RenderConfig(width=args.width, height=args.height,
+                                tiles_per_splat_cap=args.cap)
+        n = splats["px"].shape[0]
+        print(f"loaded {n} splats from {args.ply}"
+              + (" (with SH bands)" if sh is not None else ""))
+        serve(SplatEngine(splats, rcfg, sh=sh), port=args.port)
+        return
 
     s1 = spt.Sphere(id="sphere1", position=(0, 0, 0), radius=0.5)
     b1 = spt.Box(id="box1", position=(0.6, 0, 0), size=(0.3, 0.3, 0.3))

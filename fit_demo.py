@@ -9,7 +9,7 @@ with Adam — a miniature 3DGS-style appearance optimization.
 
     python fit_demo.py [--steps 150] [--n 2000] [--size 128] [--method tiles]
                        [--views 4] [--fields cr,cg,cb,opacity,px,py,pz,radius]
-                       [--ply-in scene.ply] [--ply-out fitted.ply]
+                       [--ply-in scene.ply] [--ply-out fitted.ply] [--sh]
                        [--checkpoint fit_state.npz]
 
 --views M fits against M orbit-ring views jointly (multi-view inverse
@@ -53,6 +53,11 @@ def main():
                          "scene's modeled splats (utils/ply.py)")
     ap.add_argument("--ply-out", type=str, default=None,
                     help="export the fitted splats as a 3DGS .ply")
+    ap.add_argument("--sh", action="store_true",
+                    help="view-dependent color (render/sh.py): keep a "
+                         "--ply-in scene's f_rest bands lighting every view, "
+                         "or (without --ply-in) FIT degree-1 coefficients "
+                         "from zero alongside --fields")
     ap.add_argument("--checkpoint", type=str, default=None,
                     help="checkpoint the training state here every 25 "
                          "steps and resume from it if it exists")
@@ -74,18 +79,37 @@ def main():
             elevation=0.3, aspect=1.0,
         )
         cameras.append({k: jnp.asarray(a) for k, a in cam.arrays().items()})
+    sh = None
+    fit_sh = False
     if args.ply_in:
         from splat_renderer_tpu.utils import load_ply
 
-        splats = load_ply(args.ply_in)
+        if args.sh:
+            from splat_renderer_tpu.render.sh import sh_degree
+
+            splats, sh = load_ply(args.ply_in, with_sh=True)
+            deg = sh_degree(sh)
+            print(f"loaded SH degree {deg}" if sh is not None
+                  else "no f_rest bands in file")
+        else:
+            splats = load_ply(args.ply_in)
         print(f"loaded {splats['px'].shape[0]} splats from {args.ply_in}")
     else:
         splats = model_points(
             scene, scene.params(), jax.random.PRNGKey(0), args.n,
             spt.PointConfig(), cfg,
         )
+        if args.sh:  # no file bands: fit degree-1 coefficients from zero
+            n_s = splats["px"].shape[0]
+            sh = {c: 0.25 * jax.random.normal(jax.random.PRNGKey(40 + i),
+                                              (3, n_s))
+                  for i, c in enumerate(("r", "g", "b"))}
+            fit_sh = True
 
-    targets = fit.render_targets(splats, cameras, cfg, method=args.method)
+    targets = fit.render_targets(splats, cameras, cfg, method=args.method,
+                                 sh=sh)
+    if fit_sh:  # targets carry the synthetic truth; the fit starts from zero
+        sh = {c: jnp.zeros_like(v) for c, v in sh.items()}
     camera, target = cameras[0], targets[0]
 
     fit_fields = tuple(f.strip() for f in args.fields.split(",") if f.strip())
@@ -100,13 +124,16 @@ def main():
             init[k] = splats[k] + 0.02 * jax.random.normal(sub, splats[k].shape)
 
     t0 = time.perf_counter()
-    fitted, losses = fit.fit_splats(
+    res = fit.fit_splats(
         splats, cameras, targets, cfg, fields=fit_fields, steps=args.steps,
         lr=args.lr, method=args.method, init=init, log_every=10,
         checkpoint_path=args.checkpoint,
         checkpoint_every=25 if args.checkpoint else 0,
         resume=bool(args.checkpoint),
+        sh=sh, fit_sh=fit_sh,
     )
+    fitted, losses = res[0], res[1]
+    sh_fitted = res[2] if fit_sh else sh
     dt = time.perf_counter() - t0
     print(f"{args.steps} optimization steps in {dt:.1f} s "
           f"({1e3 * dt / args.steps:.1f} ms/step, {args.n} splats, "
@@ -118,9 +145,16 @@ def main():
         from splat_renderer_tpu.utils.image import write_png
         import numpy as np
 
-        init_img = render_diff(dict(splats, **init), camera, cfg,
+        from splat_renderer_tpu.render.sh import apply_sh
+
+        def lit(s, sh_):
+            return (apply_sh(s, sh_, camera["cam_pos"])
+                    if sh_ is not None else s)
+
+        init_img = render_diff(lit(dict(splats, **init), sh), camera, cfg,
                                method=args.method)
-        fit_img = render_diff(fitted, camera, cfg, method=args.method)
+        fit_img = render_diff(lit(fitted, sh_fitted), camera, cfg,
+                              method=args.method)
         for tag, img in (("target", target), ("init", init_img),
                          ("fit", fit_img)):
             path = f"{args.out}_{tag}.png"
@@ -130,7 +164,7 @@ def main():
     if args.ply_out:
         from splat_renderer_tpu.utils import save_ply
 
-        save_ply(args.ply_out, fitted)
+        save_ply(args.ply_out, fitted, sh=sh_fitted)
         print("wrote", args.ply_out)
 
 

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 from .config import RenderConfig
 from .points.properties import Splats
 from .render.diff import CameraArrays, render_diff
+from .render.sh import apply_sh
 
 FIT_FIELDS_APPEARANCE = ("cr", "cg", "cb", "opacity")
 FIT_FIELDS_GEOMETRY = ("px", "py", "pz", "radius")
@@ -35,11 +36,18 @@ def render_targets(
     cameras: Sequence[CameraArrays],
     cfg: RenderConfig,
     method: str = "pallas",
+    sh=None,
 ) -> Tuple[jnp.ndarray, ...]:
     """Render one target image per camera with the diff path (for synthetic
-    fitting experiments / tests)."""
-    f = jax.jit(lambda s, c: render_diff(s, c, cfg, method=method))
-    return tuple(f(splats, cam) for cam in cameras)
+    fitting experiments / tests).  `sh` lights each view through
+    render.sh.apply_sh (view-dependent color)."""
+
+    def one(s, c, sh_):
+        s = apply_sh(s, sh_, c["cam_pos"]) if sh_ is not None else s
+        return render_diff(s, c, cfg, method=method)
+
+    f = jax.jit(one)
+    return tuple(f(splats, cam, sh) for cam in cameras)
 
 
 DENSIFY_FIELDS = ("px", "py", "pz", "radius", "opacity")
@@ -64,7 +72,9 @@ def fit_splats(
     checkpoint_path: Optional[str] = None,
     checkpoint_every: int = 0,
     resume: bool = False,
-) -> Tuple[Splats, jnp.ndarray]:
+    sh=None,
+    fit_sh: bool = False,
+):
     """Optimize `fields` of `splats` so renders match `targets` (Adam).
 
     `loss` selects the objective (utils/ssim.py registry): "l2" (MSE, the
@@ -88,35 +98,64 @@ def fit_splats(
     step-for-step identical to the uninterrupted one (Adam is deterministic;
     tests/test_fit.py::TestFitCheckpoint asserts bitwise equality).
 
-    Returns (splats with fitted fields, (steps,) loss curve).
+    View-dependent color: `sh` (the ``{"r"|"g"|"b": (n_rest, N)}`` pytree,
+    render/sh.py) lights every view via apply_sh before rendering.
+    `fit_sh=True` additionally OPTIMIZES the coefficients — real 3DGS-style
+    appearance training (gradients flow through the SH basis; the final
+    clip's upper bound zeroes gradients only for saturated pixels, matching
+    3DGS's clamp-at-0 convention on the other side).  With `fit_sh` the
+    return is (splats, losses, fitted_sh); `sh=None, fit_sh=True` is an
+    error (pass the zero-initialized coefficient pytree of the degree you
+    want).  SH is incompatible with densify_every (coefficient rows are not
+    splat planes, so density_control cannot clone them yet).
+
+    Returns (splats with fitted fields, (steps,) loss curve)
+    [+ fitted sh if fit_sh].
     """
     if len(cameras) != len(targets):
         raise ValueError("cameras and targets must pair up")
-    if not fields:
+    if not fields and not fit_sh:
         raise ValueError("nothing to fit: fields is empty")
+    if fit_sh and sh is None:
+        raise ValueError("fit_sh=True needs an initial sh coefficient pytree")
     if densify_every and not set(DENSIFY_FIELDS) <= set(fields):
         raise ValueError(
             f"densify_every needs fields to include {DENSIFY_FIELDS}"
         )
+    if densify_every and sh is not None:
+        raise ValueError("density control cannot reallocate SH rows yet; "
+                         "use densify_every=0 with sh")
     import optax
 
     from .utils.ssim import image_loss
 
     loss_img = image_loss(loss)
     theta = {k: (init[k] if init and k in init else splats[k]) for k in fields}
+    if fit_sh:
+        # "sh:" prefix keeps coefficient rows distinct from splat planes in
+        # the one flat theta dict (checkpoints stay key-path addressable)
+        theta.update({f"sh:{c}": sh[c] for c in ("r", "g", "b")})
     opt = optax.adam(lr)
     opt_state = opt.init(theta)
     targets = tuple(targets)
     key = jax.random.PRNGKey(0) if key is None else key
 
     @jax.jit
-    def step(theta, opt_state, splats, targets):
+    def step(theta, opt_state, splats, targets, sh_fixed):
         def loss_fn(theta):
-            s = dict(splats, **theta)
-            per_view = [
-                loss_img(render_diff(s, cam, cfg, method=method), t)
-                for cam, t in zip(cameras, targets)
-            ]
+            s = dict(splats,
+                     **{k: v for k, v in theta.items() if ":" not in k})
+            sh_cur = (
+                {c: theta[f"sh:{c}"] for c in ("r", "g", "b")}
+                if fit_sh else sh_fixed
+            )
+            per_view = []
+            for cam, t in zip(cameras, targets):
+                s_v = (apply_sh(s, sh_cur, cam["cam_pos"])
+                       if sh_cur is not None else s)
+                per_view.append(
+                    loss_img(render_diff(s_v, cam, cfg, method=method), t)
+                )
             return sum(per_view) / len(per_view)
 
         loss, grads = jax.value_and_grad(loss_fn)(theta)
@@ -172,9 +211,12 @@ def fit_splats(
             theta, opt_state = st["theta"], st["opt_state"]
             splats, score, key = st["splats"], st["score"], st["key"]
             losses = list(st["losses"])
+    # the relay miscompile rule (CLAUDE.md): sh is array-sized, so it rides
+    # as a jit ARGUMENT (None when fit_sh — then it lives in theta)
+    sh_fixed = None if fit_sh else sh
     for i in range(start, steps):
         loss_val, theta, opt_state, pos_g = step(
-            theta, opt_state, splats, targets
+            theta, opt_state, splats, targets, sh_fixed
         )
         losses.append(loss_val)
         score = score + pos_g
@@ -207,7 +249,11 @@ def fit_splats(
                     "losses": jnp.stack(losses),
                 },
             )
-    return dict(splats, **theta), jnp.stack(losses)
+    fitted = dict(splats, **{k: v for k, v in theta.items() if ":" not in k})
+    if fit_sh:
+        sh_out = {c: theta[f"sh:{c}"] for c in ("r", "g", "b")}
+        return fitted, jnp.stack(losses), sh_out
+    return fitted, jnp.stack(losses)
 
 
 def psnr(mse: jnp.ndarray) -> jnp.ndarray:

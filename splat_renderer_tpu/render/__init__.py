@@ -16,11 +16,13 @@ from .diff import render_diff, splat_screen_records_diff
 from .oracle import pixel_grid, render_oracle
 from .pipeline import (
     Engine,
+    SplatEngine,
     model_points,
     render_frame,
     render_splats,
     splat_screen_data,
 )
+from .sh import apply_sh, sh_basis_planes, sh_degree
 from .projector import (
     project_planes,
     project_splats,
@@ -32,6 +34,7 @@ from .projector import (
 
 __all__ = [
     "Engine",
+    "SplatEngine",
     "bin_splats",
     "composite_over_background",
     "depth_sort",
@@ -54,6 +57,9 @@ __all__ = [
     "splat_alpha",
     "splat_screen_data",
     "tiles_to_image",
+    "apply_sh",
+    "sh_basis_planes",
+    "sh_degree",
 ]
 from .multiview import render_views  # noqa: E402
 

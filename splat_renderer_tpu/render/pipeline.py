@@ -207,38 +207,49 @@ class Engine:
             self.compositor == "auto" and on_tpu()
         )
 
+    def _key(self) -> str:
+        """Cache key of the current scene structure (param changes share it)."""
+        return self.scene.structure_hash()
+
+    def _args(self, camera: CameraArrays, key: jax.Array) -> Tuple:
+        """Positional arguments for the jitted frame built by `_build`."""
+        return (self.scene.params(), camera, key)
+
+    def _build(self, mb: Optional[int], cc: Optional[Tuple[int, int]]) -> Callable:
+        scene, n, pcfg, rcfg, comp = (
+            self.scene, self.n, self.pcfg, self.rcfg, self.compositor,
+        )
+        bk = self.blend_kernel
+
+        @jax.jit
+        def frame(params, camera, key):
+            splats = model_points(scene, params, key, n, pcfg, rcfg)
+            return render_splats(
+                splats, camera, rcfg, comp,
+                blend_max_blocks=mb, return_stats=True, blend_kernel=bk,
+                pair_class_caps=cc,
+            )
+
+        return frame
+
     def _fn(self, mb: Optional[int], cc: Optional[Tuple[int, int]]) -> Callable:
-        h = self.scene.structure_hash()
+        h = self._key()
         fn = self._cache.get((h, mb, cc))
         if fn is None:
             from ..utils.log import log_rebuild
 
             log_rebuild(h)
-            scene, n, pcfg, rcfg, comp = (
-                self.scene, self.n, self.pcfg, self.rcfg, self.compositor,
-            )
-            bk = self.blend_kernel
-
-            @jax.jit
-            def frame(params, camera, key):
-                splats = model_points(scene, params, key, n, pcfg, rcfg)
-                return render_splats(
-                    splats, camera, rcfg, comp,
-                    blend_max_blocks=mb, return_stats=True, blend_kernel=bk,
-                    pair_class_caps=cc,
-                )
-
-            fn = frame
+            fn = self._build(mb, cc)
             while len(self._cache) >= self._cache_size:
                 self._cache.pop(next(iter(self._cache)))
             self._cache[(h, mb, cc)] = fn
         return fn
 
     def frame(self, camera: CameraArrays, key: jax.Array) -> jnp.ndarray:
-        h = self.scene.structure_hash()
+        h = self._key()
         mb = self._class.get(h)
         cc = self._ccaps.get(h)
-        img, stats = self._fn(mb, cc)(self.scene.params(), camera, key)
+        img, stats = self._fn(mb, cc)(*self._args(camera, key))
         if stats is not None and self._uses_pallas():
             used = int(stats["blocks_used"])
             if cc is not None and bool(stats.get("class_overflow", False)):
@@ -265,6 +276,70 @@ class Engine:
                     self.rcfg.tiles_per_splat_cap, self.CLASS_HEADROOM,
                 )
         return img
+
+
+class SplatEngine(Engine):
+    """Engine for a STATIC splat set — pre-trained 3DGS scenes
+    (utils/ply.py), fitted outputs, or any hand-built plane pytree — with
+    optional view-dependent SH color (render/sh.py).
+
+    Same frame(camera, key) surface and blend-capacity-class protocol as
+    Engine, minus the per-frame SDF modeling: the splats are constants of
+    the jitted frame's ARGUMENTS (never closure captures — the relay
+    miscompile rule, CLAUDE.md), and `sh`, when given, lights every frame
+    along the camera ray before projection.
+
+    Usage:
+        splats, sh = load_ply("garden.ply", with_sh=True)
+        eng = SplatEngine(splats, rcfg, sh=sh)
+        serve(eng)          # orbit a real pre-trained scene on the TPU
+    """
+
+    def __init__(
+        self,
+        splats,
+        rcfg: RenderConfig = RenderConfig(),
+        sh=None,
+        compositor: str = "auto",
+        cache_size: int = 8,
+        blend_kernel: str = "tile",
+    ):
+        self.splats = splats
+        self.sh = sh
+        self.rcfg = rcfg
+        self.compositor = compositor
+        self.blend_kernel = blend_kernel
+        self.scene = None
+        self._cache: Dict[Tuple, Callable] = {}
+        self._class: Dict[str, Optional[int]] = {}
+        self._ccaps: Dict[str, Optional[Tuple[int, int]]] = {}
+        self._cache_size = cache_size
+
+    @property
+    def n(self) -> int:
+        return int(self.splats["px"].shape[0])
+
+    def _key(self) -> str:
+        return "static-splats"
+
+    def _args(self, camera: CameraArrays, key: jax.Array) -> Tuple:
+        return (self.splats, self.sh, camera, key)
+
+    def _build(self, mb: Optional[int], cc: Optional[Tuple[int, int]]) -> Callable:
+        rcfg, comp, bk = self.rcfg, self.compositor, self.blend_kernel
+        from .sh import apply_sh
+
+        @jax.jit
+        def frame(splats, sh, camera, key):
+            if sh is not None:
+                splats = apply_sh(splats, sh, camera["cam_pos"])
+            return render_splats(
+                splats, camera, rcfg, comp,
+                blend_max_blocks=mb, return_stats=True, blend_kernel=bk,
+                pair_class_caps=cc,
+            )
+
+        return frame
 
 
 def _class_caps(

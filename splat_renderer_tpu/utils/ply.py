@@ -102,12 +102,21 @@ def _read_header(f) -> tuple:
     raise ValueError("PLY file has no vertex element")
 
 
-def load_ply(path: str) -> Splats:
+def load_ply(path: str, with_sh: bool = False):
     """Load a 3DGS ``.ply`` into the splat plane pytree.
 
-    Unknown extra properties (f_rest_* SH bands etc.) are skipped; files
-    missing the gaussian fields fall back sensibly (no scales -> unit
-    radius, no rotation -> +z normals, no f_dc -> mid-gray).
+    Unknown extra properties are skipped; files missing the gaussian fields
+    fall back sensibly (no scales -> unit radius, no rotation -> +z normals,
+    no f_dc -> mid-gray).
+
+    ``with_sh=True`` returns ``(splats, sh)`` where ``sh`` is the
+    higher-band coefficient pytree ``{"r"|"g"|"b": (n_rest, N)}`` consumed
+    by ``render.sh.apply_sh`` (3DGS stores f_rest channel-major: all red
+    coefficients, then green, then blue), or ``None`` when the file carries
+    no ``f_rest_*`` bands.  In this mode the base ``cr/cg/cb`` planes are
+    the UNCLIPPED DC response ``0.5 + C0*f_dc`` so that
+    ``apply_sh`` (which clips after summing all bands) is lossless; plain
+    ``load_ply(path)`` keeps the clipped view-independent color.
     """
     import jax.numpy as jnp
 
@@ -149,15 +158,15 @@ def load_ply(path: str) -> Splats:
     in_plane = np.sort(s, axis=1)[:, 1:]  # the two larger scales
     radius = np.sqrt(in_plane[:, 0] * in_plane[:, 1])
 
-    color = np.clip(
-        0.5 + SH_C0 * np.stack(
-            [col("f_dc_0", 0.0), col("f_dc_1", 0.0), col("f_dc_2", 0.0)], 1
-        ), 0.0, 1.0,
+    color = 0.5 + SH_C0 * np.stack(
+        [col("f_dc_0", 0.0), col("f_dc_1", 0.0), col("f_dc_2", 0.0)], 1
     )
+    if not with_sh:
+        color = np.clip(color, 0.0, 1.0)
     op_logit = col("opacity", 0.0)
     opacity = 1.0 / (1.0 + np.exp(-op_logit)) if "opacity" in names else (
         np.full((n,), 0.8, np.float32))
-    return {
+    splats = {
         "px": jnp.asarray(col("x", 0.0)), "py": jnp.asarray(col("y", 0.0)),
         "pz": jnp.asarray(col("z", 0.0)),
         "radius": jnp.asarray(radius.astype(np.float32)),
@@ -167,14 +176,45 @@ def load_ply(path: str) -> Splats:
         "nx": jnp.asarray(normal[:, 0]), "ny": jnp.asarray(normal[:, 1]),
         "nz": jnp.asarray(normal[:, 2]),
     }
+    if not with_sh:
+        return splats
+    # f_rest_* higher SH bands, channel-major (m red rows, m green, m blue);
+    # truncate to the largest COMPLETE degree actually present
+    rest_names = sorted(
+        (nm for nm in names if nm.startswith("f_rest_")),
+        key=lambda nm: int(nm[7:]),
+    )
+    m = len(rest_names) // 3
+    for deg_m in (15, 8, 3, 0):
+        if m >= deg_m:
+            m = deg_m
+            break
+    if m == 0:
+        return splats, None
+    rest = np.stack(
+        [rec[nm].astype(np.float32) for nm in rest_names], 0
+    )  # (3m_file, n) row planes — contiguous (N,) rows, never (N, K)
+    m_file = len(rest_names) // 3
+    sh = {
+        "r": jnp.asarray(rest[0:m]),
+        "g": jnp.asarray(rest[m_file:m_file + m]),
+        "b": jnp.asarray(rest[2 * m_file:2 * m_file + m]),
+    }
+    return splats, sh
 
 
-def save_ply(path: str, splats: Splats) -> None:
+def save_ply(path: str, splats: Splats, sh=None) -> None:
     """Write the splat set as a standard 3DGS ``.ply`` (binary LE).
 
     Discs become thin gaussians: in-plane scales = radius, normal-axis
     scale = radius * PLY_THIN, rotation = the quaternion taking +z to the
     normal.  Any 3DGS viewer renders the result directly.
+
+    ``sh`` (the ``{"r"|"g"|"b": (n_rest, N)}`` pytree from
+    ``load_ply(with_sh=True)`` / ``render.sh``) adds the standard
+    channel-major ``f_rest_*`` view-dependent bands in the usual position
+    (after f_dc_2).  Base colors are written as-is — pass the unclipped DC
+    response for a lossless roundtrip.
 
     Dead capacity slots (radius <= 0 — the engine's liveness encoding,
     fit.density_control) are DROPPED: foreign viewers have no liveness
@@ -185,6 +225,15 @@ def save_ply(path: str, splats: Splats) -> None:
     for k in ("px", "py", "pz", "nx", "ny", "nz", "radius", "opacity",
               "cr", "cg", "cb"):
         cols[k] = np.asarray(splats[k], dtype=np.float32)[live]
+    export_props = list(_EXPORT_PROPS)
+    if sh is not None:
+        m = int(np.asarray(sh["r"]).shape[0])
+        at = export_props.index("opacity")
+        export_props[at:at] = [f"f_rest_{i}" for i in range(3 * m)]
+        for c, ch in enumerate(("r", "g", "b")):
+            coeff = np.asarray(sh[ch], dtype=np.float32)
+            for k in range(m):
+                cols[f"f_rest_{c * m + k}"] = coeff[k][live]
     n = int(cols["px"].shape[0])
     cols["x"], cols["y"], cols["z"] = cols["px"], cols["py"], cols["pz"]
     for i, c in enumerate(("cr", "cg", "cb")):
@@ -210,10 +259,10 @@ def save_ply(path: str, splats: Splats) -> None:
 
     header = ["ply", "format binary_little_endian 1.0",
               f"element vertex {n}"]
-    header += [f"property float {p}" for p in _EXPORT_PROPS]
+    header += [f"property float {p}" for p in export_props]
     header.append("end_header")
-    rec = np.empty((n,), np.dtype([(p, "<f4") for p in _EXPORT_PROPS]))
-    for p in _EXPORT_PROPS:
+    rec = np.empty((n,), np.dtype([(p, "<f4") for p in export_props]))
+    for p in export_props:
         rec[p] = cols[p]
     with open(path, "wb") as f:
         f.write(("\n".join(header) + "\n").encode("ascii"))

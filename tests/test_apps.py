@@ -86,6 +86,53 @@ class TestTurntable:
         assert len(eng._cache) == 1
 
 
+class TestSplatEngine:
+    """Engine for static splat sets (PLY scenes / fitted outputs) + SH."""
+
+    def _splats(self, key, n=200):
+        scene = _scene()
+        cfg = RenderConfig(width=32, height=32, base_radius=0.08)
+        return model_points(scene, scene.params(), key, n, PointConfig(), cfg)
+
+    def test_matches_direct_render(self, key):
+        from splat_renderer_tpu.render.pipeline import SplatEngine
+
+        splats = self._splats(key)
+        cfg = RenderConfig(width=32, height=32, base_radius=0.08,
+                           tiles_per_splat_cap=8)
+        eng = SplatEngine(splats, cfg, compositor="tiles")
+        cam = {k: jnp.asarray(v) for k, v in spt.Camera().arrays().items()}
+        img = eng.frame(cam, jax.random.PRNGKey(0))
+        ref = jax.jit(lambda s, c: render_splats(s, c, cfg, "tiles"))(
+            splats, cam
+        )
+        # same pipeline, different program boundaries: the usual fma-vs-
+        # mul+add 1/32-px cell wiggle applies (see TestMultiView)
+        assert float(np.abs(np.asarray(img) - np.asarray(ref)).max()) < 5e-3
+        # second frame: no rebuild for the static structure
+        eng.frame(cam, jax.random.PRNGKey(1))
+        assert len(eng._cache) == 1
+
+    def test_sh_lights_the_frame(self, key):
+        from splat_renderer_tpu.render.pipeline import SplatEngine
+
+        splats = self._splats(key)
+        n = splats["px"].shape[0]
+        sh = {c: jnp.zeros((3, n)) for c in ("r", "g", "b")}
+        sh["r"] = sh["r"].at[2].set(0.8)  # l=1 x-band
+        cfg = RenderConfig(width=32, height=32, base_radius=0.08,
+                           tiles_per_splat_cap=8)
+        eng = SplatEngine(splats, cfg, sh=sh, compositor="tiles")
+        reds = []
+        for az in (0.3, 0.3 + np.pi):
+            cam = {k: jnp.asarray(v)
+                   for k, v in spt.Camera(azimuth=az).arrays().items()}
+            img = eng.frame(cam, jax.random.PRNGKey(0))
+            assert bool(jnp.isfinite(img).all())
+            reds.append(float(jnp.mean(img[..., 0])))
+        assert abs(reds[0] - reds[1]) > 0.005
+
+
 class TestObservability:
     def test_rebuild_logged_once_per_structure(self, key):
         import io

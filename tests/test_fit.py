@@ -72,6 +72,55 @@ class TestFitSplats:
         assert float(fit.psnr(jnp.asarray(0.01))) == pytest.approx(20.0)
 
 
+class TestFitSH:
+    """View-dependent appearance training (render/sh.py through fit)."""
+
+    def _true_sh(self, n, scale=0.25):
+        rng = np.random.default_rng(11)
+        return {c: jnp.asarray(rng.normal(scale=scale, size=(3, n))
+                               .astype(np.float32))
+                for c in ("r", "g", "b")}
+
+    def test_fit_sh_recovers_view_dependence(self, key):
+        cams, splats = _setup(key, views=4)
+        sh_true = self._true_sh(splats["px"].shape[0])
+        targets = fit.render_targets(splats, cams, CFG, method="tiles",
+                                     sh=sh_true)
+        sh0 = {c: jnp.zeros_like(sh_true[c]) for c in ("r", "g", "b")}
+        fitted, losses, sh_fit = fit.fit_splats(
+            splats, cams, targets, CFG, fields=(), steps=40, lr=5e-2,
+            method="tiles", sh=sh0, fit_sh=True,
+        )
+        assert float(losses[-1]) < float(losses[0]) / 3.0
+        # the fitted coefficients moved off zero toward the truth
+        assert float(jnp.abs(sh_fit["r"]).max()) > 1e-2
+        np.testing.assert_array_equal(fitted["cr"], splats["cr"])
+
+    def test_fixed_sh_lights_the_fit(self, key):
+        cams, splats = _setup(key, views=2)
+        sh_true = self._true_sh(splats["px"].shape[0])
+        targets = fit.render_targets(splats, cams, CFG, method="tiles",
+                                     sh=sh_true)
+        init = {k: jnp.full_like(splats[k], 0.5) for k in ("cr", "cg", "cb")}
+        _, losses = fit.fit_splats(
+            splats, cams, targets, CFG, fields=("cr", "cg", "cb"),
+            steps=25, lr=5e-2, method="tiles", init=init, sh=sh_true,
+        )
+        assert float(losses[-1]) < float(losses[0]) / 3.0
+
+    def test_api_contract(self, key):
+        cams, splats = _setup(key, views=1)
+        targets = fit.render_targets(splats, cams, CFG, method="tiles")
+        with pytest.raises(ValueError, match="initial sh"):
+            fit.fit_splats(splats, cams, targets, CFG, fit_sh=True)
+        sh0 = self._true_sh(splats["px"].shape[0])
+        with pytest.raises(ValueError, match="density control"):
+            fit.fit_splats(
+                splats, cams, targets, CFG,
+                fields=fit.DENSIFY_FIELDS, densify_every=5, sh=sh0,
+            )
+
+
 class TestFitCamera:
     """Pose registration: recover the orbit pose that produced the target."""
 
