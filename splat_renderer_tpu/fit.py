@@ -106,8 +106,8 @@ def fit_splats(
     3DGS's clamp-at-0 convention on the other side).  With `fit_sh` the
     return is (splats, losses, fitted_sh); `sh=None, fit_sh=True` is an
     error (pass the zero-initialized coefficient pytree of the degree you
-    want).  SH is incompatible with densify_every (coefficient rows are not
-    splat planes, so density_control cannot clone them yet).
+    want).  Density control reallocates the coefficients alongside the
+    splats (density_control's `sh` path).
 
     Returns (splats with fitted fields, (steps,) loss curve)
     [+ fitted sh if fit_sh].
@@ -122,9 +122,6 @@ def fit_splats(
         raise ValueError(
             f"densify_every needs fields to include {DENSIFY_FIELDS}"
         )
-    if densify_every and sh is not None:
-        raise ValueError("density control cannot reallocate SH rows yet; "
-                         "use densify_every=0 with sh")
     import optax
 
     from .utils.ssim import image_loss
@@ -172,20 +169,25 @@ def fit_splats(
     losses = []
     score = jnp.zeros(splats["radius"].shape if densify_every else ())
     start = 0
+    # the relay miscompile rule (CLAUDE.md): sh is array-sized, so it rides
+    # as a jit ARGUMENT (None when fit_sh — then it lives in theta).  It is
+    # loop STATE too: densify events reallocate its columns.
+    sh_fixed = None if fit_sh else sh
+    ckpt_sh = sh_fixed is not None  # fixed coefficients are training state
     if checkpoint_path and resume:
         import os
 
         if os.path.exists(checkpoint_file(checkpoint_path)):
             try:
-                st = load_pytree(
-                    checkpoint_path,
-                    {
-                        "theta": theta, "opt_state": opt_state,
-                        "splats": dict(splats), "score": score, "key": key,
-                        "step": jnp.zeros((), jnp.int32),
-                        "losses": jnp.zeros((0,)),
-                    },
-                )
+                tpl = {
+                    "theta": theta, "opt_state": opt_state,
+                    "splats": dict(splats), "score": score, "key": key,
+                    "step": jnp.zeros((), jnp.int32),
+                    "losses": jnp.zeros((0,)),
+                }
+                if ckpt_sh:
+                    tpl["sh"] = dict(sh_fixed)
+                st = load_pytree(checkpoint_path, tpl)
             except KeyError as e:
                 raise ValueError(
                     f"checkpoint {checkpoint_path!r} is incompatible with "
@@ -211,9 +213,8 @@ def fit_splats(
             theta, opt_state = st["theta"], st["opt_state"]
             splats, score, key = st["splats"], st["score"], st["key"]
             losses = list(st["losses"])
-    # the relay miscompile rule (CLAUDE.md): sh is array-sized, so it rides
-    # as a jit ARGUMENT (None when fit_sh — then it lives in theta)
-    sh_fixed = None if fit_sh else sh
+            if ckpt_sh:
+                sh_fixed = st["sh"]
     for i in range(start, steps):
         loss_val, theta, opt_state, pos_g = step(
             theta, opt_state, splats, targets, sh_fixed
@@ -224,12 +225,27 @@ def fit_splats(
             print(f"fit step {i:4d}  {loss} {float(loss_val):.3e}")
         if densify_every and (i + 1) % densify_every == 0 and i + 1 < steps:
             key, sub = jax.random.split(key)
-            merged, stats = jax.jit(density_control, static_argnames=())(
-                dict(splats, **theta), score / densify_every, sub,
-                densify_threshold, prune_opacity,
+            theta_f = {k: v for k, v in theta.items() if ":" not in k}
+            sh_cur = (
+                {c: theta[f"sh:{c}"] for c in ("r", "g", "b")}
+                if fit_sh else sh_fixed
             )
+            if sh_cur is not None:
+                merged, sh_new, stats = jax.jit(density_control)(
+                    dict(splats, **theta_f), score / densify_every, sub,
+                    densify_threshold, prune_opacity, sh=sh_cur,
+                )
+            else:
+                merged, stats = jax.jit(density_control)(
+                    dict(splats, **theta_f), score / densify_every, sub,
+                    densify_threshold, prune_opacity,
+                )
             splats = merged
             theta = {k: merged[k] for k in fields}
+            if fit_sh:
+                theta.update({f"sh:{c}": sh_new[c] for c in ("r", "g", "b")})
+            elif sh_cur is not None:
+                sh_fixed = sh_new
             opt_state = opt.init(theta)  # population changed: fresh moments
             score = jnp.zeros_like(score)
             if log_every:
@@ -240,15 +256,15 @@ def fit_splats(
         if checkpoint_path and checkpoint_every and (
             (i + 1) % checkpoint_every == 0 or i + 1 == steps
         ):
-            save_pytree(
-                checkpoint_path,
-                {
-                    "theta": theta, "opt_state": opt_state,
-                    "splats": dict(splats), "score": score, "key": key,
-                    "step": jnp.asarray(i + 1, jnp.int32),
-                    "losses": jnp.stack(losses),
-                },
-            )
+            state = {
+                "theta": theta, "opt_state": opt_state,
+                "splats": dict(splats), "score": score, "key": key,
+                "step": jnp.asarray(i + 1, jnp.int32),
+                "losses": jnp.stack(losses),
+            }
+            if ckpt_sh:
+                state["sh"] = dict(sh_fixed)
+            save_pytree(checkpoint_path, state)
     fitted = dict(splats, **{k: v for k, v in theta.items() if ":" not in k})
     if fit_sh:
         sh_out = {c: theta[f"sh:{c}"] for c in ("r", "g", "b")}
@@ -417,7 +433,8 @@ def density_control(
     prune_opacity: float = 0.005,
     split_factor: float = 1.6,
     jitter: float = 0.01,
-) -> Tuple[Splats, Dict[str, jnp.ndarray]]:
+    sh=None,
+):
     """One 3DGS adaptive-density event under STATIC shapes.
 
     The original (Kerbl et al. 2023 sec. 5.2) reallocates a dynamic array;
@@ -434,7 +451,13 @@ def density_control(
       pool wait for the next event).  Both halves shrink by split_factor and
       the clone is jittered by `jitter` * its world radius.
 
-    Returns (new splats, stats {pruned, split, live}).
+    `sh` (the ``{"r"|"g"|"b": (n_rest, N)}`` coefficient pytree,
+    render/sh.py) reallocates alongside the splats: pruned slots zero their
+    coefficient columns, clones copy the source's (view-dependent appearance
+    survives the split — the two halves see the same directions).
+
+    Returns (new splats, stats {pruned, split, live}), plus the new sh
+    between them when `sh` is given: (new splats, new sh, stats).
     """
     n = score.shape[0]
     radius = splats["radius"]
@@ -486,4 +509,11 @@ def density_control(
         "split": k_live,
         "live": jnp.sum((out["radius"] > 0.0).astype(jnp.int32)),
     }
+    if sh is not None:
+        sh_out = {}
+        for ch, coeff in sh.items():
+            c = jnp.where(prune[None, :], 0.0, coeff)
+            vals = jnp.where(pair_ok[None, :], c[:, src], 0.0)
+            sh_out[ch] = c.at[:, dst].set(vals, mode="drop")
+        return out, sh_out, stats
     return out, stats

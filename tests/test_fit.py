@@ -113,11 +113,44 @@ class TestFitSH:
         targets = fit.render_targets(splats, cams, CFG, method="tiles")
         with pytest.raises(ValueError, match="initial sh"):
             fit.fit_splats(splats, cams, targets, CFG, fit_sh=True)
-        sh0 = self._true_sh(splats["px"].shape[0])
-        with pytest.raises(ValueError, match="density control"):
-            fit.fit_splats(
-                splats, cams, targets, CFG,
-                fields=fit.DENSIFY_FIELDS, densify_every=5, sh=sh0,
+
+    def test_densify_reallocates_fitted_sh(self, key):
+        # density control + SH training together: the coefficient columns
+        # must follow the population (density_control's sh path)
+        cams, splats = _setup(key, n=150, views=1)
+        # force churn: 40 slots start nearly transparent -> pruned at the
+        # event, their slots refilled by splits of high-gradient survivors
+        op = np.asarray(splats["opacity"]).copy()
+        op[:40] = 0.001
+        splats = dict(splats, opacity=jnp.asarray(op))
+        sh_true = self._true_sh(splats["px"].shape[0])
+        targets = fit.render_targets(splats, cams, CFG, method="tiles",
+                                     sh=sh_true)
+        sh0 = {c: jnp.zeros_like(v) for c, v in sh_true.items()}
+        fitted, losses, sh_fit = fit.fit_splats(
+            splats, cams, targets, CFG,
+            fields=fit.DENSIFY_FIELDS + ("cr", "cg", "cb"),
+            steps=16, lr=1e-2, method="tiles",
+            sh=sh0, fit_sh=True, densify_every=8, densify_threshold=1e-9,
+        )
+        # density events intentionally perturb the population (prune +
+        # jittered splits reset Adam), so strict descent over 16 steps is
+        # not guaranteed — the unit mechanics are TestDensityControl's SH
+        # tests; here we assert the composition stays sound
+        assert bool(jnp.isfinite(losses).all())
+        assert float(losses[-1]) < 4.0 * float(losses[0])
+        assert sh_fit["r"].shape == sh_true["r"].shape
+        # the coefficients moved off zero (SH training kept working through
+        # the reallocation)
+        assert float(jnp.abs(sh_fit["r"]).max()) > 1e-4
+        # dead slots carry zero coefficients (liveness convention); churn
+        # really happened: the 40 transparent slots died or were refilled
+        dead = np.asarray(fitted["radius"]) <= 0.0
+        assert not np.allclose(np.asarray(fitted["radius"]),
+                               np.asarray(splats["radius"]))
+        if dead.any():
+            np.testing.assert_allclose(
+                np.asarray(sh_fit["g"])[:, dead], 0.0, atol=1e-6
             )
 
 
@@ -313,6 +346,35 @@ class TestDensityControl:
         # clone is near (jittered), not identical
         assert abs(float(out["px"][2]) - 5.0) < 0.01
         assert int(stats["live"]) == 8  # one died, one was born
+
+    def test_sh_rows_follow_prune_and_split(self):
+        s = self._toy()
+        s["opacity"] = s["opacity"].at[2].set(0.001)  # pruned
+        score = jnp.zeros((8,)).at[5].set(1.0)  # splits into slot 2
+        sh = {c: jnp.broadcast_to(jnp.arange(8, dtype=jnp.float32), (3, 8))
+              for c in ("r", "g", "b")}
+        out, sh_out, stats = fit.density_control(
+            s, score, jax.random.PRNGKey(0), densify_threshold=0.5, sh=sh
+        )
+        assert int(stats["split"]) == 1
+        # clone slot 2 carries the source's coefficients, others unchanged
+        want = np.arange(8, dtype=np.float32)
+        want[2] = 5.0
+        for c in ("r", "g", "b"):
+            np.testing.assert_allclose(np.asarray(sh_out[c]),
+                                       np.broadcast_to(want, (3, 8)))
+
+    def test_sh_rows_zeroed_on_unreused_prune(self):
+        s = self._toy()
+        s["opacity"] = s["opacity"].at[2].set(0.001)
+        sh = {c: jnp.ones((3, 8)) for c in ("r", "g", "b")}
+        out, sh_out, stats = fit.density_control(
+            s, jnp.zeros((8,)), jax.random.PRNGKey(0), densify_threshold=0.5,
+            sh=sh,
+        )
+        assert int(stats["pruned"]) == 1 and int(stats["split"]) == 0
+        np.testing.assert_allclose(np.asarray(sh_out["r"][:, 2]), 0.0)
+        np.testing.assert_allclose(np.asarray(sh_out["g"][:, 3]), 1.0)
 
     def test_no_candidates_no_change(self):
         s = self._toy()
