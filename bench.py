@@ -149,6 +149,21 @@ def main() -> None:
 
     t_flat, _ = time_fn(jax.jit(full_flat), splats, camera, warmup=2, iters=5)
 
+    # ---- SH-lit frame (render/sh.py): degree-3 view-dependent color at
+    # 1M — what rendering a pre-trained 3DGS scene's appearance costs ----
+    from splat_renderer_tpu.render.sh import apply_sh
+
+    sh_rng = np.random.default_rng(5)
+    sh = {c: jnp.asarray(sh_rng.normal(scale=0.1, size=(15, N_SPLATS))
+                         .astype(np.float32)) for c in ("r", "g", "b")}
+
+    def full_sh(s, sh_, c):
+        return render_splats(apply_sh(s, sh_, c["cam_pos"]), c, rcfg,
+                             "pallas", BLOCK, blend_max_blocks=mt,
+                             blend_kernel="tile")
+
+    t_sh, _ = time_fn(jax.jit(full_sh), splats, sh, camera, warmup=2, iters=5)
+
     # ---- fast profile (cfg.fast_math): coarse-rank fused pair sort
     # (sub-quantization order deviation; opt-in, see config.py) ----
     rcfg_fast = rcfg.replace(fast_math=True)
@@ -352,6 +367,7 @@ def main() -> None:
         "msplats_per_sec": round(N_SPLATS * fps / 1e6, 2),
         "frame_ms": round(t_full * 1e3, 3),
         "frame_ms_flat_kernel": round(t_flat * 1e3, 3),
+        "frame_ms_sh_deg3": round(t_sh * 1e3, 3),
         "frame_ms_fast": round(t_fast * 1e3, 3),
         "fps_fast": round(1.0 / t_fast, 2),
         "frame_ms_turbo": round(t_turbo * 1e3, 3),

@@ -261,6 +261,69 @@ def check_diff_pallas() -> bool:
     return ok
 
 
+def check_sh() -> bool:
+    """SH view-dependent color on device (render/sh.py): apply_sh vs an
+    INDEPENDENT host-numpy basis evaluation (written in the spherical
+    5z^2-1 forms, different algebra than the kernel's expanded
+    polynomials), and the lit Pallas frame vs the lit tiles frame."""
+    from splat_renderer_tpu.render.pipeline import render_splats
+    from splat_renderer_tpu.render.sh import apply_sh
+
+    scene = _scene()
+    cfg = RenderConfig(width=128, height=128, base_radius=0.03,
+                       tiles_per_splat_cap=8)
+    cam = spt.Camera(azimuth=0.9, elevation=0.3, aspect=1.0)
+    camera = {k: jnp.asarray(v) for k, v in cam.arrays().items()}
+    splats = model_points(scene, scene.params(), jax.random.PRNGKey(0),
+                          2_000, PointConfig(), cfg)
+    n = int(splats["px"].shape[0])
+    rng = np.random.default_rng(7)
+    sh = {c: jnp.asarray(rng.normal(scale=0.2, size=(15, n))
+                         .astype(np.float32)) for c in ("r", "g", "b")}
+    lit = jax.jit(apply_sh)(splats, sh, camera["cam_pos"])
+
+    p = np.stack([np.asarray(splats[f]) for f in ("px", "py", "pz")], 1)
+    d = p - np.asarray(camera["cam_pos"])[None, :]
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    x, y, z = (d[:, i].astype(np.float64) for i in range(3))
+    B = np.stack([
+        -0.4886025119029199 * y, 0.4886025119029199 * z,
+        -0.4886025119029199 * x,
+        1.0925484305920792 * x * y, -1.0925484305920792 * y * z,
+        0.31539156525252005 * (3 * z * z - 1.0),
+        -1.0925484305920792 * x * z, 0.5462742152960396 * (x * x - y * y),
+        -0.5900435899266435 * y * (3 * x * x - y * y),
+        2.890611442640554 * x * y * z,
+        -0.4570457994644658 * y * (5 * z * z - 1.0),
+        0.3731763325901154 * z * (5 * z * z - 3.0),
+        -0.4570457994644658 * x * (5 * z * z - 1.0),
+        1.445305721320277 * z * (x * x - y * y),
+        -0.5900435899266435 * x * (x * x - 3 * y * y),
+    ], 0)
+    eval_diff = max(
+        float(np.abs(
+            np.asarray(lit[f])
+            - np.clip(np.asarray(splats[f])
+                      + (np.asarray(sh[ch]) * B).sum(0), 0, 1)
+        ).max())
+        for ch, f in (("r", "cr"), ("g", "cg"), ("b", "cb"))
+    )
+
+    img_p = np.asarray(jax.jit(
+        lambda s, sh_, c: render_splats(
+            apply_sh(s, sh_, c["cam_pos"]), c, cfg, "pallas")
+    )(splats, sh, camera))
+    img_t = np.asarray(jax.jit(
+        lambda s, sh_, c: render_splats(
+            apply_sh(s, sh_, c["cam_pos"]), c, cfg, "tiles")
+    )(splats, sh, camera))
+    frame_diff = float(np.abs(img_p - img_t).max())
+    ok = eval_diff < 5e-6 and frame_diff < ATOL
+    print(f"{'sh appearance':>24}: eval|host={eval_diff:.2e}  "
+          f"pallas|tiles={frame_diff:.2e}  {'OK' if ok else 'FAIL'}")
+    return ok
+
+
 def main() -> int:
     print(f"device: {jax.devices()[0]}")
     ok = True
@@ -305,6 +368,7 @@ def main() -> int:
     ok &= check_render_band()
     ok &= check_diff_path()
     ok &= check_diff_pallas()
+    ok &= check_sh()
     print("PARITY GATE:", "PASS" if ok else "FAIL")
     return 0 if ok else 1
 

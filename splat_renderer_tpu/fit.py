@@ -354,7 +354,9 @@ def fit_splats_dp(
     loss: str = "l2",
     init: Optional[Dict[str, jnp.ndarray]] = None,
     interpret: bool | None = None,
-) -> Tuple[Splats, jnp.ndarray]:
+    sh=None,
+    fit_sh: bool = False,
+):
     """Multi-view fit with the VIEW axis sharded over the device mesh.
 
     Each device renders + differentiates its local views (lax.map, so the
@@ -362,6 +364,11 @@ def fit_splats_dp(
     `psum` of the local grads over ICI — gradient data parallelism, the
     standard scaling axis of 3DGS-style training.  theta and splats stay
     replicated; the Adam update runs identically everywhere.
+
+    `sh`/`fit_sh` mirror fit_splats: fixed coefficients light every view;
+    `fit_sh=True` trains them — the coefficient gradients ride in the same
+    replicated theta pytree, so the one grad pmean covers them with no
+    extra collective.  Returns (splats, losses[, fitted_sh]).
 
     The reference has no distributed anything (SURVEY.md section 2.5); this
     composes the rebuild's fit capability with its mesh layer.  Exactness:
@@ -374,8 +381,10 @@ def fit_splats_dp(
     v = targets.shape[0]
     if v % n_dev:
         raise ValueError(f"view count {v} must divide over {n_dev} devices")
-    if not fields:
+    if not fields and not fit_sh:
         raise ValueError("nothing to fit: fields is empty")
+    if fit_sh and sh is None:
+        raise ValueError("fit_sh=True needs an initial sh coefficient pytree")
     import optax
 
     from .utils.ssim import image_loss
@@ -383,16 +392,26 @@ def fit_splats_dp(
     loss_img = image_loss(loss)
     flat_mesh = jax.sharding.Mesh(mesh.devices.reshape(-1), ("v",))
     theta = {k: (init[k] if init and k in init else splats[k]) for k in fields}
+    if fit_sh:
+        theta.update({f"sh:{c}": sh[c] for c in ("r", "g", "b")})
+    sh_fixed = None if fit_sh else sh
     opt = optax.adam(lr)
     opt_state = opt.init(theta)
 
-    def local_value_and_grad(theta, splats, cams_local, tgts_local):
+    def local_value_and_grad(theta, splats, sh_f, cams_local, tgts_local):
         def loss_fn(theta):
-            s = dict(splats, **theta)
+            s = dict(splats,
+                     **{k: v_ for k, v_ in theta.items() if ":" not in k})
+            sh_cur = (
+                {c: theta[f"sh:{c}"] for c in ("r", "g", "b")}
+                if fit_sh else sh_f
+            )
 
             def one(ct):
                 cam, tgt = ct
-                img = render_diff(s, cam, cfg, method=method,
+                s_v = (apply_sh(s, sh_cur, cam["cam_pos"])
+                       if sh_cur is not None else s)
+                img = render_diff(s_v, cam, cfg, method=method,
                                   interpret=interpret)
                 return loss_img(img, tgt)
 
@@ -407,22 +426,28 @@ def fit_splats_dp(
     vg = jax.shard_map(
         local_value_and_grad,
         mesh=flat_mesh,
-        in_specs=(P(), P(), P("v"), P("v")),
+        in_specs=(P(), P(), P(), P("v"), P("v")),
         out_specs=(P(), P()),
         check_vma=False,
     )
 
     @jax.jit
-    def step(theta, opt_state, splats, cameras, targets):
-        loss, grads = vg(theta, splats, cameras, targets)
+    def step(theta, opt_state, splats, sh_f, cameras, targets):
+        loss, grads = vg(theta, splats, sh_f, cameras, targets)
         updates, opt_state = opt.update(grads, opt_state)
         return loss, optax.apply_updates(theta, updates), opt_state
 
     losses = []
     for _ in range(steps):
-        loss, theta, opt_state = step(theta, opt_state, splats, cameras, targets)
+        loss, theta, opt_state = step(
+            theta, opt_state, splats, sh_fixed, cameras, targets
+        )
         losses.append(loss)
-    return dict(splats, **theta), jnp.stack(losses)
+    fitted = dict(splats, **{k: v_ for k, v_ in theta.items() if ":" not in k})
+    if fit_sh:
+        sh_out = {c: theta[f"sh:{c}"] for c in ("r", "g", "b")}
+        return fitted, jnp.stack(losses), sh_out
+    return fitted, jnp.stack(losses)
 
 
 def density_control(

@@ -30,17 +30,22 @@ def render_views(
     blend_max_blocks: int | None = None,
     flat: bool = False,
     as_uint8: bool = False,
+    sh=None,
 ) -> jnp.ndarray:
     """Render one splat set from V cameras; returns (V, H, W, 3), or
     (V, H, W*3) with `flat=True` — the TPU-friendly output layout (a
     trailing dim of 3 is lane-padded 3->128 in HBM, a 42x allocation /
     bandwidth tax on big view stacks; utils.image.unflatten_rows restores
     channels on host).  as_uint8 quantizes on device (datagen: 4x less
-    host transfer and no host-side conversion)."""
+    host transfer and no host-side conversion).  `sh` (render/sh.py)
+    lights each view along its own camera ray inside the fused program —
+    view-dependent color is per view by definition."""
+    from .sh import apply_sh
 
     def one(camera: CameraArrays) -> jnp.ndarray:
+        s = apply_sh(splats, sh, camera["cam_pos"]) if sh is not None else splats
         img = render_splats(
-            splats, camera, rcfg, compositor, blend_block,
+            s, camera, rcfg, compositor, blend_block,
             blend_max_blocks=blend_max_blocks,
         )
         if as_uint8:

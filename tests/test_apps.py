@@ -86,6 +86,30 @@ class TestTurntable:
         assert len(eng._cache) == 1
 
 
+class TestMultiViewSH:
+    def test_views_lit_per_camera(self, key):
+        from splat_renderer_tpu.render.sh import apply_sh
+
+        scene = _scene()
+        cfg = RenderConfig(width=48, height=48, base_radius=0.08)
+        splats = model_points(scene, scene.params(), key, 400, PointConfig(),
+                              cfg)
+        n = splats["px"].shape[0]
+        sh = {c: jnp.zeros((3, n)) for c in ("r", "g", "b")}
+        sh["r"] = sh["r"].at[2].set(0.6)  # l=1 x-band
+        cams = {k: jnp.asarray(v) for k, v in spt.orbit_ring(4).items()}
+        imgs = render_views(splats, cams, cfg, "tiles", sh=sh)
+        for v in range(4):
+            cam_v = {k: a[v] for k, a in cams.items()}
+            ref = render_splats(apply_sh(splats, sh, cam_v["cam_pos"]),
+                                cam_v, cfg, "tiles")
+            diff = np.abs(np.asarray(imgs[v]) - np.asarray(ref))
+            assert float(diff.max()) < 5e-3  # TestMultiView's fp wiggle
+        # the band actually varies across the ring
+        reds = [float(jnp.mean(imgs[v][..., 0])) for v in range(4)]
+        assert max(reds) - min(reds) > 0.005
+
+
 class TestSplatEngine:
     """Engine for static splat sets (PLY scenes / fitted outputs) + SH."""
 

@@ -303,6 +303,31 @@ class TestFitDP:
         np.testing.assert_allclose(np.asarray(losses_dp),
                                    np.asarray(losses_1), rtol=2e-2)
 
+    def test_fit_sh_over_the_mesh(self, key):
+        """SH coefficient training rides the same replicated-theta pmean."""
+        from splat_renderer_tpu.parallel.sharding import make_mesh
+
+        cams_l, splats = _setup(key, n=150, views=8)
+        cfg = RenderConfig(width=32, height=32, base_radius=0.1,
+                           tiles_per_splat_cap=16)
+        n = splats["px"].shape[0]
+        rng = np.random.default_rng(13)
+        sh_true = {c: jnp.asarray(rng.normal(scale=0.25, size=(3, n))
+                                  .astype(np.float32))
+                   for c in ("r", "g", "b")}
+        targets_l = fit.render_targets(splats, cams_l, cfg, method="tiles",
+                                       sh=sh_true)
+        cams = jax.tree.map(lambda *xs: jnp.stack(xs), *cams_l)
+        sh0 = {c: jnp.zeros_like(v) for c, v in sh_true.items()}
+        fitted, losses, sh_fit = fit.fit_splats_dp(
+            splats, cams, jnp.stack(targets_l), make_mesh(dp=8, sp=1), cfg,
+            fields=(), steps=12, lr=5e-2, method="tiles",
+            sh=sh0, fit_sh=True,
+        )
+        assert float(losses[-1]) < float(losses[0]) / 2.0
+        assert float(jnp.abs(sh_fit["r"]).max()) > 1e-2
+        np.testing.assert_array_equal(fitted["cr"], splats["cr"])
+
     def test_view_count_must_divide(self, key):
         from splat_renderer_tpu.parallel.sharding import make_mesh
 
