@@ -11,7 +11,7 @@ from .blend import (
     segmented_exclusive_product,
     splat_alpha,
 )
-from .compositor import render_tiles, tiles_to_image
+from .compositor import render_tiles, tiles_to_image, tiles_to_plane
 from .diff import render_diff, splat_screen_records_diff
 from .oracle import pixel_grid, render_oracle
 from .pipeline import (
@@ -19,6 +19,7 @@ from .pipeline import (
     SplatEngine,
     model_points,
     render_frame,
+    render_gbuffer,
     render_splats,
     splat_screen_data,
 )
@@ -48,6 +49,8 @@ __all__ = [
     "splat_screen_words",
     "render_diff",
     "render_frame",
+    "render_gbuffer",
+    "tiles_to_plane",
     "render_oracle",
     "render_splats",
     "render_tiles",

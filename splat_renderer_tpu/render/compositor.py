@@ -55,6 +55,15 @@ def tiles_to_image(
     return img[: cfg.height, : cfg.width]
 
 
+def tiles_to_plane(tile_vals: jnp.ndarray, cfg: RenderConfig) -> jnp.ndarray:
+    """Assemble per-tile (T, tile_pixels) scalar planes into (H, W) —
+    tiles_to_image's single-channel twin (depth/alpha G-buffer channels)."""
+    ts = cfg.tile_size
+    img = tile_vals.reshape(cfg.tiles_y, cfg.tiles_x, ts, ts)
+    img = img.transpose(0, 2, 1, 3).reshape(cfg.tiles_y * ts, cfg.tiles_x * ts)
+    return img[: cfg.height, : cfg.width]
+
+
 def render_tiles(
     splat_data_sorted: jnp.ndarray,  # (N, 10) depth-ascending packed data
     binned: Binned,
@@ -62,6 +71,7 @@ def render_tiles(
     pair_chunk: int = 1024,
     return_tiles: bool = False,
     differentiable: bool = False,
+    return_aux: bool = False,
 ) -> jnp.ndarray:
     """Composite the binned splats; returns the (H, W, 3) image, or the
     per-tile premultiplied partials (tile_color (T, tp, 3), tile_alpha
@@ -74,7 +84,14 @@ def render_tiles(
     with the default path to fp roundoff (one log/exp per (chunk, tile)
     factor, ~1e-7 relative), and alpha is clamped below 1 by 1e-7 so the log
     stays finite — an opaque-saturated pixel's transmittance bottoms out at
-    ~1e-7 per contributing splat instead of exactly 0."""
+    ~1e-7 per contributing splat instead of exactly 0.
+
+    return_aux=True (render_gbuffer) additionally accumulates the
+    alpha-weighted depth sum_i w_i d_i (w_i = the same over-blend weights
+    the color uses, d_i = the record's quantized camera distance) and
+    returns (image, depth_acc (H, W), alpha (H, W)) — the G-buffer
+    channels.  depth_acc is premultiplied; normalize by alpha for the
+    expected-hit depth (render_gbuffer does)."""
     num_tiles = cfg.num_tiles
     tp = cfg.tile_pixels
     pair_tile = binned["pair_tile"]
@@ -97,7 +114,7 @@ def render_tiles(
     ts = float(cfg.tile_size)
 
     def body(carry, inputs):
-        color, trans = carry  # (T+1, tp, 3), (T+1, tp)
+        color, trans, depth = carry  # (T+1, tp, 3), (T+1, tp), (T+1, tp)|()
         tile_ids, splat_ids = inputs  # (c,), (c,)
         data = splat_data_sorted[splat_ids]  # (c, 10)
         origin_x = (tile_ids % cfg.tiles_x).astype(jnp.float32) * ts  # (c,)
@@ -120,21 +137,33 @@ def render_tiles(
         weight = a * t_local * trans_carry  # (c, tp)
         rgb = data[:, 4:7]
         color = color.at[tile_ids].add(weight[:, :, None] * rgb[:, None, :])
+        if return_aux:
+            depth = depth.at[tile_ids].add(weight * data[:, 7:8])
         if differentiable:
             trans = trans.at[tile_ids].add(jnp.log1p(-a))
         else:
             trans = trans.at[tile_ids].multiply(1.0 - a)
-        return (color, trans), None
+        return (color, trans, depth), None
 
     init = (
         jnp.zeros((num_tiles + 1, tp, 3), jnp.float32),
         jnp.zeros((num_tiles + 1, tp), jnp.float32)
         if differentiable
         else jnp.ones((num_tiles + 1, tp), jnp.float32),
+        jnp.zeros((num_tiles + 1, tp), jnp.float32)
+        if return_aux
+        else jnp.zeros((), jnp.float32),
     )
-    (color, trans), _ = jax.lax.scan(body, init, (tiles_c, splats_c))
+    (color, trans, depth), _ = jax.lax.scan(body, init, (tiles_c, splats_c))
     if differentiable:
         trans = jnp.exp(trans)
     if return_tiles:
         return color[:num_tiles], 1.0 - trans[:num_tiles]
-    return tiles_to_image(color[:num_tiles], 1.0 - trans[:num_tiles], cfg)
+    img = tiles_to_image(color[:num_tiles], 1.0 - trans[:num_tiles], cfg)
+    if return_aux:
+        return (
+            img,
+            tiles_to_plane(depth[:num_tiles], cfg),
+            tiles_to_plane(1.0 - trans[:num_tiles], cfg),
+        )
+    return img

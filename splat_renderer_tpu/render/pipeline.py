@@ -138,6 +138,36 @@ def render_splats(
     return (img, None) if return_stats else img
 
 
+def render_gbuffer(
+    splats: Splats,
+    camera: CameraArrays,
+    rcfg: RenderConfig,
+    pair_chunk: int = 1024,
+):
+    """Render the G-buffer: {"rgb" (H,W,3), "depth" (H,W), "alpha" (H,W)}.
+
+    The datagen channels TPU training pipelines want next to color: `alpha`
+    is the composited coverage 1 - transmittance, `depth` the
+    alpha-normalized expected splat depth Σ w_i d_i / α (the record's
+    quantized camera distance under the same over-blend weights as color;
+    0 where nothing was hit).  The reference's WGSL compositor writes color
+    only (src/ComputeShaderRenderer.ts:193-197).
+
+    Runs on the XLA scan compositor — the readable path; the Pallas kernel
+    stays color-only (its VMEM accumulators and MXU fold are shaped for 3
+    channels).  For bulk datagen wrap this in lax.map over views like
+    render_views does.
+    """
+    data = splat_screen_data(splats, camera, rcfg)
+    data_sorted = canonical_sort_data(data, rcfg)
+    binned = bin_splats(data_sorted, rcfg)
+    img, depth_acc, alpha = render_tiles(
+        data_sorted, binned, rcfg, pair_chunk, return_aux=True
+    )
+    depth = jnp.where(alpha > 1e-6, depth_acc / jnp.maximum(alpha, 1e-6), 0.0)
+    return {"rgb": img, "depth": depth, "alpha": alpha}
+
+
 def render_frame(
     scene: SDFScene,
     params: Params,

@@ -248,6 +248,72 @@ class TestBinning:
         assert int(binned["counts"].sum()) == n_active
 
 
+class TestGBuffer:
+    """Depth/alpha output channels (render_tiles return_aux / render_gbuffer)."""
+
+    def test_matches_dense_sequential(self, rng):
+        from splat_renderer_tpu.render.binning import canonical_sort_data
+        from splat_renderer_tpu.render.packing import quantize_screen_data
+
+        cfg = CFG
+        data = quantize_screen_data(_random_screen_splats(rng, 60, cfg), cfg)
+        data_s = canonical_sort_data(data, cfg)
+        binned = bin_splats(data_s, cfg)
+        img, depth_acc, alpha = render_tiles(data_s, binned, cfg,
+                                             return_aux=True)
+        # dense reference: per-pixel sequential over-blend in canonical order
+        d = np.asarray(data_s)
+        h, w = cfg.height, cfg.width
+        ys, xs = np.mgrid[0:h, 0:w]
+        pix = jnp.asarray(
+            np.stack([xs + 0.5, ys + 0.5], -1).reshape(-1, 2), jnp.float32
+        )
+        trans = np.ones(h * w)
+        dep = np.zeros(h * w)
+        for s in range(d.shape[0]):
+            a = np.asarray(splat_alpha(jnp.asarray(d[s]), pix, cfg))
+            dep += a * trans * d[s, 7]
+            trans *= 1.0 - a
+        np.testing.assert_allclose(np.asarray(alpha).reshape(-1),
+                                   1.0 - trans, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(depth_acc).reshape(-1), dep,
+                                   atol=1e-3)
+
+    def test_render_gbuffer_channels(self, key):
+        from splat_renderer_tpu.render import render_gbuffer
+
+        scene = spt.SDFScene(spt.Sphere(id="a", radius=0.5))
+        cfg = RenderConfig(width=64, height=48, base_radius=0.06,
+                           tiles_per_splat_cap=16)
+        splats = model_points(scene, scene.params(), key, 300,
+                              spt.PointConfig(), cfg)
+        cam = {k: jnp.asarray(v)
+               for k, v in spt.Camera(aspect=64 / 48).arrays().items()}
+        out = jax.jit(lambda s, c: render_gbuffer(s, c, cfg))(splats, cam)
+        assert out["rgb"].shape == (48, 64, 3)
+        assert out["depth"].shape == (48, 64)
+        assert out["alpha"].shape == (48, 64)
+        alpha = np.asarray(out["alpha"])
+        depth = np.asarray(out["depth"])
+        assert alpha.min() >= 0.0 and alpha.max() <= 1.0 + 1e-6
+        assert alpha.max() > 0.5  # the sphere is actually in view
+        # background pixels carry depth 0; hit pixels carry a camera
+        # distance inside the scene's depth range
+        np.testing.assert_allclose(depth[alpha <= 1e-6], 0.0)
+        data = np.asarray(splat_screen_data(splats, cam, cfg))
+        lo, hi = data[:, 7].min(), data[:, 7].max()
+        hit = alpha > 0.5
+        assert hit.any()
+        assert depth[hit].min() >= lo - 1e-3
+        assert depth[hit].max() <= hi + 1e-3
+        # the color channel is the ordinary tiles render
+        ref = jax.jit(
+            lambda s, c: render_splats(s, c, cfg, "tiles")
+        )(splats, cam)
+        assert float(np.abs(np.asarray(out["rgb"]) - np.asarray(ref)).max()) \
+            < 5e-3
+
+
 class TestCompositorParity:
     """The fidelity gate: tile pipeline == sequential oracle (fp32 tol)."""
 
