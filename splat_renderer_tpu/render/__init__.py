@@ -64,9 +64,9 @@ __all__ = [
     "sh_basis_planes",
     "sh_degree",
 ]
-from .multiview import render_views  # noqa: E402
+from .multiview import render_views, render_views_gbuffer  # noqa: E402
 
-__all__.append("render_views")
+__all__ += ["render_views", "render_views_gbuffer"]
 from .sequence import render_sequence  # noqa: E402
 
 __all__.append("render_sequence")

@@ -55,3 +55,29 @@ def render_views(
         return img
 
     return jax.lax.map(one, cameras)
+
+
+def render_views_gbuffer(
+    splats: Splats,
+    cameras: CameraArrays,  # leaves with leading view axis V
+    rcfg: RenderConfig,
+    pair_chunk: int = 1024,
+    sh=None,
+):
+    """Multi-view G-buffer: {"rgb" (V, H, W, 3), "depth" (V, H, W),
+    "alpha" (V, H, W)} in one fused program — render_views's twin over
+    render_gbuffer (the datagen channels the reference's color-only
+    compositor lacks, src/ComputeShaderRenderer.ts:193-197).  Depth is the
+    alpha-normalized expected splat camera distance (0 where nothing was
+    hit), alpha the composited coverage; both under the exact same
+    over-blend weights as the color, so the three channels are mutually
+    consistent per pixel.  `sh` lights each view along its own camera ray
+    like render_views."""
+    from .pipeline import render_gbuffer
+    from .sh import apply_sh
+
+    def one(camera: CameraArrays):
+        s = apply_sh(splats, sh, camera["cam_pos"]) if sh is not None else splats
+        return render_gbuffer(s, camera, rcfg, pair_chunk)
+
+    return jax.lax.map(one, cameras)

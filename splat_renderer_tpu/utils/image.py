@@ -65,7 +65,14 @@ def write_png(path: str, img, fast: bool = True) -> None:
         )
         level = 6
     raw = rows.tobytes()
+    _write_png_chunks(path, w, h, bit_depth=8, color_type=2, raw=raw,
+                      level=level)
 
+
+def _write_png_chunks(
+    path: str, w: int, h: int, bit_depth: int, color_type: int,
+    raw: bytes, level: int,
+) -> None:
     def chunk(tag: bytes, data: bytes) -> bytes:
         return (
             struct.pack(">I", len(data))
@@ -74,7 +81,7 @@ def write_png(path: str, img, fast: bool = True) -> None:
             + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, color_type, 0, 0, 0)
     png = (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
@@ -83,3 +90,24 @@ def write_png(path: str, img, fast: bool = True) -> None:
     )
     with open(path, "wb") as f:
         f.write(png)
+
+
+def write_png16(path: str, img) -> None:
+    """img: (H, W) uint16, or float in [0, 1] (scaled to the full u16
+    range).  16-bit grayscale PNG — the standard lossless container for
+    depth maps (datagen's G-buffer depth channel).  Filter 0 + deflate
+    level 1: depth rasters are piecewise-smooth, Sub filtering on the
+    big-endian byte stream would split each sample across two deltas for
+    no gain."""
+    arr = np.asarray(img)
+    if arr.dtype != np.uint16:
+        x = np.asarray(arr, np.float32) * np.float32(65535.0)
+        x += np.float32(0.5)
+        np.nan_to_num(x, copy=False)
+        np.clip(x, 0, 65535, out=x)
+        arr = x.astype(np.uint16)
+    h, w = arr.shape
+    be = np.ascontiguousarray(arr.astype(">u2")).view(np.uint8).reshape(h, w * 2)
+    rows = np.concatenate([np.zeros((h, 1), np.uint8), be], axis=1)
+    _write_png_chunks(path, w, h, bit_depth=16, color_type=0,
+                      raw=rows.tobytes(), level=1)

@@ -251,3 +251,100 @@ class TestSequence:
             ref = render_splats(splats, cams[i], cfg)
             np.testing.assert_allclose(np.asarray(seq[i]), np.asarray(ref),
                                        atol=1e-5)
+
+
+class TestGBufferViews:
+    """Multi-view G-buffer (render_views_gbuffer) + the datagen loop."""
+
+    def test_views_match_per_view(self, key):
+        from splat_renderer_tpu.render import (
+            render_gbuffer,
+            render_views_gbuffer,
+        )
+
+        scene = _scene()
+        cfg = RenderConfig(width=48, height=48, base_radius=0.08)
+        splats = model_points(scene, scene.params(), key, 400, PointConfig(), cfg)
+        cams = {k: jnp.asarray(v) for k, v in spt.orbit_ring(2).items()}
+        gb = jax.jit(lambda s, c: render_views_gbuffer(s, c, cfg))(splats, cams)
+        assert gb["rgb"].shape == (2, 48, 48, 3)
+        assert gb["depth"].shape == (2, 48, 48)
+        assert gb["alpha"].shape == (2, 48, 48)
+        for v in range(2):
+            cam_v = {k: a[v] for k, a in cams.items()}
+            ref = jax.jit(lambda s, c: render_gbuffer(s, c, cfg))(splats, cam_v)
+            # same quantization-boundary ripple tolerance as
+            # TestMultiView::test_views_match_loop (lax.map refuses)
+            for ch, tol in (("rgb", 5e-3), ("alpha", 5e-3), ("depth", 5e-2)):
+                diff = np.abs(np.asarray(gb[ch][v]) - np.asarray(ref[ch]))
+                assert diff.max() < tol, f"view {v} {ch}: max {diff.max()}"
+
+    def test_datagen_gbuffer_dataset(self, tmp_path, monkeypatch):
+        import json
+        import sys
+
+        import datagen
+
+        monkeypatch.setattr(sys, "argv", [
+            "datagen.py", "--out", str(tmp_path), "--views", "2",
+            "--steps", "1", "--points", "400", "--width", "48",
+            "--height", "48", "--base-radius", "0.08", "--gbuffer",
+        ])
+        datagen.main()
+        with open(tmp_path / "manifest.json") as f:
+            manifest = json.load(f)
+        assert len(manifest["frames"]) == 2
+        for fr in manifest["frames"]:
+            assert (tmp_path / fr["file"]).exists()
+            assert (tmp_path / fr["depth_file"]).exists()
+            assert (tmp_path / fr["alpha_file"]).exists()
+            assert fr["depth_max"] >= fr["depth_min"] > 0.0
+
+
+class TestPng16:
+    def _decode(self, path):
+        import struct
+        import zlib
+
+        with open(path, "rb") as f:
+            raw = f.read()
+        assert raw[:8] == b"\x89PNG\r\n\x1a\n"
+        pos, ihdr, idat = 8, None, b""
+        while pos < len(raw):
+            (ln,) = struct.unpack(">I", raw[pos:pos + 4])
+            tag = raw[pos + 4:pos + 8]
+            data = raw[pos + 8:pos + 8 + ln]
+            if tag == b"IHDR":
+                ihdr = struct.unpack(">IIBBBBB", data)
+            elif tag == b"IDAT":
+                idat += data
+            pos += 12 + ln
+        w, h, bit_depth, color_type = ihdr[0], ihdr[1], ihdr[2], ihdr[3]
+        assert (bit_depth, color_type) == (16, 0)
+        rows = np.frombuffer(zlib.decompress(idat), np.uint8)
+        rows = rows.reshape(h, 1 + w * 2)
+        assert (rows[:, 0] == 0).all()  # filter 0
+        return (
+            np.ascontiguousarray(rows[:, 1:])
+            .view(">u2")
+            .astype(np.uint16)
+            .reshape(h, w)
+        )
+
+    def test_u16_roundtrip(self, tmp_path):
+        rng = np.random.default_rng(1)
+        arr = rng.integers(0, 65536, size=(13, 17), dtype=np.uint16)
+        p = str(tmp_path / "d16.png")
+        from splat_renderer_tpu.utils.image import write_png16
+
+        write_png16(p, arr)
+        np.testing.assert_array_equal(self._decode(p), arr)
+
+    def test_float_scaling(self, tmp_path):
+        from splat_renderer_tpu.utils.image import write_png16
+
+        arr = np.linspace(0.0, 1.0, 12, dtype=np.float32).reshape(3, 4)
+        p = str(tmp_path / "f16.png")
+        write_png16(p, arr)
+        back = self._decode(p).astype(np.float32) / 65535.0
+        np.testing.assert_allclose(back, arr, atol=1.0 / 65535.0)
