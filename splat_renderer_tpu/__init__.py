@@ -64,3 +64,7 @@ __all__ = [
     "subtraction",
     "union",
 ]
+
+from .data import load_dataset, stack_views  # noqa: E402
+
+__all__ += ["load_dataset", "stack_views"]

@@ -92,6 +92,99 @@ def _write_png_chunks(
         f.write(png)
 
 
+def read_png(path: str) -> np.ndarray:
+    """Minimal stdlib-only PNG reader — write_png/write_png16's inverse,
+    plus enough generality for externally-produced training data (the
+    dataset loader, data.py): color types 0 (gray), 2 (RGB), 4 (gray+A),
+    6 (RGBA); bit depths 8 and 16; all five scanline filters; no interlace.
+
+    Returns (H, W) or (H, W, C) uint8/uint16 exactly as stored (use
+    load_image for float [0, 1] RGB).  Filters None/Sub/Up are vectorized;
+    Average/Paeth fall back to a per-pixel row loop (correct, slower —
+    write_png never emits them)."""
+    with open(path, "rb") as f:
+        raw = f.read()
+    if raw[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError(f"{path}: not a PNG")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(raw):
+        (ln,) = struct.unpack(">I", raw[pos:pos + 4])
+        tag = raw[pos + 4:pos + 8]
+        data = raw[pos + 8:pos + 8 + ln]
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"IDAT":
+            idat.append(data)
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None:
+        raise ValueError(f"{path}: missing IHDR")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if comp or filt or interlace:
+        raise ValueError(f"{path}: unsupported compression/filter/interlace")
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+    if channels is None or depth not in (8, 16):
+        raise ValueError(f"{path}: unsupported color type {color}/{depth}-bit")
+    bpp = channels * (depth // 8)  # filter unit: one pixel's bytes
+    stride = w * bpp
+    rows = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+    rows = rows.reshape(h, 1 + stride)
+    ftypes = rows[:, 0]
+    out = np.zeros((h, stride), np.uint8)
+    prev = np.zeros((stride,), np.uint32)
+    for y in range(h):
+        cur = rows[y, 1:].astype(np.uint32)
+        ft = int(ftypes[y])
+        if ft == 0:
+            rec = cur
+        elif ft == 1:  # Sub: recon[x] = raw[x] + recon[x - bpp]
+            g = cur.reshape(w, bpp)
+            rec = np.cumsum(g, axis=0, dtype=np.uint32).reshape(-1) & 0xFF
+            # cumsum of the raw bytes IS the recon mod 256 (addition chains)
+        elif ft == 2:  # Up
+            rec = (cur + prev) & 0xFF
+        elif ft == 3:  # Average — horizontal recurrence: per-pixel loop
+            rec = np.zeros((stride,), np.uint32)
+            for x in range(stride):
+                left = rec[x - bpp] if x >= bpp else 0
+                rec[x] = (cur[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            rec = np.zeros((stride,), np.uint32)
+            for x in range(stride):
+                a = int(rec[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[x] = (cur[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"{path}: bad filter type {ft}")
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    if depth == 16:
+        arr = np.ascontiguousarray(out).view(">u2").astype(np.uint16)
+        arr = arr.reshape(h, w, channels)
+    else:
+        arr = out.reshape(h, w, channels)
+    return arr[:, :, 0] if channels == 1 else arr
+
+
+def load_image(path: str) -> np.ndarray:
+    """(H, W, 3) float32 in [0, 1] from a PNG of any supported layout —
+    the fit-from-disk target format (gray broadcasts to RGB; alpha, if
+    present, is dropped — datasets carry it as a separate channel file)."""
+    arr = read_png(path)
+    scale = np.float32(1.0 / (65535.0 if arr.dtype == np.uint16 else 255.0))
+    x = arr.astype(np.float32) * scale
+    if x.ndim == 2:
+        return np.repeat(x[:, :, None], 3, axis=2)
+    if x.shape[2] == 2:  # gray + alpha
+        return np.repeat(x[:, :, :1], 3, axis=2)
+    return x[:, :, :3]
+
+
 def write_png16(path: str, img) -> None:
     """img: (H, W) uint16, or float in [0, 1] (scaled to the full u16
     range).  16-bit grayscale PNG — the standard lossless container for

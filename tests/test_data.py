@@ -1,0 +1,161 @@
+"""Dataset IO: PNG reader (write_png's inverse + external files) and the
+fit-from-disk loop (datagen --gbuffer -> load_dataset -> fit_splats)."""
+
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import splat_renderer_tpu as spt
+from splat_renderer_tpu.utils.image import (
+    load_image,
+    read_png,
+    write_png,
+    write_png16,
+)
+
+
+class TestReadPng:
+    def test_write_png_roundtrip(self, tmp_path):
+        rng = np.random.default_rng(0)
+        arr = rng.integers(0, 256, size=(9, 14, 3), dtype=np.uint8)
+        for fast in (True, False):  # filter 1 (Sub) and filter 0 paths
+            p = str(tmp_path / f"rt_{fast}.png")
+            write_png(p, arr, fast=fast)
+            np.testing.assert_array_equal(read_png(p), arr)
+
+    def test_write_png16_roundtrip(self, tmp_path):
+        rng = np.random.default_rng(1)
+        arr = rng.integers(0, 65536, size=(7, 11), dtype=np.uint16)
+        p = str(tmp_path / "rt16.png")
+        write_png16(p, arr)
+        np.testing.assert_array_equal(read_png(p), arr)
+
+    def test_external_encoder_filters(self, tmp_path):
+        """PIL chooses adaptive per-row filters (incl. Up/Average/Paeth) —
+        an independent encoder gating the full filter decoder."""
+        Image = pytest.importorskip("PIL.Image")
+        rng = np.random.default_rng(2)
+        # smooth gradient + noise: drives the encoder to mix filter types
+        y, x = np.mgrid[0:33, 0:45]
+        base = (x * 3 + y * 5) % 256
+        arr = np.clip(
+            base[:, :, None] + rng.integers(0, 40, (33, 45, 3)), 0, 255
+        ).astype(np.uint8)
+        p = str(tmp_path / "pil.png")
+        Image.fromarray(arr).save(p, optimize=True)
+        np.testing.assert_array_equal(read_png(p), arr)
+
+    def test_external_rgba_and_gray(self, tmp_path):
+        Image = pytest.importorskip("PIL.Image")
+        rng = np.random.default_rng(3)
+        rgba = rng.integers(0, 256, size=(8, 9, 4), dtype=np.uint8)
+        gray = rng.integers(0, 256, size=(8, 9), dtype=np.uint8)
+        p1, p2 = str(tmp_path / "a.png"), str(tmp_path / "g.png")
+        Image.fromarray(rgba, "RGBA").save(p1)
+        Image.fromarray(gray, "L").save(p2)
+        np.testing.assert_array_equal(read_png(p1), rgba)
+        np.testing.assert_array_equal(read_png(p2), gray)
+        # load_image: RGBA drops alpha, gray broadcasts, both land in [0,1]
+        np.testing.assert_allclose(
+            load_image(p1), rgba[:, :, :3].astype(np.float32) / 255.0
+        )
+        assert load_image(p2).shape == (8, 9, 3)
+
+
+class TestLoadDataset:
+    @pytest.fixture(scope="class")
+    def dataset_dir(self, tmp_path_factory):
+        import datagen
+
+        out = tmp_path_factory.mktemp("ds")
+        argv = [
+            "datagen.py", "--out", str(out), "--views", "3", "--steps", "1",
+            "--points", "400", "--width", "48", "--height", "48",
+            "--base-radius", "0.08", "--gbuffer",
+        ]
+        old = sys.argv
+        sys.argv = argv
+        try:
+            datagen.main()
+        finally:
+            sys.argv = old
+        return str(out)
+
+    def test_channels_and_cameras(self, dataset_dir):
+        ds = spt.load_dataset(dataset_dir, gbuffer=True)
+        assert len(ds["cameras"]) == len(ds["images"]) == 3
+        assert ds["images"][0].shape == (48, 48, 3)
+        assert ds["depth"][0].shape == (48, 48)
+        assert ds["alpha"][0].shape == (48, 48)
+        for cam in ds["cameras"]:
+            assert cam["view_proj"].shape == (4, 4)
+            assert cam["cam_pos"].shape == (3,)
+        # depth is denormalized to metric camera distance
+        d0 = np.asarray(ds["depth"][0])
+        a0 = np.asarray(ds["alpha"][0])
+        hit = a0 > 0.5
+        assert hit.any()
+        lo = ds["frames"][0]["depth_min"]
+        hi = ds["frames"][0]["depth_max"]
+        assert d0[hit].min() >= lo - 1e-3 and d0[hit].max() <= hi + 1e-3
+        np.testing.assert_allclose(d0[a0 <= 1e-6], 0.0)
+        cams, targets = spt.stack_views(ds)
+        assert cams["view_proj"].shape == (3, 4, 4)
+        assert targets.shape == (3, 48, 48, 3)
+
+    def test_reload_matches_render(self, dataset_dir, key):
+        """The written-then-read target is the render up to u8 rounding:
+        regenerate the same splats/camera and compare."""
+        import math
+
+        from splat_renderer_tpu.render import render_splats
+        from splat_renderer_tpu.render.pipeline import model_points
+
+        ds = spt.load_dataset(dataset_dir)
+        s1 = spt.Sphere(id="sphere1", radius=0.5)
+        b1 = spt.Box(id="box1", position=(0.6, 0, 0), size=(0.3, 0.3, 0.3))
+        s2 = spt.Sphere(id="sphere2", position=(0, 0.6, 0), radius=0.25)
+        scene = spt.SDFScene(
+            spt.smooth_union(0.1, spt.smooth_union(0.15, s1, b1), s2)
+        )
+        # datagen step 0 state (t=0): sphere1 y = cos(0)*0.2... see datagen
+        t = 0.0
+        s1.position[0] = math.sin(t) * 0.3
+        s1.position[1] = math.cos(t * 0.7) * 0.2
+        s2.radius = 0.25 + 0.1 * math.sin(t * 2)
+        rcfg = spt.RenderConfig(width=48, height=48, base_radius=0.08,
+                                tiles_per_splat_cap=8)
+        splats = model_points(scene, scene.params(), jax.random.PRNGKey(0),
+                              400, spt.PointConfig(), rcfg)
+        img = render_splats(splats, ds["cameras"][0], rcfg, "tiles")
+        diff = np.abs(np.asarray(img) - np.asarray(ds["images"][0]))
+        assert diff.max() <= 0.5 / 255.0 + 5e-3, diff.max()
+
+    def test_fit_from_disk(self, dataset_dir, key):
+        """The loop the loader exists for: train appearance against files."""
+        from splat_renderer_tpu.fit import fit_splats
+        from splat_renderer_tpu.render.pipeline import model_points
+
+        ds = spt.load_dataset(dataset_dir)
+        rcfg = spt.RenderConfig(width=48, height=48, base_radius=0.08,
+                                tiles_per_splat_cap=8)
+        s1 = spt.Sphere(id="sphere1", radius=0.5)
+        b1 = spt.Box(id="box1", position=(0.6, 0, 0), size=(0.3, 0.3, 0.3))
+        s2 = spt.Sphere(id="sphere2", position=(0, 0.6, 0), radius=0.25)
+        scene = spt.SDFScene(
+            spt.smooth_union(0.1, spt.smooth_union(0.15, s1, b1), s2)
+        )
+        s1.position[1] = 0.2  # datagen t=0 pose
+        splats = model_points(scene, scene.params(), jax.random.PRNGKey(0),
+                              400, spt.PointConfig(), rcfg)
+        gray = {k: jnp.full_like(splats[k], 0.5)
+                for k in ("cr", "cg", "cb")}
+        fitted, losses = fit_splats(
+            splats, ds["cameras"][:2], ds["images"][:2], rcfg,
+            fields=("cr", "cg", "cb"), steps=8, lr=0.1, method="tiles",
+            init=gray,
+        )
+        assert float(losses[-1]) < 0.7 * float(losses[0])
