@@ -11,6 +11,7 @@ with Adam — a miniature 3DGS-style appearance optimization.
                        [--views 4] [--fields cr,cg,cb,opacity,px,py,pz,radius]
                        [--ply-in scene.ply] [--ply-out fitted.ply] [--sh]
                        [--checkpoint fit_state.npz]
+    python fit_demo.py --dataset /path/to/gbuffer_dataset   # train from disk
 
 --views M fits against M orbit-ring views jointly (multi-view inverse
 rendering); --fields selects what to optimize — appearance fields start from
@@ -29,6 +30,61 @@ import splat_renderer_tpu as spt
 from splat_renderer_tpu import fit
 from splat_renderer_tpu.render import render_diff
 from splat_renderer_tpu.render.pipeline import model_points
+
+
+def _fit_dataset(args):
+    """--dataset mode: the full from-files training loop — load a
+    datagen --gbuffer dataset, lift its depth/alpha channels into a splat
+    point cloud (data.backproject_gbuffer), and fit the requested fields
+    against the dataset images.  No scene access anywhere: geometry,
+    colors and cameras all come from disk (the 3DGS workflow with the
+    G-buffer standing in for SfM points)."""
+    ds = spt.load_dataset(args.dataset, gbuffer=True)
+    cfg = spt.RenderConfig(width=ds["width"], height=ds["height"],
+                           tiles_per_splat_cap=8)
+    splats = spt.backproject_gbuffer(ds, n_max=args.n if args.n else None)
+    n = splats["px"].shape[0]
+    print(f"backprojected {n} splats from {len(ds['cameras'])} views of "
+          f"{args.dataset}")
+
+    fit_fields = tuple(f.strip() for f in args.fields.split(",") if f.strip())
+    appearance = set(fit.FIT_FIELDS_APPEARANCE)
+    init = {k: jnp.full_like(splats[k], 0.5)
+            for k in fit_fields if k in appearance}
+
+    t0 = time.perf_counter()
+    fitted, losses = fit.fit_splats(
+        splats, ds["cameras"], ds["images"], cfg, fields=fit_fields,
+        steps=args.steps, lr=args.lr, method=args.method, init=init,
+        log_every=10, checkpoint_path=args.checkpoint,
+        checkpoint_every=25 if args.checkpoint else 0,
+        resume=bool(args.checkpoint),
+    )
+    dt = time.perf_counter() - t0
+    print(f"{args.steps} optimization steps in {dt:.1f} s "
+          f"({1e3 * dt / args.steps:.1f} ms/step, {n} splats, "
+          f"{len(ds['cameras'])} views, fields={','.join(fit_fields)}, "
+          f"final psnr {float(fit.psnr(losses[-1])):.1f} dB)")
+    if args.out:
+        import numpy as np
+
+        from splat_renderer_tpu.utils.image import write_png
+
+        cam = ds["cameras"][0]
+        for tag, img in (
+            ("target", ds["images"][0]),
+            ("init", render_diff(dict(splats, **init), cam, cfg,
+                                 method=args.method)),
+            ("fit", render_diff(fitted, cam, cfg, method=args.method)),
+        ):
+            path = f"{args.out}_{tag}.png"
+            write_png(path, np.asarray(jnp.clip(img, 0, 1)))
+            print("wrote", path)
+    if args.ply_out:
+        from splat_renderer_tpu.utils import save_ply
+
+        save_ply(args.ply_out, fitted)
+        print("wrote", args.ply_out)
 
 
 def main():
@@ -61,7 +117,18 @@ def main():
     ap.add_argument("--checkpoint", type=str, default=None,
                     help="checkpoint the training state here every 25 "
                          "steps and resume from it if it exists")
+    ap.add_argument("--dataset", type=str, default=None,
+                    help="train from a datagen.py --gbuffer dataset "
+                         "directory instead of synthesizing targets: "
+                         "geometry initializes by backprojecting the "
+                         "depth/alpha channels (data.backproject_gbuffer), "
+                         "targets are the dataset images, all views are "
+                         "used (--views/--size/--ply-in ignored)")
     args = ap.parse_args()
+
+    if args.dataset:
+        _fit_dataset(args)
+        return
 
     scene = spt.SDFScene(
         spt.smooth_union(

@@ -65,6 +65,6 @@ __all__ = [
     "union",
 ]
 
-from .data import load_dataset, stack_views  # noqa: E402
+from .data import backproject_gbuffer, load_dataset, stack_views  # noqa: E402
 
-__all__ += ["load_dataset", "stack_views"]
+__all__ += ["backproject_gbuffer", "load_dataset", "stack_views"]

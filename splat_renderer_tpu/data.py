@@ -107,6 +107,154 @@ def load_dataset(
     }
 
 
+def backproject_gbuffer(
+    dataset: Dict,
+    n_max: Optional[int] = None,
+    alpha_min: float = 0.5,
+    opacity: float = 0.7,
+    radius_scale: float = 1.5,
+    seed: int = 0,
+) -> Dict:
+    """Lift a G-buffer dataset into a splat point cloud — the initialization
+    3DGS gets from SfM points (Kerbl et al. 2023 sec. 4), recovered here
+    from the dataset's own depth/alpha channels instead of an external
+    reconstruction.  Feed the result to fit.fit_splats as the starting
+    splats for training against the same dataset's images.
+
+    Per view, every pixel with alpha > alpha_min unprojects along its
+    camera ray to the recorded camera DISTANCE (the projector's depth
+    convention, render/projector.py:66): p = cam + dir * depth.  The ray
+    direction comes from the inverted view_proj at two NDC depths, so the
+    math holds for any z convention.  Normals are central differences of
+    the world-position raster (oriented toward the camera); colors are the
+    pixel colors (lambert-lit — appearance fitting refines them); radius
+    is the world footprint of one pixel at that depth
+    (depth * 2 tan(fov/2) / H) * radius_scale, so neighboring splats just
+    overlap.  Views are concatenated; n_max subsamples uniformly.
+
+    Returns the standard 11-plane splat pytree (points/properties.py
+    PLANE_FIELDS).  Host-side numpy (init-time file data), returns jnp
+    planes.
+    """
+    if dataset.get("depth") is None:
+        raise ValueError("backproject_gbuffer needs a gbuffer=True dataset")
+    h, w = int(dataset["height"]), int(dataset["width"])
+    pix_angle = 2.0 * np.tan(np.radians(dataset["fov_deg"]) * 0.5) / h
+    planes = {k: [] for k in
+              ("px", "py", "pz", "nx", "ny", "nz", "cr", "cg", "cb",
+               "radius")}
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+    ndc_x = (xs + 0.5) * (2.0 / w) - 1.0
+    ndc_y = 1.0 - (ys + 0.5) * (2.0 / h)
+    ones = np.ones_like(ndc_x)
+    for cam, img, depth, alpha in zip(
+        dataset["cameras"], dataset["images"], dataset["depth"],
+        dataset["alpha"],
+    ):
+        vp_inv = np.linalg.inv(np.asarray(cam["view_proj"], np.float64))
+        cpos = np.asarray(cam["cam_pos"], np.float64)
+
+        def unproject(z):
+            clip = np.stack([ndc_x, ndc_y, np.full_like(ndc_x, z), ones], -1)
+            hpt = clip.reshape(-1, 4) @ vp_inv.T
+            return (hpt[:, :3] / hpt[:, 3:4]).reshape(h, w, 3)
+
+        q0, q1 = unproject(0.25), unproject(0.75)
+        d = q1 - q0
+        d /= np.maximum(np.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
+        # orient along the viewing direction (z conventions differ)
+        flip = np.sum(d * (q0 - cpos), axis=-1, keepdims=True) < 0
+        d = np.where(flip, -d, d)
+        a = np.asarray(alpha, np.float32)
+        # alpha-weighted 3x3 depth smoothing: the expected-depth raster
+        # carries per-pixel speckle at splat-coverage scale (thin-alpha
+        # pixels see through to farther splats) that would dominate the
+        # central-difference normals; low-alpha pixels get low weight
+        wgt = np.where(a > alpha_min, a, 0.0).astype(np.float64)
+        dw = np.asarray(depth, np.float64) * wgt
+        box = lambda x: sum(
+            np.roll(np.roll(x, i, 0), j, 1)
+            for i in (-1, 0, 1) for j in (-1, 0, 1)
+        )
+        dep = np.where(
+            box(wgt) > 1e-9, box(dw) / np.maximum(box(wgt), 1e-9), 0.0
+        )[:, :, None]
+        pts = cpos + d * dep  # (h, w, 3) world points
+
+        # interior hits only: edge/adjacent-to-background pixels carry
+        # depth-discontinuity normals and mixed colors
+        m = a > alpha_min
+        m &= np.roll(m, 1, 0) & np.roll(m, -1, 0)
+        m &= np.roll(m, 1, 1) & np.roll(m, -1, 1)
+        # ...and depth-coherent only: where the 3x3 window's depth spread
+        # is large the pixel straddles a silhouette or sees through a
+        # thin-coverage gap to a farther surface — its expected depth lies
+        # BETWEEN surfaces and its plane-fit normal is meaningless (measured
+        # on the demo dataset: dropping these moves the on-surface fraction
+        # from 0.73 to ~0.95 and mean normal-vs-SDF-gradient cosine from
+        # 0.61 to ~0.8)
+        dmean = box(dw) / np.maximum(box(wgt), 1e-9)
+        dvar = box(np.asarray(depth, np.float64) ** 2 * wgt) / np.maximum(
+            box(wgt), 1e-9
+        ) - dmean * dmean
+        dep_tol = 3.0 * float(np.median(dep[m])) * pix_angle
+        m &= np.sqrt(np.maximum(dvar, 0.0)) < dep_tol
+
+        # normals: weighted PCA plane fit over a 5x5 window (smallest
+        # eigenvector of the local position covariance), camera-facing.
+        # Central differences at 1 px baseline are dominated by the
+        # expected-depth raster's splat-coverage speckle; the plane fit
+        # averages ~25 samples of it.
+        box5 = lambda x: sum(
+            np.roll(np.roll(x, i, 0), j, 1)
+            for i in (-2, -1, 0, 1, 2) for j in (-2, -1, 0, 1, 2)
+        )
+        pw = pts * wgt[:, :, None]
+        sw = np.maximum(box5(wgt), 1e-9)
+        mu = np.stack([box5(pw[:, :, k]) for k in range(3)], -1) / sw[
+            :, :, None
+        ]
+        mi, mj = np.nonzero(m)
+        cov = np.zeros((mi.size, 3, 3))
+        for r in range(3):
+            for c in range(r, 3):
+                s2 = box5(pw[:, :, r] * pts[:, :, c]) / sw
+                cc = (s2 - mu[:, :, r] * mu[:, :, c])[mi, mj]
+                cov[:, r, c] = cc
+                cov[:, c, r] = cc
+        nrm_m = np.linalg.eigh(cov)[1][:, :, 0]  # smallest-eigval vector
+        to_cam = (cpos - pts)[mi, mj]
+        nflip = np.sum(nrm_m * to_cam, axis=-1, keepdims=True) < 0
+        nrm_m = np.where(nflip, -nrm_m, nrm_m)
+        nrm = np.zeros_like(pts)
+        nrm[mi, mj] = nrm_m
+        im = np.asarray(img, np.float32)
+        planes["px"].append(pts[:, :, 0][m])
+        planes["py"].append(pts[:, :, 1][m])
+        planes["pz"].append(pts[:, :, 2][m])
+        planes["nx"].append(nrm[:, :, 0][m])
+        planes["ny"].append(nrm[:, :, 1][m])
+        planes["nz"].append(nrm[:, :, 2][m])
+        planes["cr"].append(im[:, :, 0][m])
+        planes["cg"].append(im[:, :, 1][m])
+        planes["cb"].append(im[:, :, 2][m])
+        planes["radius"].append(
+            (dep[:, :, 0][m] * pix_angle * radius_scale)
+        )
+    out = {k: np.concatenate(v).astype(np.float32)
+           for k, v in planes.items()}
+    n = out["px"].shape[0]
+    if n == 0:
+        raise ValueError("backproject_gbuffer: no pixels above alpha_min")
+    if n_max is not None and n > n_max:
+        sel = np.random.default_rng(seed).choice(n, n_max, replace=False)
+        sel.sort()
+        out = {k: v[sel] for k, v in out.items()}
+        n = n_max
+    out["opacity"] = np.full((n,), opacity, np.float32)
+    return {k: jnp.asarray(v) for k, v in out.items()}
+
+
 def stack_views(dataset: Dict):
     """(cameras, targets) in the stacked (V, ...) layout of render_views /
     fit_splats_dp: cameras a pytree with a leading view axis, targets

@@ -159,3 +159,81 @@ class TestLoadDataset:
             init=gray,
         )
         assert float(losses[-1]) < 0.7 * float(losses[0])
+
+
+class TestBackproject:
+    """G-buffer -> splat point cloud (data.backproject_gbuffer): the 3DGS
+    init-from-points equivalent, recovered from the dataset itself."""
+
+    @pytest.fixture(scope="class")
+    def fine_ds(self, tmp_path_factory):
+        import datagen
+
+        out = tmp_path_factory.mktemp("ds96")
+        argv = [
+            "datagen.py", "--out", str(out), "--views", "2", "--steps", "1",
+            "--points", "4000", "--width", "96", "--height", "96",
+            "--base-radius", "0.035", "--gbuffer",
+        ]
+        old = sys.argv
+        sys.argv = argv
+        try:
+            datagen.main()
+        finally:
+            sys.argv = old
+        return spt.load_dataset(str(out), gbuffer=True)
+
+    def _scene_t0(self):
+        import math
+
+        s1 = spt.Sphere(id="sphere1", radius=0.5)
+        s1.position[1] = math.cos(0.0) * 0.2
+        b1 = spt.Box(id="box1", position=(0.6, 0, 0), size=(0.3, 0.3, 0.3))
+        s2 = spt.Sphere(id="sphere2", position=(0, 0.6, 0), radius=0.25)
+        return spt.SDFScene(
+            spt.smooth_union(0.1, spt.smooth_union(0.15, s1, b1), s2)
+        )
+
+    def test_points_on_surface_with_normals(self, fine_ds):
+        splats = spt.backproject_gbuffer(fine_ds)
+        n = splats["px"].shape[0]
+        assert n > 500
+        for k in ("px", "py", "pz", "nx", "ny", "nz", "cr", "cg", "cb",
+                  "radius", "opacity"):
+            assert splats[k].shape == (n,), k
+        scene = self._scene_t0()
+        p = jnp.stack([splats["px"], splats["py"], splats["pz"]], -1)
+        d, g = scene.sdf(p, scene.params())
+        ad = np.abs(np.asarray(d))
+        # measured on this config: p50 ~ 0.010, 98% within 0.05 (the depth
+        # channel is the alpha-weighted EXPECTED depth of finite-radius
+        # splats, not a ray hit — sub-splat-radius bias is inherent)
+        assert np.percentile(ad, 50) < 0.03
+        assert (ad < 0.05).mean() > 0.9
+        gn = np.array(g)
+        gn /= np.maximum(np.linalg.norm(gn, axis=1, keepdims=True), 1e-9)
+        nrm = np.stack([np.asarray(splats[k]) for k in ("nx", "ny", "nz")], 1)
+        np.testing.assert_allclose(np.linalg.norm(nrm, axis=1), 1.0,
+                                   atol=1e-4)
+        cos = (nrm * gn).sum(1)
+        assert cos.mean() > 0.55  # measured ~0.73
+        # subsampling is deterministic and bounded
+        small = spt.backproject_gbuffer(fine_ds, n_max=200)
+        assert small["px"].shape == (200,)
+
+    def test_fit_from_backprojection(self, fine_ds):
+        """The full from-files loop: init geometry from the G-buffer, train
+        appearance against the images — no scene access anywhere."""
+        from splat_renderer_tpu.fit import fit_splats
+
+        splats = spt.backproject_gbuffer(fine_ds, n_max=1500)
+        cfg = spt.RenderConfig(width=96, height=96, tiles_per_splat_cap=8)
+        gray = {k: jnp.full_like(splats[k], 0.5) for k in ("cr", "cg", "cb")}
+        fitted, losses = fit_splats(
+            splats, fine_ds["cameras"], fine_ds["images"], cfg,
+            fields=("cr", "cg", "cb"), steps=16, lr=0.1, method="tiles",
+            init=gray,
+        )
+        # the color-only fit floors at the init's geometric mismatch
+        # (~0.016 measured here); the signal is the descent itself
+        assert float(losses[-1]) < 0.7 * float(losses[0])
