@@ -65,6 +65,12 @@ __all__ = [
     "union",
 ]
 
-from .data import backproject_gbuffer, load_dataset, stack_views  # noqa: E402
+from .data import (  # noqa: E402
+    backproject_gbuffer,
+    load_dataset,
+    load_transforms,
+    stack_views,
+)
 
-__all__ += ["backproject_gbuffer", "load_dataset", "stack_views"]
+__all__ += ["backproject_gbuffer", "load_dataset", "load_transforms",
+            "stack_views"]

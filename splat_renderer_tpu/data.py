@@ -39,6 +39,11 @@ def load_dataset(
 ) -> Dict:
     """Load a datagen-produced dataset directory.
 
+    Directories without a manifest.json fall through to the NeRF-standard
+    transforms.json layout (load_transforms) when one is present, so
+    `load_dataset` opens both this engine's own datasets and the public
+    NVS-dataset format.
+
     step: keep only frames of that animation step (None = all — fine for
     static scenes; animated datasets should fit one step's geometry at a
     time).  gbuffer=True also loads depth (denormalized to metric camera
@@ -54,6 +59,16 @@ def load_dataset(
     fit_splats(cameras=..., targets=...); stack_views() turns them into the
     stacked (V, ...) form fit_splats_dp / render_views use.
     """
+    if not os.path.exists(os.path.join(path, "manifest.json")):
+        for name in ("transforms.json", "transforms_train.json"):
+            if os.path.exists(os.path.join(path, name)):
+                if step is not None or gbuffer:
+                    raise ValueError(
+                        "step/gbuffer filters apply to manifest.json "
+                        "datasets only"
+                    )
+                return load_transforms(os.path.join(path, name),
+                                       max_workers=max_workers)
     with open(os.path.join(path, "manifest.json")) as f:
         manifest = json.load(f)
     frames = manifest["frames"]
@@ -103,6 +118,103 @@ def load_dataset(
         "width": manifest["width"],
         "height": manifest["height"],
         "fov_deg": manifest.get("fov_deg", 45.0),
+        "frames": frames,
+    }
+
+
+def load_transforms(
+    json_path: str,
+    bg=(1.0, 1.0, 1.0),
+    max_workers: int = 8,
+) -> Dict:
+    """Load a NeRF-standard ``transforms.json`` dataset (the NeRF-synthetic
+    / nerfstudio interchange format — what public NVS training sets and
+    3DGS tooling ship) into the same structure load_dataset returns.
+
+    Supported intrinsics: ``camera_angle_x`` (Blender exports) or
+    ``fl_x``/``fl_y`` (nerfstudio; the principal point must be centered —
+    off-center cx/cy raise).  Extrinsics: per-frame ``transform_matrix`` is
+    camera-to-world in the OpenGL convention (camera looks along -Z, +Y
+    up) — exactly this engine's camera convention (camera.py::look_at), so
+    view = inv(c2w) and view_proj = perspective(fov) @ view with no basis
+    flip.  RGBA images composite over ``bg`` (white, the NeRF-synthetic
+    standard); the source alpha rides along as the dataset's "alpha"
+    channel (a coverage mask for losses), depth is None.
+    """
+    with open(json_path) as f:
+        meta = json.load(f)
+    root = os.path.dirname(os.path.abspath(json_path))
+    frames = meta["frames"]
+    if not frames:
+        raise ValueError(f"{json_path}: no frames")
+
+    def img_path(fr):
+        p = os.path.join(root, fr["file_path"])
+        if not os.path.splitext(p)[1]:
+            p += ".png"  # NeRF-synthetic file_paths are extensionless
+        return p
+
+    def one(fr):
+        arr = read_png(img_path(fr))
+        scale = np.float32(
+            1.0 / (65535.0 if arr.dtype == np.uint16 else 255.0)
+        )
+        x = arr.astype(np.float32) * scale
+        if x.ndim == 2:
+            x = np.repeat(x[:, :, None], 3, axis=2)
+        alpha = None
+        if x.shape[2] == 4:
+            alpha = x[:, :, 3]
+            x = x[:, :, :3] * alpha[:, :, None] + np.asarray(
+                bg, np.float32
+            ) * (1.0 - alpha[:, :, None])
+        elif x.shape[2] == 2:
+            alpha = x[:, :, 1]
+            x = np.repeat(x[:, :, :1], 3, axis=2)
+        return x, alpha
+
+    with ThreadPoolExecutor(max_workers=max_workers) as pool:
+        loaded = list(pool.map(one, frames))
+    h, w = loaded[0][0].shape[:2]
+
+    # intrinsics -> vertical fov (our perspective() parameterization)
+    fw = meta.get("w", w)
+    fh = meta.get("h", h)
+    if "camera_angle_x" in meta:
+        tan_x = np.tan(0.5 * float(meta["camera_angle_x"]))
+    elif "fl_x" in meta:
+        for k, c in (("cx", fw / 2), ("cy", fh / 2)):
+            if k in meta and abs(float(meta[k]) - c) > 0.01 * c:
+                raise ValueError(
+                    f"{json_path}: off-center principal point ({k}) is "
+                    "not supported"
+                )
+        tan_x = fw / (2.0 * float(meta["fl_x"]))
+    else:
+        raise ValueError(f"{json_path}: no camera_angle_x or fl_x intrinsics")
+    tan_y = tan_x * fh / fw
+    fov_y = 2.0 * np.arctan(tan_y)
+
+    from .camera import perspective
+
+    proj = perspective(float(fov_y), w / h, 0.1, 100.0).astype(np.float64)
+    cameras = []
+    for fr in frames:
+        c2w = np.asarray(fr["transform_matrix"], np.float64)
+        view = np.linalg.inv(c2w)
+        cameras.append({
+            "view_proj": jnp.asarray((proj @ view).astype(np.float32)),
+            "cam_pos": jnp.asarray(c2w[:3, 3].astype(np.float32)),
+        })
+    has_alpha = all(a is not None for _, a in loaded)
+    return {
+        "cameras": cameras,
+        "images": [jnp.asarray(im) for im, _ in loaded],
+        "depth": None,
+        "alpha": [jnp.asarray(a) for _, a in loaded] if has_alpha else None,
+        "width": w,
+        "height": h,
+        "fov_deg": float(np.degrees(fov_y)),
         "frames": frames,
     }
 

@@ -237,3 +237,97 @@ class TestBackproject:
         # the color-only fit floors at the init's geometric mismatch
         # (~0.016 measured here); the signal is the descent itself
         assert float(losses[-1]) < 0.7 * float(losses[0])
+
+
+class TestTransforms:
+    """NeRF-standard transforms.json interop (data.load_transforms)."""
+
+    def _make_nerf_dataset(self, out, key, n_views=2, size=64):
+        """Author a transforms.json dataset from OUR cameras + renders:
+        c2w = inv(view) (both are OpenGL-convention), RGBA images with
+        straight alpha from the G-buffer."""
+        import json
+        import math
+        import os
+
+        Image = pytest.importorskip("PIL.Image")
+        from splat_renderer_tpu.render import render_gbuffer
+        from splat_renderer_tpu.render.pipeline import model_points
+
+        scene = spt.SDFScene(
+            spt.union(spt.Sphere(id="a", radius=0.5),
+                      spt.Sphere(id="b", radius=0.4))
+        )
+        cfg = spt.RenderConfig(width=size, height=size, base_radius=0.06)
+        splats = model_points(scene, scene.params(), key, 600,
+                              spt.PointConfig(), cfg)
+        frames = []
+        cams = []
+        for v in range(n_views):
+            cam = spt.Camera(azimuth=0.4 + 2.4 * v, elevation=0.3,
+                             aspect=1.0)
+            arrs = {k: jnp.asarray(a) for k, a in cam.arrays().items()}
+            gb = jax.jit(lambda s, c: render_gbuffer(s, c, cfg))(splats, arrs)
+            a = np.asarray(gb["alpha"])[:, :, None]
+            # the engine composites its background into "rgb"
+            # (compositor.tiles_to_image) — un-composite to premultiplied,
+            # then to the straight alpha an RGBA file stores
+            premult = np.asarray(gb["rgb"]) - (1.0 - a) * np.asarray(
+                cfg.background, np.float32
+            )
+            straight = np.where(a > 1e-6, premult / np.maximum(a, 1e-6), 0.0)
+            rgba = np.concatenate([np.clip(straight, 0, 1), a], -1)
+            name = f"r_{v}.png"
+            Image.fromarray((rgba * 255 + 0.5).astype(np.uint8),
+                            "RGBA").save(os.path.join(out, name))
+            frames.append({"file_path": f"./r_{v}",  # extensionless (NeRF)
+                           "transform_matrix":
+                           np.linalg.inv(cam.view_matrix()).tolist()})
+            cams.append((cam, arrs, premult, a[:, :, 0]))
+        fov_y = math.radians(45.0)
+        meta = {"camera_angle_x": 2 * math.atan(math.tan(fov_y / 2)),
+                "frames": frames}
+        with open(os.path.join(out, "transforms.json"), "w") as f:
+            json.dump(meta, f)
+        return cams, splats, cfg
+
+    def test_roundtrip_convention(self, tmp_path, key):
+        cams, splats, cfg = self._make_nerf_dataset(str(tmp_path), key)
+        ds = spt.load_dataset(str(tmp_path))  # auto-detects transforms.json
+        assert len(ds["cameras"]) == 2
+        assert abs(ds["fov_deg"] - 45.0) < 1e-4
+        for (cam, arrs, premult, alpha), lc, img, la in zip(
+            cams, ds["cameras"], ds["images"], ds["alpha"]
+        ):
+            # the loader's view_proj reproduces ours (same GL convention)
+            np.testing.assert_allclose(
+                np.asarray(lc["view_proj"]), np.asarray(arrs["view_proj"]),
+                atol=2e-4,
+            )
+            np.testing.assert_allclose(
+                np.asarray(lc["cam_pos"]), np.asarray(arrs["cam_pos"]),
+                atol=1e-5,
+            )
+            # image composites the straight-alpha file over white =
+            # premultiplied render + (1 - alpha) * white
+            want = premult + (1.0 - alpha[:, :, None])
+            got = np.asarray(img)
+            assert np.abs(got - np.clip(want, 0, 1)).max() < 2.5 / 255.0
+            np.testing.assert_allclose(np.asarray(la), alpha,
+                                       atol=1.5 / 255.0)
+
+    def test_render_from_loaded_camera(self, tmp_path, key):
+        """The conventions gate end-to-end: rendering through the LOADED
+        camera reproduces the dataset image over black."""
+        from splat_renderer_tpu.render import render_splats
+
+        cams, splats, cfg = self._make_nerf_dataset(str(tmp_path), key)
+        # composite over the ENGINE's background so the loaded target and
+        # the re-render share compositing semantics
+        ds = spt.load_transforms(str(tmp_path / "transforms.json"),
+                                 bg=cfg.background)
+        img = render_splats(splats, ds["cameras"][0], cfg, "tiles")
+        diff = np.abs(np.asarray(img) - np.asarray(ds["images"][0]))
+        # u8 RGBA roundtrip + straight/premultiplied conversion noise at
+        # thin-alpha pixels
+        assert np.percentile(diff, 99) < 4.0 / 255.0, diff.max()
