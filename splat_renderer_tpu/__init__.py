@@ -33,10 +33,15 @@ from .config import (PointConfig, RenderConfig, surface_render_config,
 from .sdf import (
     Box,
     Capsule,
+    Cylinder,
+    Ellipsoid,
+    RoundBox,
     SDFScene,
     Sphere,
     Torus,
     intersection,
+    smooth_intersection,
+    smooth_subtraction,
     smooth_union,
     subtraction,
     union,
@@ -48,6 +53,11 @@ __all__ = [
     "Box",
     "Camera",
     "Capsule",
+    "Cylinder",
+    "Ellipsoid",
+    "RoundBox",
+    "smooth_intersection",
+    "smooth_subtraction",
     "OrbitCameraController",
     "PointConfig",
     "RenderConfig",

@@ -60,6 +60,23 @@ def op_smooth_union(a: SdfResult, b: SdfResult, k) -> SdfResult:
     return dist, grad
 
 
+def op_smooth_intersection(a: SdfResult, b: SdfResult, k) -> SdfResult:
+    """Smooth maximum: -smin(-a, -b, k) — the standard dual of the smooth
+    union (Quilez).  Beyond the reference's four-op library (its
+    CodeGenerator has only the smooth UNION); gradient blending falls out
+    of the duality, so the one verified blend implementation serves both."""
+    da, ga = a
+    db, gb = b
+    d, g = op_smooth_union((-da, -ga), (-db, -gb), k)
+    return -d, -g
+
+
+def op_smooth_subtraction(a: SdfResult, b: SdfResult, k) -> SdfResult:
+    """a minus b with a smooth fillet = smooth_intersection(a, -b)."""
+    db, gb = b
+    return op_smooth_intersection(a, (-db, -gb), k)
+
+
 class Operation:
     """CSG operation node metadata (src/sdf/Operation.ts)."""
 
@@ -110,3 +127,35 @@ class SmoothUnion(Operation):
 
     def apply(self, a, b, params):
         return op_smooth_union(a, b, params["k"])
+
+
+class SmoothIntersection(Operation):
+    kind = "smooth_intersection"
+
+    def __init__(self, k: float, id: str | None = None):
+        i = _next_op_id[0]
+        _next_op_id[0] += 1
+        self.id = id or f"smax_{i}"
+        self.k = float(k)
+
+    def params(self):
+        return {"k": np.float32(self.k)}
+
+    def apply(self, a, b, params):
+        return op_smooth_intersection(a, b, params["k"])
+
+
+class SmoothSubtraction(Operation):
+    kind = "smooth_subtraction"
+
+    def __init__(self, k: float, id: str | None = None):
+        i = _next_op_id[0]
+        _next_op_id[0] += 1
+        self.id = id or f"ssub_{i}"
+        self.k = float(k)
+
+    def params(self):
+        return {"k": np.float32(self.k)}
+
+    def apply(self, a, b, params):
+        return op_smooth_subtraction(a, b, params["k"])

@@ -109,6 +109,88 @@ def sdg_capsule(p: Array, height: Array, radius: Array) -> SdfResult:
     return dist, grad
 
 
+def sdg_cylinder(p: Array, height: Array, radius: Array) -> SdfResult:
+    """Capped vertical cylinder distance + gradient.
+
+    Beyond the reference's four-primitive library (its CodeGenerator has no
+    cylinder); the standard exact SDF (Quilez, sdCappedCylinder) with the
+    gradient derived in the same select style as sdg_box: radial/axial
+    contributions outside, nearest-face one-hot inside.
+    """
+    hh = height * 0.5
+    pxz = p[..., jnp.array([0, 2])]
+    rl = _length(pxz)
+    qx = rl - radius
+    qy = jnp.abs(p[..., 1]) - hh
+    wx = jnp.maximum(qx, 0.0)
+    wy = jnp.maximum(qy, 0.0)
+    outside = jnp.sqrt(wx * wx + wy * wy)
+    dist = outside + jnp.minimum(jnp.maximum(qx, qy), 0.0)
+
+    safe_rl = jnp.maximum(rl, _EPS)
+    rx = jnp.where(rl > _EPS, pxz[..., 0] / safe_rl, 1.0)
+    rz = jnp.where(rl > _EPS, pxz[..., 1] / safe_rl, 0.0)
+    sy = jnp.where(p[..., 1] >= 0.0, 1.0, -1.0)
+    inv_out = 1.0 / jnp.maximum(outside, _EPS)
+    grad_out = jnp.stack(
+        [wx * rx * inv_out, wy * sy * inv_out, wx * rz * inv_out], axis=-1
+    )
+    pick_r = qx > qy  # nearest interior face: side wall vs cap
+    grad_in = jnp.stack(
+        [
+            jnp.where(pick_r, rx, 0.0),
+            jnp.where(pick_r, 0.0, sy),
+            jnp.where(pick_r, rz, 0.0),
+        ],
+        axis=-1,
+    )
+    is_out = (qx > 0.0) | (qy > 0.0)
+    return dist, jnp.where(is_out[..., None], grad_out, grad_in)
+
+
+def sdg_ellipsoid(p: Array, radii: Array) -> SdfResult:
+    """Axis-aligned ellipsoid: Quilez's first-order bound
+    k0*(k0-1)/k1 (exact for equal radii — reduces to the sphere SDF) with
+    ITS OWN analytic gradient, so the autodiff gate applies unchanged.
+
+    Not a true distance off-axis (it under/over-estimates by O(eccentricity))
+    but 1-Lipschitz-ish and smooth — Newton projection (points/projection.py)
+    converges on it like on any of the exact fields.
+    """
+    r2 = radii * radii
+    pr = p / radii
+    pr2 = p / r2
+    k0 = _length(pr)
+    k1 = _length(pr2)
+    safe_k0 = jnp.maximum(k0, _EPS)
+    safe_k1 = jnp.maximum(k1, _EPS)
+    dist = k0 * (k0 - 1.0) / safe_k1
+    # d = (k0^2 - k0)/k1;  ∇k0 = pr2/k0,  ∇k1 = (p/r^4)/k1
+    gk0 = pr2 / safe_k0[..., None]
+    gk1 = (pr2 / r2) / safe_k1[..., None]
+    grad = (
+        (2.0 * k0 - 1.0)[..., None] * gk0
+        - (k0 * (k0 - 1.0) / safe_k1)[..., None] * gk1
+    ) / safe_k1[..., None]
+    # center: the quotient form degenerates (0/0); the true nearest surface
+    # is along the smallest radius — any fixed unit vector is defensible
+    center = k0 < _EPS
+    dist = jnp.where(center, -jnp.min(radii, axis=-1), dist)
+    up = jnp.broadcast_to(jnp.array([0.0, 1.0, 0.0], p.dtype), grad.shape)
+    grad = jnp.where(center[..., None], up, grad)
+    return dist, grad
+
+
+def sdg_round_box(p: Array, half_size: Array, rounding: Array) -> SdfResult:
+    """Rounded box: the box field of the INNER core minus the rounding
+    radius (Quilez sdRoundBox).  `half_size` is the OUTER half-extent, so
+    AABB/footprint logic reads it directly; the gradient is the core box's
+    (a constant offset leaves it untouched)."""
+    inner = jnp.maximum(half_size - rounding, _EPS)
+    d, g = sdg_box(p, inner)
+    return d - rounding, g
+
+
 # ---------------------------------------------------------------------------
 # Primitive classes: the mutable, animatable CPU-side scene objects.
 # Counterpart of src/sdf/Primitive.ts.  Parameters are plain numpy so the user
@@ -274,6 +356,113 @@ class Capsule(Primitive):
 
     def clone(self):
         return Capsule(self.id, self.position.copy(), self.height, self.radius)
+
+
+class Cylinder(Primitive):
+    """Capped vertical cylinder — a primitive the reference's library lacks
+    (its CodeGenerator stops at sphere/box/torus/capsule); same class
+    contract (params/sdg/aabb/surface_area/clone) so the scene graph,
+    seeding, and fitting consume it unchanged."""
+
+    kind = "cylinder"
+
+    def __init__(self, id=None, position=(0, 0, 0), height=1.0, radius=0.3):
+        super().__init__(id, position)
+        self.height = float(height)
+        self.radius = float(radius)
+
+    def params(self):
+        return {
+            "center": np.asarray(self.position, np.float32),
+            "height": np.float32(self.height),
+            "radius": np.float32(self.radius),
+        }
+
+    def sdg(self, local_p, params):
+        return sdg_cylinder(local_p, params["height"], params["radius"])
+
+    def aabb(self, params):
+        c = params["center"]
+        r = params["radius"]
+        ext = jnp.stack([r, params["height"] * 0.5, r])
+        return c - ext, c + ext
+
+    def surface_area(self):
+        return 2 * math.pi * self.radius * (self.height + self.radius)
+
+    def clone(self):
+        return Cylinder(self.id, self.position.copy(), self.height, self.radius)
+
+
+class Ellipsoid(Primitive):
+    kind = "ellipsoid"
+
+    def __init__(self, id=None, position=(0, 0, 0), radii=(0.5, 0.3, 0.4)):
+        super().__init__(id, position)
+        self.radii = np.asarray(radii, dtype=np.float32).copy()
+
+    def params(self):
+        return {
+            "center": np.asarray(self.position, np.float32),
+            "radii": np.asarray(self.radii, np.float32),
+        }
+
+    def sdg(self, local_p, params):
+        return sdg_ellipsoid(local_p, params["radii"])
+
+    def aabb(self, params):
+        return params["center"] - params["radii"], params["center"] + params["radii"]
+
+    def surface_area(self):
+        # Thomsen's approximation (max error ~1.06% — plenty for the
+        # area-proportional seeding budget)
+        a, b, c = (float(r) for r in self.radii)
+        p = 1.6075
+        return 4.0 * math.pi * (
+            ((a * b) ** p + (a * c) ** p + (b * c) ** p) / 3.0
+        ) ** (1.0 / p)
+
+    def clone(self):
+        return Ellipsoid(self.id, self.position.copy(), self.radii.copy())
+
+
+class RoundBox(Primitive):
+    """Box with rounded edges/corners; `size` is the OUTER half-extent."""
+
+    kind = "round_box"
+
+    def __init__(self, id=None, position=(0, 0, 0), size=(0.5, 0.5, 0.5),
+                 rounding=0.1):
+        super().__init__(id, position)
+        self.size = np.asarray(size, dtype=np.float32).copy()
+        self.rounding = float(rounding)
+
+    def params(self):
+        return {
+            "center": np.asarray(self.position, np.float32),
+            "size": np.asarray(self.size, np.float32),
+            "rounding": np.float32(self.rounding),
+        }
+
+    def sdg(self, local_p, params):
+        return sdg_round_box(local_p, params["size"], params["rounding"])
+
+    def aabb(self, params):
+        return params["center"] - params["size"], params["center"] + params["size"]
+
+    def surface_area(self):
+        # exact: inner faces + quarter-cylinder edges + sphere corners
+        r = min(self.rounding, float(self.size.min()))
+        w, h, d = (2.0 * max(float(s) - r, 0.0) for s in self.size)
+        return (
+            2.0 * (w * h + w * d + h * d)
+            + 2.0 * math.pi * r * (w + h + d)
+            + 4.0 * math.pi * r * r
+        )
+
+    def clone(self):
+        return RoundBox(self.id, self.position.copy(), self.size.copy(),
+                        self.rounding)
 
 
 def scale_aabb(lo: Array, hi: Array, scale: float) -> Tuple[Array, Array]:

@@ -20,7 +20,15 @@ from typing import Dict, List, Optional, Tuple, Union as TUnion
 
 import jax.numpy as jnp
 
-from .ops import Operation, SmoothUnion, Subtraction, Intersection, Union
+from .ops import (
+    Intersection,
+    Operation,
+    SmoothIntersection,
+    SmoothSubtraction,
+    SmoothUnion,
+    Subtraction,
+    Union,
+)
 from .primitives import Primitive, SdfResult, scale_aabb
 
 # A scene node is either a primitive or (operation, [children]).
@@ -55,6 +63,14 @@ def subtraction(a, b) -> OpNode:
 
 def smooth_union(k: float, a, b) -> OpNode:
     return OpNode(SmoothUnion(k), [_as_node(a), _as_node(b)])
+
+
+def smooth_intersection(k: float, a, b) -> OpNode:
+    return OpNode(SmoothIntersection(k), [_as_node(a), _as_node(b)])
+
+
+def smooth_subtraction(k: float, a, b) -> OpNode:
+    return OpNode(SmoothSubtraction(k), [_as_node(a), _as_node(b)])
 
 
 Params = Dict[str, Dict[str, jnp.ndarray]]
