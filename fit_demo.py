@@ -52,6 +52,17 @@ def _fit_dataset(args):
     init = {k: jnp.full_like(splats[k], 0.5)
             for k in fit_fields if k in appearance}
 
+    depth_targets = None
+    if args.depth_weight > 0:
+        if ds.get("depth") is None:
+            raise SystemExit("--depth-weight needs a --gbuffer dataset "
+                             "(no depth channel in the manifest)")
+        if args.method != "tiles":
+            raise SystemExit("--depth-weight requires --method tiles "
+                             "(the Pallas VJP kernels are color-only)")
+        depth_targets = ds["depth"]
+        print(f"RGB-D fitting: depth L1 weight {args.depth_weight}")
+
     t0 = time.perf_counter()
     fitted, losses = fit.fit_splats(
         splats, ds["cameras"], ds["images"], cfg, fields=fit_fields,
@@ -59,6 +70,7 @@ def _fit_dataset(args):
         log_every=10, checkpoint_path=args.checkpoint,
         checkpoint_every=25 if args.checkpoint else 0,
         resume=bool(args.checkpoint),
+        depth_targets=depth_targets, depth_weight=args.depth_weight,
     )
     dt = time.perf_counter() - t0
     print(f"{args.steps} optimization steps in {dt:.1f} s "
@@ -124,6 +136,12 @@ def main():
                          "depth/alpha channels (data.backproject_gbuffer), "
                          "targets are the dataset images, all views are "
                          "used (--views/--size/--ply-in ignored)")
+    ap.add_argument("--depth-weight", type=float, default=0.0,
+                    help="dataset mode: add depth_weight * masked-L1 between "
+                         "the rendered expected-depth channel and the "
+                         "dataset's depth maps (RGB-D supervision through "
+                         "render_diff_gbuffer; constrains the along-ray "
+                         "direction color losses barely see)")
     args = ap.parse_args()
 
     if args.dataset:

@@ -74,6 +74,8 @@ def fit_splats(
     resume: bool = False,
     sh=None,
     fit_sh: bool = False,
+    depth_targets: Optional[Sequence[jnp.ndarray]] = None,
+    depth_weight: float = 0.2,
 ):
     """Optimize `fields` of `splats` so renders match `targets` (Adam).
 
@@ -109,11 +111,27 @@ def fit_splats(
     want).  Density control reallocates the coefficients alongside the
     splats (density_control's `sh` path).
 
+    Depth supervision (RGB-D fitting): `depth_targets` is a per-view
+    sequence of (H, W) expected-depth maps (0 = background — exactly what
+    datagen --gbuffer writes and data.load_dataset(gbuffer=True) returns).
+    The objective gains depth_weight * mean_{target depth > 0} |d - d*|
+    per view, rendered through render_diff_gbuffer — depth constrains the
+    along-ray direction a color loss barely sees.  Requires method="tiles"
+    (the Pallas VJP kernels are color-only).
+
     Returns (splats with fitted fields, (steps,) loss curve)
     [+ fitted sh if fit_sh].
     """
     if len(cameras) != len(targets):
         raise ValueError("cameras and targets must pair up")
+    if depth_targets is not None:
+        if len(depth_targets) != len(cameras):
+            raise ValueError("depth_targets must pair up with cameras")
+        if method != "tiles":
+            raise ValueError(
+                "depth supervision renders the G-buffer — only "
+                "method='tiles' produces it differentiably"
+            )
     if not fields and not fit_sh:
         raise ValueError("nothing to fit: fields is empty")
     if fit_sh and sh is None:
@@ -135,10 +153,11 @@ def fit_splats(
     opt = optax.adam(lr)
     opt_state = opt.init(theta)
     targets = tuple(targets)
+    dtargets = tuple(depth_targets) if depth_targets is not None else None
     key = jax.random.PRNGKey(0) if key is None else key
 
     @jax.jit
-    def step(theta, opt_state, splats, targets, sh_fixed):
+    def step(theta, opt_state, splats, targets, sh_fixed, dtargets):
         def loss_fn(theta):
             s = dict(splats,
                      **{k: v for k, v in theta.items() if ":" not in k})
@@ -147,12 +166,23 @@ def fit_splats(
                 if fit_sh else sh_fixed
             )
             per_view = []
-            for cam, t in zip(cameras, targets):
+            for i, (cam, t) in enumerate(zip(cameras, targets)):
                 s_v = (apply_sh(s, sh_cur, cam["cam_pos"])
                        if sh_cur is not None else s)
-                per_view.append(
-                    loss_img(render_diff(s_v, cam, cfg, method=method), t)
-                )
+                if dtargets is not None:
+                    from .render.diff import render_diff_gbuffer
+
+                    gb = render_diff_gbuffer(s_v, cam, cfg)
+                    l_v = loss_img(gb["rgb"], t)
+                    dt = dtargets[i]
+                    mask = (dt > 0.0).astype(jnp.float32)
+                    l_v = l_v + depth_weight * jnp.sum(
+                        jnp.abs(gb["depth"] - dt) * mask
+                    ) / jnp.maximum(jnp.sum(mask), 1.0)
+                else:
+                    l_v = loss_img(render_diff(s_v, cam, cfg, method=method),
+                                   t)
+                per_view.append(l_v)
             return sum(per_view) / len(per_view)
 
         loss, grads = jax.value_and_grad(loss_fn)(theta)
@@ -217,7 +247,7 @@ def fit_splats(
                 sh_fixed = st["sh"]
     for i in range(start, steps):
         loss_val, theta, opt_state, pos_g = step(
-            theta, opt_state, splats, targets, sh_fixed
+            theta, opt_state, splats, targets, sh_fixed, dtargets
         )
         losses.append(loss_val)
         score = score + pos_g

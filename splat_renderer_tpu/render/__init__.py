@@ -12,7 +12,7 @@ from .blend import (
     splat_alpha,
 )
 from .compositor import render_tiles, tiles_to_image, tiles_to_plane
-from .diff import render_diff, splat_screen_records_diff
+from .diff import render_diff, render_diff_gbuffer, splat_screen_records_diff
 from .oracle import pixel_grid, render_oracle
 from .pipeline import (
     Engine,
@@ -48,6 +48,7 @@ __all__ = [
     "splat_screen_records",
     "splat_screen_words",
     "render_diff",
+    "render_diff_gbuffer",
     "render_frame",
     "render_gbuffer",
     "tiles_to_plane",

@@ -148,3 +148,40 @@ def render_diff(
     raise ValueError(
         f"unknown method {method!r} (use 'oracle', 'tiles' or 'pallas')"
     )
+
+
+def render_diff_gbuffer(
+    splats: Splats,
+    camera: CameraArrays,
+    cfg: RenderConfig,
+    alpha_eps: float = 1e-6,
+) -> Dict[str, jnp.ndarray]:
+    """Differentiable G-buffer: {"rgb" (H,W,3), "depth" (H,W), "alpha"
+    (H,W)} from the CONTINUOUS record — pipeline.render_gbuffer's diff twin
+    (same alpha-normalized expected-depth semantics), rendered on the tile
+    scan compositor with `differentiable=True` + `return_aux=True`.
+
+    `jax.grad` of a loss over any channel reaches every continuous splat
+    field: the depth channel depends on positions BOTH through the per-pair
+    camera distance and through the over-blend weights, so depth supervision
+    (fit.fit_splats depth_targets) moves splats along the viewing ray —
+    the direction a color-only loss constrains weakly.  Background pixels
+    carry depth 0 and alpha ~ 0; mask depth losses by the TARGET's coverage
+    so their zero-gradient plateau never contributes.
+
+    The custom-VJP Pallas pair stays color-only (its VMEM accumulators are
+    shaped for 3 channels); depth-supervised fitting therefore runs the
+    tiles method.
+    """
+    records = splat_screen_records_diff(
+        splats, camera["view_proj"], camera["cam_pos"], cfg
+    )
+    data = canonical_sort_data(records, cfg)
+    binned = bin_splats(jax.lax.stop_gradient(data), cfg)
+    img, depth_acc, alpha = render_tiles(
+        data, binned, cfg, differentiable=True, return_aux=True
+    )
+    depth = jnp.where(
+        alpha > alpha_eps, depth_acc / jnp.maximum(alpha, alpha_eps), 0.0
+    )
+    return {"rgb": img, "depth": depth, "alpha": alpha}

@@ -285,3 +285,107 @@ class TestFitting:
         p_lo = {"s": dict(params["s"], radius=params["s"]["radius"] - eps)}
         fd = (silhouette(p_hi) - silhouette(p_lo)) / (2 * eps)
         assert float(fd) == pytest.approx(g_rad, rel=0.2)
+
+
+class TestDepthGradients:
+    """Differentiable G-buffer (render_diff_gbuffer) + depth supervision."""
+
+    def test_forward_matches_exact_gbuffer(self, key):
+        from splat_renderer_tpu.render import render_diff_gbuffer, render_gbuffer
+        from splat_renderer_tpu.render.pipeline import splat_screen_data
+
+        _, camera, splats = _scene_and_splats(key)
+        gb_d = render_diff_gbuffer(splats, camera, CFG)
+        gb_q = render_gbuffer(splats, camera, CFG)
+        # same semantics up to the grid snap (cf. TestForward tolerance)
+        assert np.abs(np.asarray(gb_d["rgb"]) - np.asarray(gb_q["rgb"])
+                      ).mean() < 2e-3
+        assert np.abs(np.asarray(gb_d["alpha"]) - np.asarray(gb_q["alpha"])
+                      ).mean() < 2e-3
+        hit = np.asarray(gb_q["alpha"]) > 0.5
+        assert np.abs(np.asarray(gb_d["depth"]) - np.asarray(gb_q["depth"])
+                      )[hit].mean() < 5e-3
+
+    def test_depth_gradient_matches_finite_differences(self, key):
+        """The along-ray direction: a masked depth-L1 loss must push pz with
+        the FD-verified gradient (color losses barely constrain it)."""
+        from splat_renderer_tpu.render import render_diff_gbuffer
+
+        _, camera, splats = _scene_and_splats(key, n=80)
+        gb0 = render_diff_gbuffer(splats, camera, CFG)
+        # target: the scene itself shifted 0.05 farther — a pure-depth signal
+        dt = jnp.where(gb0["alpha"] > 0.5, gb0["depth"] + 0.05, 0.0)
+        mask = (dt > 0.0).astype(jnp.float32)
+
+        @jax.jit
+        def loss(pz):
+            gb = render_diff_gbuffer(dict(splats, pz=pz), camera, CFG)
+            return jnp.sum(jnp.abs(gb["depth"] - dt) * mask) / jnp.sum(mask)
+
+        g = jax.jit(jax.grad(loss))(splats["pz"])
+        assert np.all(np.isfinite(np.asarray(g)))
+        assert float(jnp.max(jnp.abs(g))) > 0.0
+        idx = np.argsort(-np.abs(np.asarray(g)))[:3]
+        eps = 1e-3
+        ok = 0
+        for i in idx:
+            e = jnp.zeros_like(splats["pz"]).at[i].set(eps)
+            fd = (loss(splats["pz"] + e) - loss(splats["pz"] - e)) / (2 * eps)
+            if float(fd) == pytest.approx(float(g[i]), rel=0.2, abs=1e-9):
+                ok += 1
+        assert ok >= 2
+
+    def test_depth_supervision_recovers_along_ray_shift(self, key):
+        """fit_splats(depth_targets=...): a whole-cloud shift ALONG the view
+        ray is nearly invisible to color (the scene just gets slightly
+        smaller) but fully visible to depth — the depth term must pull the
+        positions back."""
+        from splat_renderer_tpu.fit import fit_splats
+        from splat_renderer_tpu.render import render_diff, render_diff_gbuffer
+
+        _, camera, splats = _scene_and_splats(key, n=250)
+        gb = render_diff_gbuffer(splats, camera, CFG)
+        target = render_diff(splats, camera, CFG, method="tiles")
+        cam_pos = np.asarray(camera["cam_pos"])
+        # shift every splat 0.08 away from the camera along its own ray
+        p = np.stack([np.asarray(splats[k]) for k in ("px", "py", "pz")], 1)
+        ray = p - cam_pos
+        ray /= np.maximum(np.linalg.norm(ray, axis=1, keepdims=True), 1e-9)
+        shifted = {k: jnp.asarray(p[:, i] + 0.08 * ray[:, i])
+                   for i, k in enumerate(("px", "py", "pz"))}
+
+        mask = np.asarray(gb["alpha"] > 0.5)
+
+        def depth_err(s):
+            d = np.asarray(render_diff_gbuffer(s, camera, CFG)["depth"])
+            return float(np.abs(d - np.asarray(gb["depth"]))[mask].mean())
+
+        start = dict(splats, **shifted)
+        init_err = depth_err(start)
+        assert init_err > 0.05  # the shift is visible in depth
+        fitted, _ = fit_splats(
+            start, [camera], [target], CFG,
+            fields=("px", "py", "pz"), steps=40, lr=8e-3, method="tiles",
+            depth_targets=[gb["depth"]], depth_weight=1.0,
+        )
+        # control: the same fit on color alone barely sees the along-ray
+        # error (per-splat positions are not even identifiable from depth —
+        # the promise is the rendered DEPTH MAP, so that is what we gate)
+        fitted_rgb, _ = fit_splats(
+            start, [camera], [target], CFG,
+            fields=("px", "py", "pz"), steps=40, lr=8e-3, method="tiles",
+        )
+        err_depth_fit = depth_err(fitted)
+        err_rgb_fit = depth_err(fitted_rgb)
+        assert err_depth_fit < 0.35 * init_err, (init_err, err_depth_fit)
+        assert err_depth_fit < 0.6 * err_rgb_fit, (err_rgb_fit, err_depth_fit)
+
+    def test_depth_targets_require_tiles(self, key):
+        from splat_renderer_tpu.fit import fit_splats
+
+        _, camera, splats = _scene_and_splats(key, n=50)
+        t = jnp.zeros((CFG.height, CFG.width, 3))
+        d = jnp.zeros((CFG.height, CFG.width))
+        with pytest.raises(ValueError):
+            fit_splats(splats, [camera], [t], CFG, steps=1,
+                       method="pallas", depth_targets=[d])
