@@ -324,6 +324,37 @@ def check_sh() -> bool:
     return ok
 
 
+def check_depth_key_order() -> bool:
+    """Turbo's depth_key_order skips the canonical record sort; same-tile
+    records within ~2^-22 relative depth (360p's 10 tile bits keep 22 key
+    bits) composite in arbitrary order.  The deviation must stay visually
+    bounded vs the rank-ordered turbo frame (benchmarks/probe_depth_order.py
+    measured ssim 1.000 / meandiff 1.5e-4 at 1M @1080p on v5e)."""
+    from splat_renderer_tpu.utils.ssim import ssim
+
+    scene = _scene()
+    imgs = []
+    for dko in (False, True):
+        cfg = spt.turbo_render_config(640, 368, base_radius=0.03,
+                                      tiles_per_splat_cap=4,
+                                      depth_key_order=dko)
+        cam = spt.Camera(aspect=cfg.width / cfg.height)
+        camera = {k: jnp.asarray(v) for k, v in cam.arrays().items()}
+        splats = jax.jit(
+            lambda p, k: model_points(scene, p, k, 20_000, PointConfig(), cfg)
+        )(scene.params(), jax.random.PRNGKey(0))
+        data = jax.jit(lambda s, c: splat_screen_data(s, c, cfg))(splats, camera)
+        imgs.append(np.asarray(
+            jax.jit(lambda d: render_tiles_pallas(d, None, cfg))(data)
+        ))
+    s = float(ssim(jnp.asarray(imgs[0]), jnp.asarray(imgs[1])))
+    meandiff = float(np.abs(imgs[0] - imgs[1]).mean())
+    ok = np.isfinite(imgs[1]).all() and s > 0.995 and meandiff < 1e-3
+    print(f"{'turbo depth-key order':>24}: ssim={s:.5f}  "
+          f"meandiff={meandiff:.2e}  {'OK' if ok else 'FAIL'}")
+    return ok
+
+
 def main() -> int:
     print(f"device: {jax.devices()[0]}")
     ok = True
@@ -358,11 +389,15 @@ def main() -> int:
     )
     ok &= check(
         "turbo 360p",  # approximation preset must still self-gate vs its
-        # own oracle (the deviation is only vs margin-1.5 ground truth)
+        # own oracle (the deviation is only vs margin-1.5 ground truth);
+        # depth_key_order off here — its coarser compositing order breaks
+        # ulp equality by design and gets its own bounded gate below
         spt.turbo_render_config(640, 368, base_radius=0.03,
-                                tiles_per_splat_cap=4),
+                                tiles_per_splat_cap=4,
+                                depth_key_order=False),
         20_000,
     )
+    ok &= check_depth_key_order()
     ok &= check_class_partition()
     ok &= check_engine_class_protocol()
     ok &= check_render_band()

@@ -114,6 +114,19 @@ class RenderConfig:
     # (A blend-kernel log-space MXU fast path was tried and REMOVED: 4.6x
     # slower, see ops/tile_blend.py.)
     fast_math: bool = False
+    # Depth-key pair ordering (opt-in, turbo preset): skip the N-scale
+    # canonical record sort entirely and fuse (tile << shift) | top
+    # (32 - tile_bits) bits of the IEEE-flipped depth key as the single
+    # pair-sort key (binning.bin_packed_words).  Saves the whole record
+    # stage (one num_keys=2 sort with 2-3 payload columns at N scale);
+    # the deviation is that same-tile records whose depth keys agree in
+    # the kept high bits (~2^-10 relative depth at 1080p's 13 tile bits)
+    # composite in arbitrary order — strictly coarser than fast_math's
+    # sub-quantization rank bands, bounded by the turbo SSIM gate.  Ignored
+    # by the band (compact_to) and class-partition paths, which need
+    # canonical ranks.  The reference always orders by the full 32-bit key
+    # (src/RadixSorter.ts:197-264); the exact profile (default) does too.
+    depth_key_order: bool = False
     # Splat base color from the surface normal:
     #   "normal_abs":    |n| * 0.8 + 0.2  (splat pipeline,
     #                    src/SplatPropertyManager.ts:97-98)
@@ -182,9 +195,12 @@ class RenderConfig:
 def turbo_render_config(width: int = 1920, height: int = 1080, **kw) -> RenderConfig:
     """Approximation preset for throughput-first rendering (opt-in).
 
-    Stacks the two documented, bounded deviations from the exact profile:
+    Stacks the documented, bounded deviations from the exact profile:
     - fast_math=True: coarse-rank fused pair-sort key (sub-quantization
       compositing-order deviation; see the fast_math field).
+    - depth_key_order=True: the pair key carries the depth key's high bits
+      instead of the canonical rank, skipping the N-scale record sort
+      (ordering coarsens to ~2^-10 relative depth; see the field).
     - bounds_margin 1.5 -> 1.3: the Gaussian support disc is cut at 1.3r
       instead of the reference's 1.5r box pad (src/SplatProjector.ts:115-121)
       — edge alpha rises from 1.1e-2*op to 3.4e-2*op, and every pipeline
@@ -199,7 +215,7 @@ def turbo_render_config(width: int = 1920, height: int = 1080, **kw) -> RenderCo
     production-rasterizer quality/speed knob the reference lacks.
     """
     defaults = dict(width=width, height=height, fast_math=True,
-                    bounds_margin=1.3)
+                    bounds_margin=1.3, depth_key_order=True)
     defaults.update(kw)
     return RenderConfig(**defaults)
 

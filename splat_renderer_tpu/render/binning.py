@@ -554,8 +554,24 @@ def bin_packed_words(
     # costs ~2.5x the iota-keyed one (6.4 vs 2.6 ms @1M, v5e)
     iota_n = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
     spec = two_word_spec(cfg)
-    ro_in_key = spec is not None and n <= (1 << 21)
-    if ro_in_key:
+    # turbo depth-key ordering: the whole record stage disappears — the
+    # pair key fuses (tile, high depth-key bits) instead of (tile, rank),
+    # so no canonical rank is ever needed.  Band compaction and the class
+    # partition both consume ranks, so they keep the exact path.
+    depth_order = (
+        cfg.depth_key_order and compact_to is None and class_caps is None
+    )
+    ro_in_key = (
+        not depth_order and spec is not None and n <= (1 << 21)
+    )
+    if depth_order:
+        # records stay in input order; footprints/payloads are order-
+        # agnostic and the pair sort below imposes (tile, depth-high-bits)
+        dk_s = dkeys
+        r_fx = (w_ro & 0xFFFF).astype(jnp.int32)
+        if spec is not None:
+            w_ro = None
+    elif ro_in_key:
         # isotropic 2-word profile: the only live field of w_ro is the 10-bit
         # radius, so fold it into the LOW bits of the iota tie-break key —
         # (iota << 10) | r sorts identically to iota (iota owns the high
@@ -627,7 +643,12 @@ def bin_packed_words(
     rank_bits = _ceil_log2(max(n, 2))
     if class_caps is None:
         segs = [(0, n, cap)]
-        rank_col = iota_n.astype(jnp.uint32)
+        if depth_order:
+            # secondary key = the depth key's top (32 - tile_bits) bits —
+            # exactly fills the fused u32 next to the tile field
+            rank_col = dkeys >> jnp.uint32(_ceil_log2(num_tiles + 1))
+        else:
+            rank_col = iota_n.astype(jnp.uint32)
         class_overflow = jnp.bool_(False)
     else:
         # ---- class partition: one N-scale fused-key sort orders records
@@ -780,7 +801,14 @@ def bin_packed_words(
 
     tile_bits = _ceil_log2(num_tiles + 1)
     coarse = tile_bits + rank_bits - 32
-    if coarse <= 0 or (cfg.fast_math and coarse <= 4):
+    if depth_order:
+        # rank_col already holds the depth key's top (32 - tile_bits) bits:
+        # one fused u32 key, always num_keys=1, no record sort anywhere
+        shift = 32 - tile_bits
+        fused = (tile_flat.astype(jnp.uint32) << shift) | rank_flat
+        res = jax.lax.sort((fused,) + payload, num_keys=1, is_stable=False)
+        sorted_payload = res[1:]
+    elif coarse <= 0 or (cfg.fast_math and coarse <= 4):
         # single fused u32 key: (tile << shift) | rank — ranks unique per
         # tile, so num_keys=1 is fully deterministic (no tie groups at all).
         # Fast profile: when the bits don't fit, coarsen the rank by the

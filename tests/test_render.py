@@ -617,6 +617,63 @@ class TestPallasInterpret:
         assert float(jnp.abs(img_eps - img_exact).max()) <= 0.0101
 
 
+class TestDepthKeyOrder:
+    """depth_key_order=True (turbo) replaces the canonical (dkey, iota)
+    record sort with a (tile, depth-key-high-bits) fused pair key.  When
+    every same-frame depth key is distinct in the kept high bits
+    (32 - tile_bits; 28 bits at this test's 13-tile config), the ordering
+    is EXACTLY the canonical one, so the image must be bit-equal — the
+    deviation only exists for splats within ~2^-10 relative depth at
+    1080p's 13 tile bits (gated on device by drive_tpu_parity.py)."""
+
+    def test_bit_equal_when_high_bits_distinct(self, rng):
+        from splat_renderer_tpu.render.binning import bin_splats_packed
+        from splat_renderer_tpu.render.packing import quantize_screen_data
+        from splat_renderer_tpu.ops.tile_blend import render_tiles_pallas
+
+        cfg = RenderConfig(width=64, height=48, tiles_per_splat_cap=16)
+        data = quantize_screen_data(
+            _random_screen_splats(rng, 120, cfg, r_lo=1.0, r_hi=8.0), cfg
+        )
+        imgs = []
+        for dko in (False, True):
+            c = cfg.replace(depth_key_order=dko)
+            st = bin_splats_packed(data, c, block=1024)
+            imgs.append(np.asarray(render_tiles_pallas(
+                data, st, c, block=1024, eps=0.0, interpret=True)))
+        np.testing.assert_array_equal(imgs[0], imgs[1])
+
+    def test_class_caps_and_compact_keep_exact_path(self, rng):
+        """Rank consumers (class partition, band compaction) must ignore
+        the flag: binned streams stay bit-identical."""
+        from splat_renderer_tpu.render.binning import (
+            bin_packed_words, bin_splats_packed,
+        )
+        from splat_renderer_tpu.render.packing import (
+            depth_bits, pack_records, quantize_screen_data,
+        )
+
+        cfg = RenderConfig(width=64, height=48, tiles_per_splat_cap=4)
+        data = quantize_screen_data(
+            _random_screen_splats(rng, 120, cfg, r_lo=0.6, r_hi=4.0), cfg
+        )
+        a = bin_splats_packed(data, cfg, block=1024, class_caps=(40, 40))
+        b = bin_splats_packed(
+            data, cfg.replace(depth_key_order=True), block=1024,
+            class_caps=(40, 40),
+        )
+        np.testing.assert_array_equal(a["pair_w"], b["pair_w"])
+
+        dk = depth_bits(data[:, 7])
+        w_pos, w_ro, w_rgb = pack_records(data, cfg)
+        c = bin_packed_words(dk, w_pos, w_ro, w_rgb, cfg, 1024, compact_to=80)
+        d = bin_packed_words(
+            dk, w_pos, w_ro, w_rgb, cfg.replace(depth_key_order=True), 1024,
+            compact_to=80,
+        )
+        np.testing.assert_array_equal(c["pair_w"], d["pair_w"])
+
+
 class TestTwoWordLayout:
     """The tile-relative 2-word pair payload (binning.two_word_spec) must be
     bit-exact against the 3-word/global paths: same runs, same image."""
