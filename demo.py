@@ -28,6 +28,10 @@ def main():
     ap.add_argument("--cap", type=int, default=8,
                     help="tiles_per_splat_cap (raise for big-footprint "
                          "scenes; bench reports radius_clamped_frac)")
+    ap.add_argument("--aa", type=float, default=0.0, metavar="PX2",
+                    help="anti-aliasing dilation in px^2 (0.3 = the 3DGS "
+                         "convention; keeps sub-pixel splats from popping "
+                         "when orbiting out from a .ply scene)")
     args = ap.parse_args()
 
     if args.ply:
@@ -35,7 +39,8 @@ def main():
 
         splats, sh = load_ply(args.ply, with_sh=True)
         rcfg = spt.RenderConfig(width=args.width, height=args.height,
-                                tiles_per_splat_cap=args.cap)
+                                tiles_per_splat_cap=args.cap,
+                                aa_dilation=args.aa)
         n = splats["px"].shape[0]
         print(f"loaded {n} splats from {args.ply}"
               + (" (with SH bands)" if sh is not None else ""))
@@ -52,7 +57,8 @@ def main():
                                          tiles_per_splat_cap=8)
     else:
         rcfg = spt.RenderConfig(width=args.width, height=args.height,
-                                base_radius=0.015, tiles_per_splat_cap=8)
+                                base_radius=0.015, tiles_per_splat_cap=8,
+                                aa_dilation=args.aa)
     eng = Engine(scene, spt.PointConfig(), rcfg, n=args.points)
 
     def animate(t):

@@ -398,6 +398,21 @@ def main() -> int:
         20_000,
     )
     ok &= check_depth_key_order()
+    ok &= check(
+        "antialias 360p",  # aa_dilation is record-domain (shade_planes):
+        # oracle/tiles/pallas consume the same dilated record, so the ulp
+        # gate must hold with it on, isotropic and EWA alike
+        RenderConfig(width=640, height=368, base_radius=0.03,
+                     tiles_per_splat_cap=16, aa_dilation=0.3),
+        20_000,
+    )
+    ok &= check(
+        "antialias-ewa 360p",
+        RenderConfig(width=640, height=368, base_radius=0.03,
+                     tiles_per_splat_cap=16, oriented=True, ellipse="ewa",
+                     aa_dilation=0.3),
+        20_000,
+    )
     ok &= check_class_partition()
     ok &= check_engine_class_protocol()
     ok &= check_render_band()

@@ -127,6 +127,18 @@ class RenderConfig:
     # canonical ranks.  The reference always orders by the full 32-bit key
     # (src/RadixSorter.ts:197-264); the exact profile (default) does too.
     depth_key_order: bool = False
+    # Anti-aliasing dilation (opt-in): screen-space variance (px^2) added to
+    # every splat's Gaussian covariance before quantization, with opacity
+    # scaled by sqrt(det Sigma / det Sigma') so total splat mass is
+    # conserved (the mip-splatting 2D low-pass; standard 3DGS rasterizers
+    # use 0.3).  Sub-pixel splats fade smoothly instead of popping against
+    # the min_screen_radius cutoff when a pre-trained scene (utils/ply.py)
+    # is rendered below its training resolution.  Applied in the RECORD
+    # domain (projector.shade_planes), so every compositor — oracle, XLA
+    # tiles, Pallas, the differentiable paths — inherits it with parity by
+    # construction.  Gaussian profiles only (ignored when cfg.opaque); the
+    # reference has no anti-aliasing at all.
+    aa_dilation: float = 0.0
     # Splat base color from the surface normal:
     #   "normal_abs":    |n| * 0.8 + 0.2  (splat pipeline,
     #                    src/SplatPropertyManager.ts:97-98)

@@ -250,11 +250,42 @@ def shade_planes(
         angle = jnp.zeros_like(nx)
         ratio = jnp.ones_like(nx)
 
+    opacity = splats["opacity"]
+    if cfg.aa_dilation > 0.0 and not cfg.opaque:
+        # Mip-splatting-style anti-aliasing (see config.aa_dilation): the
+        # record's screen Gaussian has axis variances lam1 = (sigma*r)^2,
+        # lam2 = (sigma*r*ratio)^2 (blend.splat_alpha_planes); convolving
+        # with an isotropic pixel low-pass of variance s adds s to both
+        # eigenvalues, and opacity picks up sqrt(det/det') so the integral
+        # over the screen is unchanged.  Record-domain only — the blend
+        # kernels never change, and the oracle consumes the same dilated
+        # record, so parity gates keep holding verbatim.  (Gradient note:
+        # d(comp)/d(radius) diverges as radius -> 0, like every 3DGS AA
+        # rasterizer — fits keep radii away from exact zero.)
+        s2 = cfg.sigma * cfg.sigma
+        lam1 = s2 * ell_radius * ell_radius
+        lam2 = lam1 * ratio * ratio
+        lam1d = lam1 + cfg.aa_dilation
+        lam2d = lam2 + cfg.aa_dilation
+        alive = ell_radius > 0.0  # never resurrect culled splats
+        opacity = jnp.where(
+            alive, opacity * jnp.sqrt((lam1 / lam1d) * (lam2 / lam2d)), opacity
+        )
+        # re-cap: the dilated major axis may exceed r_cap by up to
+        # sqrt(aa)/sigma px; the cap must stay a record invariant (the
+        # binner's footprint budget and the 2-word layout both assume it)
+        ell_radius = jnp.where(
+            alive, jnp.minimum(jnp.sqrt(lam1d / s2), cfg.r_cap), 0.0
+        )
+        ratio = jnp.where(
+            alive, jnp.sqrt(lam2d / lam1d), ratio
+        )
+
     return {
         "cx": proj["cx"],
         "cy": proj["cy"],
         "radius": ell_radius,
-        "opacity": splats["opacity"],
+        "opacity": opacity,
         "r": splats["cr"] * lamb,
         "g": splats["cg"] * lamb,
         "b": splats["cb"] * lamb,

@@ -617,6 +617,116 @@ class TestPallasInterpret:
         assert float(jnp.abs(img_eps - img_exact).max()) <= 0.0101
 
 
+class TestAntialias:
+    """cfg.aa_dilation — mip-splatting-style 2D low-pass in the record
+    domain (projector.shade_planes): Gaussian axis variances pick up +s px^2
+    and opacity scales by sqrt(det/det'), so total splat mass is conserved
+    and sub-pixel splats fade instead of popping at min_screen_radius.
+    The reference has no anti-aliasing (src/ComputeShaderRenderer.ts:136-140
+    evaluates the raw Gaussian)."""
+
+    def _one_splat(self, world_radius, opacity=0.25):
+        """A single camera-facing splat at the orbit target (origin)."""
+        cam = spt.Camera(aspect=64 / 48)
+        arrs = cam.arrays()
+        eye = np.asarray(arrs["cam_pos"], np.float32)
+        n = eye / np.linalg.norm(eye)
+        one = jnp.ones((1,), jnp.float32)
+        splats = {
+            "px": one * 0, "py": one * 0, "pz": one * 0,
+            "radius": one * world_radius, "opacity": one * opacity,
+            "cr": one, "cg": one, "cb": one,
+            "nx": one * n[0], "ny": one * n[1], "nz": one * n[2],
+        }
+        camera = {k: jnp.asarray(v) for k, v in arrs.items()}
+        return splats, camera
+
+    def test_mass_conserved(self):
+        from splat_renderer_tpu.render.pipeline import render_splats
+
+        splats, camera = self._one_splat(0.1)  # ~2 px screen radius
+        cfg = RenderConfig(width=64, height=48, tiles_per_splat_cap=16)
+        sums = []
+        for aa in (0.0, 0.3):
+            c = cfg.replace(aa_dilation=aa)
+            bg = render_splats(dict(splats, opacity=splats["opacity"] * 0.0),
+                               camera, c, "tiles")
+            img = render_splats(splats, camera, c, "tiles")
+            # img - bg = alpha * (color - bg) pixelwise, so the sum is
+            # proportional to the splat's integrated alpha mass
+            sums.append(float(jnp.sum(img - bg)))
+        assert sums[0] > 0.0
+        # conserved up to the margin-cutoff tail + fixed-point quantization
+        assert abs(sums[1] - sums[0]) / sums[0] < 0.05
+
+    def test_subpixel_splat_fades_in(self):
+        from splat_renderer_tpu.render.pipeline import render_splats
+
+        splats, camera = self._one_splat(0.015)  # ~0.3 px < min_screen_radius
+        cfg = RenderConfig(width=64, height=48, tiles_per_splat_cap=16)
+        bg = render_splats(dict(splats, opacity=splats["opacity"] * 0.0),
+                           camera, cfg, "tiles")
+        img_off = render_splats(splats, camera, cfg, "tiles")
+        img_aa = render_splats(
+            splats, camera, cfg.replace(aa_dilation=0.3), "tiles")
+        assert float(jnp.abs(img_off - bg).max()) == 0.0  # popped out
+        peak = float(jnp.abs(img_aa - bg).max())
+        assert peak > 0.0  # visible again...
+        assert peak < 0.1  # ...but heavily attenuated (comp << 1)
+
+    def test_culled_splats_stay_dead(self):
+        from splat_renderer_tpu.render.pipeline import render_splats
+
+        splats, camera = self._one_splat(0.1)
+        eye = np.asarray(camera["cam_pos"], np.float32)
+        # move the splat past the eye (2x the orbit distance): behind-camera
+        # culling must still zero it with aa_dilation on
+        splats = dict(
+            splats,
+            px=jnp.full((1,), 2.0 * float(eye[0]), jnp.float32),
+            py=jnp.full((1,), 2.0 * float(eye[1]), jnp.float32),
+            pz=jnp.full((1,), 2.0 * float(eye[2]), jnp.float32),
+        )
+        cfg = RenderConfig(width=64, height=48, tiles_per_splat_cap=16,
+                           aa_dilation=0.3)
+        bg = render_splats(dict(splats, opacity=splats["opacity"] * 0.0),
+                           camera, cfg, "tiles")
+        img = render_splats(splats, camera, cfg, "tiles")
+        assert float(jnp.abs(img - bg).max()) == 0.0
+
+    def test_oracle_parity_and_ewa(self, rng):
+        """AA is record-domain: oracle and tile compositors must agree to
+        the usual fp tolerance with it enabled, isotropic and EWA."""
+        from splat_renderer_tpu.config import PointConfig
+        from splat_renderer_tpu.render.pipeline import model_points, render_splats
+
+        scene = spt.SDFScene(spt.Sphere(id="s", radius=0.5))
+        for kw in ({}, {"oriented": True, "ellipse": "ewa"}):
+            cfg = RenderConfig(width=64, height=48, tiles_per_splat_cap=16,
+                               aa_dilation=0.3, **kw)
+            cam = spt.Camera(aspect=cfg.width / cfg.height)
+            camera = {k: jnp.asarray(v) for k, v in cam.arrays().items()}
+            splats = model_points(scene, scene.params(), jax.random.PRNGKey(0),
+                                  2_000, PointConfig(), cfg)
+            img_t = render_splats(splats, camera, cfg, "tiles")
+            img_o = render_splats(splats, camera, cfg, "oracle")
+            np.testing.assert_allclose(img_t, img_o, atol=2e-5)
+
+    def test_opaque_ignores_aa(self, rng):
+        from splat_renderer_tpu.config import PointConfig, surface_render_config
+        from splat_renderer_tpu.render.pipeline import model_points, render_splats
+
+        scene = spt.SDFScene(spt.Sphere(id="s", radius=0.5))
+        cfg = surface_render_config(64, 48, tiles_per_splat_cap=16)
+        cam = spt.Camera(aspect=cfg.width / cfg.height)
+        camera = {k: jnp.asarray(v) for k, v in cam.arrays().items()}
+        splats = model_points(scene, scene.params(), jax.random.PRNGKey(0),
+                              2_000, PointConfig(), cfg)
+        a = render_splats(splats, camera, cfg, "tiles")
+        b = render_splats(splats, camera, cfg.replace(aa_dilation=0.3), "tiles")
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 class TestDepthKeyOrder:
     """depth_key_order=True (turbo) replaces the canonical (dkey, iota)
     record sort with a (tile, depth-key-high-bits) fused pair key.  When
