@@ -37,13 +37,25 @@ def _gauss_kernel() -> jnp.ndarray:
 
 
 def _blur(x: jnp.ndarray) -> jnp.ndarray:
-    """Separable 11x11 Gaussian blur of (B, 1, H, W), SAME zero padding."""
+    """Separable 11x11 Gaussian blur of (B, 1, H, W), SAME zero padding.
+
+    precision=HIGHEST is LOAD-BEARING: TPU lowers f32 convs to bf16 MXU
+    passes by default (~1e-3 error — CLAUDE.md perf rules).  In SSIM the
+    variance is computed as blur(x*x) - mu^2; on images with near-flat
+    regions (a render's constant background) the true variance is ~0, the
+    bf16 noise is comparable to C2 = 9e-4, and a negative noisy variance
+    flips the denominator's sign — producing impossible SSIM > 1
+    (BENCH_r02's 1.2312; reproduced + bisected in
+    benchmarks/probe_ssim_device.py)."""
     g = _gauss_kernel()
     kx = g.reshape(1, 1, 1, _WINDOW)
     ky = g.reshape(1, 1, _WINDOW, 1)
     dn = jax.lax.conv_dimension_numbers(x.shape, kx.shape, ("NCHW", "OIHW", "NCHW"))
-    x = jax.lax.conv_general_dilated(x, kx, (1, 1), "SAME", dimension_numbers=dn)
-    return jax.lax.conv_general_dilated(x, ky, (1, 1), "SAME", dimension_numbers=dn)
+    hi = jax.lax.Precision.HIGHEST
+    x = jax.lax.conv_general_dilated(x, kx, (1, 1), "SAME",
+                                     dimension_numbers=dn, precision=hi)
+    return jax.lax.conv_general_dilated(x, ky, (1, 1), "SAME",
+                                        dimension_numbers=dn, precision=hi)
 
 
 def _chan_first(img: jnp.ndarray) -> jnp.ndarray:
@@ -70,6 +82,79 @@ def ssim(img1: jnp.ndarray, img2: jnp.ndarray) -> jnp.ndarray:
     num = (2.0 * mu_xy + _C1) * (2.0 * cov + _C2)
     den = (mu_xx + mu_yy + _C1) * (var_x + var_y + _C2)
     return jnp.mean(num / den)
+
+
+def ssim_np(img1, img2) -> float:
+    """Host-side (pure numpy) mean SSIM — the SCOREBOARD implementation.
+
+    Same convention as :func:`ssim` (11x11 Gaussian, sigma 1.5, SAME zero
+    padding, per-channel mean), but computed entirely on the host so a
+    device/relay miscompile of a jitted scalar reduction can never corrupt
+    a published quality metric (BENCH_r02 shipped ssim_turbo_vs_exact =
+    1.2312, which is impossible for in-range inputs — see NOTES.md round 3).
+    bench.py and drive_tpu_parity.py call THIS after `device_get` + range
+    asserts; the jax `ssim` stays for differentiable losses only.
+    """
+    import numpy as np
+
+    x = np.asarray(img1, np.float64)
+    y = np.asarray(img2, np.float64)
+    if x.shape != y.shape:
+        raise ValueError(f"shape mismatch {x.shape} vs {y.shape}")
+    if not (np.isfinite(x).all() and np.isfinite(y).all()):
+        raise ValueError("non-finite pixels in SSIM input")
+    if x.ndim == 2:
+        x, y = x[None], y[None]
+    else:
+        x, y = np.moveaxis(x, -1, 0), np.moveaxis(y, -1, 0)
+
+    # window recomputed in numpy: no device call may touch the scoreboard
+    xs = np.arange(_WINDOW, dtype=np.float64) - (_WINDOW - 1) / 2.0
+    g = np.exp(-(xs**2) / (2.0 * _SIGMA**2))
+    g /= g.sum()
+
+    def blur(a):  # separable SAME-zero-padded Gaussian over (C, H, W)
+        pad = (_WINDOW - 1) // 2
+        b = np.apply_along_axis(
+            lambda r: np.convolve(np.pad(r, pad), g, mode="valid"), 1, a
+        )
+        return np.apply_along_axis(
+            lambda r: np.convolve(np.pad(r, pad), g, mode="valid"), 2, b
+        )
+
+    mu_x, mu_y = blur(x), blur(y)
+    mu_xx, mu_yy, mu_xy = mu_x * mu_x, mu_y * mu_y, mu_x * mu_y
+    var_x = blur(x * x) - mu_xx
+    var_y = blur(y * y) - mu_yy
+    cov = blur(x * y) - mu_xy
+    num = (2.0 * mu_xy + _C1) * (2.0 * cov + _C2)
+    den = (mu_xx + mu_yy + _C1) * (var_x + var_y + _C2)
+    return float(np.mean(num / den))
+
+
+def quality_gate(img, exact, lo: float = -1e-4, hi: float = 1.0 + 1e-4) -> float:
+    """Range-asserted host SSIM for published metrics.
+
+    Asserts both images are finite and inside the blend algebra's guaranteed
+    [0, 1] output range (over-compositing of [0,1] colors over a [0,1]
+    background cannot leave it), then returns host SSIM and hard-asserts the
+    result is <= 1 + 1e-6.  Raises AssertionError with the offending stats —
+    an impossible quality number must kill the bench, never ship.
+    """
+    import numpy as np
+
+    for name, a in (("img", np.asarray(img)), ("exact", np.asarray(exact))):
+        if not np.isfinite(a).all():
+            raise AssertionError(f"{name}: non-finite pixels "
+                                 f"(n={np.size(a) - np.isfinite(a).sum()})")
+        mn, mx = float(a.min()), float(a.max())
+        if mn < lo or mx > hi:
+            raise AssertionError(f"{name}: pixel range [{mn}, {mx}] outside "
+                                 f"[{lo}, {hi}] — out-of-range render output")
+    s = ssim_np(img, exact)
+    if not (-1.0 - 1e-6 <= s <= 1.0 + 1e-6):
+        raise AssertionError(f"SSIM {s} outside [-1, 1] — metric corrupt")
+    return s
 
 
 def dssim_l1(
