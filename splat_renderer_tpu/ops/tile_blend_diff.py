@@ -12,7 +12,9 @@ record planes (binning.bin_planes_diff stream):
 - forward: the streaming window fold of ops/tile_blend.py re-derived for f32
   planes, eps=0 (no saturation skip — truncation would bias gradients), with
   the scan path's `alpha <= 1 - 1e-7` clamp so both diff paths share
-  semantics.  Emits the (tile_color, tile_alpha) layer format.
+  semantics.  Emits (tile_color, tile_alpha, tile_depth): expected depth
+  D = sum_i d_i a_i T_i rides the blend as a 4th premultiplied channel
+  under the SAME weights as color (RGB-D training at kernel speed).
 
 - backward: the standard differentiable-rasterizer blend adjoint (3DGS,
   Kerbl et al. 2023 — re-derived for a front-to-back single pass).  For
@@ -66,7 +68,8 @@ ALPHA_CAP = 1.0 - 1e-7  # shared with render/compositor.py differentiable mode
 
 
 def _nfields(cfg: RenderConfig) -> int:
-    return len(diff_fields(cfg))  # 7 isotropic, 9 oriented (+angle, ratio)
+    # 8 isotropic, 10 oriented (+angle, ratio); depth is always LAST
+    return len(diff_fields(cfg))
 
 
 def _inclusive_cumsum_rows(x: jnp.ndarray) -> jnp.ndarray:
@@ -125,7 +128,8 @@ def _group_alpha(cfg, cols, g_lo, cnt, px, py):
     )
     a_raw = op * shape
     a = jnp.minimum(a_raw, ALPHA_CAP)
-    v.update(dist2=dist2, inv_s2=inv_s2, nd2=nd2, shape=shape, a_raw=a_raw, a=a)
+    v.update(dist2=dist2, inv_s2=inv_s2, nd2=nd2, shape=shape, a_raw=a_raw,
+             a=a, d=cols[-1])  # depth: always the stream's last section
     return v
 
 
@@ -144,9 +148,11 @@ def _make_fwd_kernel(cfg: RenderConfig, block: int):
 
         @pl.when(jnp.logical_and(bf_ref[b] == 1, jnp.logical_not(is_trash)))
         def _():
-            acc_ref[0:3, :] = jnp.zeros((3, tp), jnp.float32)
-            acc_ref[3:8, :] = jnp.concatenate(
-                [jnp.ones((1, tp), jnp.float32), jnp.zeros((4, tp), jnp.float32)]
+            # rows 0:4 = premultiplied [r, g, b, expected-depth] accum;
+            # row 4 = transmittance carry; rows 5:8 spare (zero)
+            acc_ref[0:4, :] = jnp.zeros((4, tp), jnp.float32)
+            acc_ref[4:8, :] = jnp.concatenate(
+                [jnp.ones((1, tp), jnp.float32), jnp.zeros((3, tp), jnp.float32)]
             )
 
         @pl.when(jnp.logical_not(is_trash))
@@ -160,19 +166,24 @@ def _make_fwd_kernel(cfg: RenderConfig, block: int):
                 v = _group_alpha(cfg, cols, local0 + g * 128, cnt, px, py)
                 a = v["a"]
                 q = 1.0 - a
-                trans = acc_ref[3:4, :]
+                trans = acc_ref[4:5, :]
                 t_excl = _exclusive_cumprod_rows(q)
                 weight = (a * t_excl) * trans  # (128, tp)
-                rgb = jnp.concatenate([v["cr"], v["cg"], v["cb"]], axis=1)
+                # depth rides the blend as a 4th premultiplied channel:
+                # D = sum_i d_i a_i T_i, the same weights as color (the
+                # scan compositor's return_aux accumulation, compositor.py)
+                rgbd = jnp.concatenate(
+                    [v["cr"], v["cg"], v["cb"], v["d"]], axis=1
+                )
                 contrib = jax.lax.dot_general(
-                    rgb,
+                    rgbd,
                     weight,
                     dimension_numbers=(((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST,
-                )  # (3, tp)
-                acc_ref[0:3, :] += contrib
-                acc_ref[3:4, :] = trans * (t_excl[127:128, :] * q[127:128, :])
+                )  # (4, tp)
+                acc_ref[0:4, :] += contrib
+                acc_ref[4:5, :] = trans * (t_excl[127:128, :] * q[127:128, :])
 
         nb = pl.num_programs(0)
         nxt = bt_ref[jnp.minimum(b + 1, nb - 1)]
@@ -195,9 +206,9 @@ def _make_bwd_kernel(cfg: RenderConfig, block: int):
 
     def kernel(
         bt_ref, bf_ref, bwin_ref, bwout_ref, bl0_ref, bcnt_ref,
-        w_ref,  # (groups, 896) f32 stream window
-        cot_ref,  # (1, 8, tp): rows gCr gCg gCb gA | Cr Cg Cb A  (per tile)
-        gout_ref,  # (groups, 896) f32 grad window (block bwout_ref[b])
+        w_ref,  # (groups, 128*nf) f32 stream window
+        cot_ref,  # (1, 16, tp): gCr gCg gCb gA | Cr Cg Cb A | gD D (per tile)
+        gout_ref,  # (groups, 128*nf) f32 grad window (block bwout_ref[b])
         carry_ref,  # VMEM (8, tp): row 0 = T carry, row 1 = U carry
     ):
         b = pl.program_id(0)
@@ -224,8 +235,14 @@ def _make_bwd_kernel(cfg: RenderConfig, block: int):
             gA_row = cot_ref[0, 3:4, :]  # (1, tp)
             C_tile = cot_ref[0, 4:7, :]
             A_row = cot_ref[0, 7:8, :]
-            # U_total = gC . C_tile ; T_fin = 1 - A   (per pixel)
-            u_tot = jnp.sum(gC * C_tile, axis=0, keepdims=True)  # (1, tp)
+            gD_row = cot_ref[0, 8:9, :]  # expected-depth cotangent
+            D_tile = cot_ref[0, 9:10, :]  # forward expected-depth residual
+            # U_total = gC . C_tile + gD . D_tile ; T_fin = 1 - A (per px).
+            # Depth rides the color algebra verbatim: D = sum d_i a_i T_i
+            # is a 4th premultiplied channel, so the suffix-from-total
+            # trick needs only the extended dot.
+            u_tot = (jnp.sum(gC * C_tile, axis=0, keepdims=True)
+                     + gD_row * D_tile)  # (1, tp)
             t_fin = 1.0 - A_row
             ga_sat = gA_row * t_fin  # the gA T_fin numerator, hoisted
 
@@ -241,7 +258,8 @@ def _make_bwd_kernel(cfg: RenderConfig, block: int):
                     v["cr"] * gC[0:1, :]
                     + v["cg"] * gC[1:2, :]
                     + v["cb"] * gC[2:3, :]
-                )  # (128, tp) = gC . c_i
+                    + v["d"] * gD_row
+                )  # (128, tp) = gC . c_i + gD d_i
                 at = a * ti
                 u = w_pan * at
                 incl = _inclusive_cumsum_rows(u) + u_carry
@@ -291,12 +309,14 @@ def _make_bwd_kernel(cfg: RenderConfig, block: int):
                 g_cr = jnp.sum(gC[0:1, :] * at, axis=1, keepdims=True)
                 g_cg = jnp.sum(gC[1:2, :] * at, axis=1, keepdims=True)
                 g_cb = jnp.sum(gC[2:3, :] * at, axis=1, keepdims=True)
+                g_d = jnp.sum(gD_row * at, axis=1, keepdims=True)
 
                 # write this group's row of the grad window: (128, 1) columns
                 # transpose to (1, 128) lane rows per field section
                 vals = (g_cx, g_cy, g_r, g_op, g_cr, g_cg, g_cb)
                 if cfg.oriented:
                     vals = vals + (g_ang, g_ratio)
+                vals = vals + (g_d,)  # depth: last stream section
                 for k, col in enumerate(vals):
                     mine = col.T  # (1, 128)
                     sec = slice(128 * k, 128 * (k + 1))
@@ -346,18 +366,19 @@ def _fwd_pallas(binned, cfg: RenderConfig, block: int, interpret: bool):
     out = out[:num_tiles]
     empty = (binned["counts"] == 0)[:, None]
     tile_color = jnp.where(empty[..., None], 0.0, out[:, 0:3, :].transpose(0, 2, 1))
-    tile_alpha = jnp.where(empty, 0.0, 1.0 - out[:, 3, :])
-    return tile_color, tile_alpha
+    tile_depth = jnp.where(empty, 0.0, out[:, 3, :])
+    tile_alpha = jnp.where(empty, 0.0, 1.0 - out[:, 4, :])
+    return tile_color, tile_alpha, tile_depth
 
 
 @functools.partial(
     jax.jit, static_argnames=("cfg", "block", "interpret")
 )
 def _bwd_pallas(
-    binned, tile_color, tile_alpha, g_color, g_alpha,
+    binned, tile_color, tile_alpha, tile_depth, g_color, g_alpha, g_depth,
     cfg: RenderConfig, block: int, interpret: bool,
 ):
-    """Run the backward kernel; returns the (rows_out, 896) grad stream."""
+    """Run the backward kernel; returns the (rows_out, 128*nf) grad stream."""
     tp = cfg.tile_pixels
     num_tiles = cfg.num_tiles
     n_blocks_cap = binned["block_tile"].shape[0]
@@ -366,13 +387,16 @@ def _bwd_pallas(
     nblocks = (rows + bw - 1) // bw
     rows_out = (nblocks + 1) * bw  # one extra: the trash block
 
-    # cotangent + residual table, one (8, tp) row-block per tile:
-    # [gC (3) | gA | C_tile (3) | A]; row num_tiles stays zero (trash)
-    cot = jnp.zeros((num_tiles + 1, 8, tp), jnp.float32)
+    # cotangent + residual table, one (16, tp) row-block per tile:
+    # [gC (3) | gA | C_tile (3) | A | gD | D | 6 spare]; row num_tiles
+    # stays zero (trash).  16 rows keeps the sublane dim 8-aligned.
+    cot = jnp.zeros((num_tiles + 1, 16, tp), jnp.float32)
     cot = cot.at[:num_tiles, 0:3, :].set(g_color.transpose(0, 2, 1))
     cot = cot.at[:num_tiles, 3, :].set(g_alpha)
     cot = cot.at[:num_tiles, 4:7, :].set(tile_color.transpose(0, 2, 1))
     cot = cot.at[:num_tiles, 7, :].set(tile_alpha)
+    cot = cot.at[:num_tiles, 8, :].set(g_depth)
+    cot = cot.at[:num_tiles, 9, :].set(tile_depth)
 
     is_real = binned["block_tile"] < num_tiles
     bwin_out = jnp.where(is_real, binned["block_window"], nblocks)
@@ -382,7 +406,7 @@ def _bwd_pallas(
         grid=(n_blocks_cap,),
         in_specs=[
             pl.BlockSpec((bw, 128 * _nfields(cfg)), lambda b, bt, bf, bwin, bwo, bl0, bcnt: (bwin[b], 0)),
-            pl.BlockSpec((1, 8, tp), lambda b, bt, bf, bwin, bwo, bl0, bcnt: (bt[b], 0, 0)),
+            pl.BlockSpec((1, 16, tp), lambda b, bt, bf, bwin, bwo, bl0, bcnt: (bt[b], 0, 0)),
         ],
         out_specs=pl.BlockSpec(
             (bw, 128 * _nfields(cfg)), lambda b, bt, bf, bwin, bwo, bl0, bcnt: (bwo[b], 0)
@@ -445,15 +469,18 @@ def blend_planes_pallas(
     angle: jnp.ndarray,
     ratio: jnp.ndarray,
     depth: jnp.ndarray,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Differentiable Pallas tile blend over continuous (N,) record planes.
 
-    Returns (tile_color (T, tp, 3), tile_alpha (T, tp)) — feed through
-    compositor.tiles_to_image for the image.  Gradients flow to every plane
-    except depth (compositing ORDER is structure, like the tile assignment —
-    standard differentiable-rasterization semantics, see render/diff.py).
-    angle/ratio participate only for oriented cfgs (isotropic profiles get
-    zero gradients for them)."""
+    Returns (tile_color (T, tp, 3), tile_alpha (T, tp), tile_depth (T, tp))
+    — feed color/alpha through compositor.tiles_to_image for the image;
+    tile_depth is the alpha-weighted expected-depth sum D = sum d_i a_i T_i
+    under the SAME blend weights as color (render_diff_gbuffer normalizes
+    by alpha).  Gradients flow to every plane; depth's gradient flows
+    through its VALUE in D only — compositing ORDER remains structure,
+    like the tile assignment (standard differentiable-rasterization
+    semantics, see render/diff.py).  angle/ratio participate only for
+    oriented cfgs (isotropic profiles get zero gradients for them)."""
     out, _ = _diff_fwd(
         cfg, block, interpret,
         cx, cy, radius, opacity, cr, cg, cb, angle, ratio, depth,
@@ -474,27 +501,31 @@ def _planes_dict(
 def _diff_fwd(cfg, block, interpret, *plane_args):
     planes = _planes_dict(*plane_args)
     binned = bin_planes_diff(planes, cfg, block)
-    tile_color, tile_alpha = _fwd_pallas(binned, cfg, block, interpret)
-    res = (binned, tile_color, tile_alpha, plane_args[0].shape[0])
-    return (tile_color, tile_alpha), res
+    tile_color, tile_alpha, tile_depth = _fwd_pallas(
+        binned, cfg, block, interpret)
+    res = (binned, tile_color, tile_alpha, tile_depth,
+           plane_args[0].shape[0])
+    return (tile_color, tile_alpha, tile_depth), res
 
 
 def _diff_bwd(cfg, block, interpret, res, cot):
-    binned, tile_color, tile_alpha, n = res
-    g_color, g_alpha = cot
+    binned, tile_color, tile_alpha, tile_depth, n = res
+    g_color, g_alpha, g_depth = cot
     gout = _bwd_pallas(
-        binned, tile_color, tile_alpha, g_color, g_alpha, cfg, block, interpret
+        binned, tile_color, tile_alpha, tile_depth,
+        g_color, g_alpha, g_depth, cfg, block, interpret,
     )
     grads = _route_grads(binned, gout, n, cfg)
     g_cx, g_cy, g_r, g_op, g_cr, g_cg, g_cb = grads[:7]
     zero = jnp.zeros_like(g_cx)
     g_ang, g_ratio = (grads[7], grads[8]) if cfg.oriented else (zero, zero)
-    # depth orders the composite (structure): zero cotangent, like the scan
-    # path where the depth column feeds only sort keys.
+    # depth's VALUE gradient (through the expected-depth channel); its role
+    # as the compositing ORDER stays structure (zero, like tile assignment).
     # NOTE: callers pass opacity/colors already clipped to [0, 1]
     # (render_diff), so the in-binning clip is the identity and needs no
     # gradient gating here.
-    return (g_cx, g_cy, g_r, g_op, g_cr, g_cg, g_cb, g_ang, g_ratio, zero)
+    g_d = grads[-1]
+    return (g_cx, g_cy, g_r, g_op, g_cr, g_cg, g_cb, g_ang, g_ratio, g_d)
 
 
 blend_planes_pallas.defvjp(_diff_fwd, _diff_bwd)

@@ -853,13 +853,17 @@ def bin_packed_words(
 
 
 # stream lane-section order of the differentiable f32 pair stream;
-# oriented profiles append the ellipse fields
+# oriented profiles append the ellipse fields.  depth is ALWAYS the last
+# section: the kernel pair accumulates alpha-weighted expected depth as a
+# 4th color channel (render_diff_gbuffer's Pallas path), and keeping it
+# last preserves the oriented ang/ratio indices (7, 8) the kernels slice.
 DIFF_FIELDS = ("cx", "cy", "radius", "opacity", "r", "g", "b")
 DIFF_FIELDS_ORIENTED = DIFF_FIELDS + ("angle", "ratio")
 
 
 def diff_fields(cfg: RenderConfig) -> Tuple[str, ...]:
-    return DIFF_FIELDS_ORIENTED if cfg.oriented else DIFF_FIELDS
+    base = DIFF_FIELDS_ORIENTED if cfg.oriented else DIFF_FIELDS
+    return base + ("depth",)
 
 
 def bin_planes_diff(
@@ -896,10 +900,15 @@ def bin_planes_diff(
         jnp.clip(planes[k], 0.0, 1.0) if k in ("opacity", "r", "g", "b")
         else planes[k]
         for k in fields
+        if k != "depth"  # depth is the sort KEY; re-appended below
     )
     res = jax.lax.sort((depth, iota_n) + field_cols, num_keys=2)
     depth_s, src = res[0], res[1]
-    cols_s = res[2:]  # canonical-order field planes
+    # canonical-order field planes; depth rides last (diff_fields order).
+    # Culled records carry inf depth (sort sentinel) — zero it in the
+    # STREAM copy: their blend weight is exactly 0, but 0 * inf = NaN would
+    # contaminate the kernel's MXU contraction.
+    cols_s = res[2:] + (jnp.where(jnp.isfinite(depth_s), depth_s, 0.0),)
 
     tx0, ty0, w, h = _footprint_cols(
         cols_s[0], cols_s[1], cols_s[2], jnp.isfinite(depth_s), cfg,

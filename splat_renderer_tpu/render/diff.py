@@ -124,7 +124,7 @@ def render_diff(
 
         c = shade_planes(splats, camera["view_proj"], camera["cam_pos"], cfg)
         clip01 = lambda v: jnp.clip(v, 0.0, 1.0)  # noqa: E731
-        tile_color, tile_alpha = blend_planes_pallas(
+        tile_color, tile_alpha, _ = blend_planes_pallas(
             cfg, block, interpret,
             c["cx"], c["cy"], c["radius"], clip01(c["opacity"]),
             clip01(c["r"]), clip01(c["g"]), clip01(c["b"]),
@@ -155,11 +155,22 @@ def render_diff_gbuffer(
     camera: CameraArrays,
     cfg: RenderConfig,
     alpha_eps: float = 1e-6,
+    method: str = "tiles",
+    block: int = 1024,
+    interpret: bool | None = None,
 ) -> Dict[str, jnp.ndarray]:
     """Differentiable G-buffer: {"rgb" (H,W,3), "depth" (H,W), "alpha"
     (H,W)} from the CONTINUOUS record — pipeline.render_gbuffer's diff twin
-    (same alpha-normalized expected-depth semantics), rendered on the tile
-    scan compositor with `differentiable=True` + `return_aux=True`.
+    (same alpha-normalized expected-depth semantics).
+
+    method="pallas" (training grade): the custom-VJP kernel pair
+    (ops/tile_blend_diff.py) accumulates the alpha-weighted expected-depth
+    sum as a 4th premultiplied channel under the SAME blend weights as
+    color, forward and adjoint — depth-supervised fitting runs at the same
+    speed class as color-only fitting.  Isotropic gaussian profiles only
+    (like render_diff's pallas method).  method="tiles": the XLA scan
+    compositor with `differentiable=True` + `return_aux=True` (any
+    profile; ~8-10x slower).
 
     `jax.grad` of a loss over any channel reaches every continuous splat
     field: the depth channel depends on positions BOTH through the per-pair
@@ -168,11 +179,33 @@ def render_diff_gbuffer(
     the direction a color-only loss constrains weakly.  Background pixels
     carry depth 0 and alpha ~ 0; mask depth losses by the TARGET's coverage
     so their zero-gradient plateau never contributes.
-
-    The custom-VJP Pallas pair stays color-only (its VMEM accumulators are
-    shaped for 3 channels); depth-supervised fitting therefore runs the
-    tiles method.
     """
+    if method == "pallas":
+        if cfg.opaque:
+            raise ValueError("render_diff_gbuffer(method='pallas'): "
+                             "gaussian profiles only")
+        from ..ops.tile_blend_diff import blend_planes_pallas
+        from .compositor import tiles_to_image, tiles_to_plane
+        from .pipeline import on_tpu
+
+        if interpret is None:
+            interpret = not on_tpu()
+        c = shade_planes(splats, camera["view_proj"], camera["cam_pos"], cfg)
+        clip01 = lambda v: jnp.clip(v, 0.0, 1.0)  # noqa: E731
+        tile_color, tile_alpha, tile_depth = blend_planes_pallas(
+            cfg, block, interpret,
+            c["cx"], c["cy"], c["radius"], clip01(c["opacity"]),
+            clip01(c["r"]), clip01(c["g"]), clip01(c["b"]),
+            c["angle"], c["ratio"], c["depth"],
+        )
+        img = tiles_to_image(tile_color, tile_alpha, cfg)
+        alpha = tiles_to_plane(tile_alpha, cfg)
+        depth_acc = tiles_to_plane(tile_depth, cfg)
+        depth = jnp.where(
+            alpha > alpha_eps, depth_acc / jnp.maximum(alpha, alpha_eps), 0.0
+        )
+        return {"rgb": img, "depth": depth, "alpha": alpha}
+
     records = splat_screen_records_diff(
         splats, camera["view_proj"], camera["cam_pos"], cfg
     )
