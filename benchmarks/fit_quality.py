@@ -41,6 +41,10 @@ def main() -> None:
     ap.add_argument("--method", default="tiles",
                     choices=("oracle", "tiles", "pallas"))
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--densify", action="store_true",
+                    help="density-control ablation: fit from a degraded "
+                         "cloud (half the splats dead) under none / "
+                         "split-only / clone+split regimes")
     args = ap.parse_args()
 
     import jax
@@ -83,6 +87,62 @@ def main() -> None:
     )
     targets = [render(splats, c) for c in fit_cams]
     truth_held = render(splats, held_out)
+
+    if args.densify:
+        # ---- density-control ablation (VERDICT r2 item 8): start from a
+        # DEGRADED cloud — a random half of the splats dead (radius 0,
+        # their slots are free capacity) — and fit geometry+appearance with
+        # adaptive density control.  Regimes: no densify / split-only
+        # (clone_radius=0 makes every candidate "big") / clone+split (the
+        # full Kerbl 5.2 mechanism, clone_radius=None live-mean boundary).
+        # Clone+split must win: the survivors UNDER-reconstruct (coverage
+        # holes), which is exactly the clone regime; split-only shrinks
+        # them and deepens the holes. ----
+        kill = np.zeros(args.n, bool)
+        kill[np.random.default_rng(7).choice(args.n, args.n // 2,
+                                             replace=False)] = True
+        kill_j = jnp.asarray(kill)
+        degraded = dict(
+            splats,
+            radius=jnp.where(kill_j, 0.0, splats["radius"]),
+            opacity=jnp.where(kill_j, 0.0, splats["opacity"]),
+        )
+        gfields = ("px", "py", "pz", "radius", "opacity",
+                   "cr", "cg", "cb")
+        # one densify event at 1/3 of the fit (each event resets Adam, so
+        # fewer, earlier events leave the optimizer room to exploit the new
+        # capacity); moderate geometry lr
+        dk = dict(densify_every=max(args.steps // 3, 1),
+                  densify_threshold=1e-7)
+        regimes = [("none", dict()),
+                   ("split_only", dict(clone_radius=0.0, **dk)),
+                   ("clone_split", dict(**dk))]
+        rows = []
+        for name, kw in regimes:
+            t0 = time.perf_counter()
+            fitted, losses = fit.fit_splats(
+                degraded, fit_cams, targets, cfg, fields=gfields,
+                steps=args.steps, lr=min(args.lr, 1e-2),
+                method=args.method, **kw,
+            )
+            dt = time.perf_counter() - t0
+            img = render(fitted, held_out)
+            mse = float(jnp.mean((img - truth_held) ** 2))
+            live = int(np.sum(np.asarray(fitted["radius"]) > 0))
+            row = {"regime": name, "live": live,
+                   "psnr_held_out_db":
+                       round(float(fit.psnr(jnp.asarray(mse))), 2),
+                   "fit_seconds": round(dt, 1)}
+            rows.append(row)
+            print(f"# {name:>11}: psnr {row['psnr_held_out_db']} dB  "
+                  f"live {live}  ({dt:.0f}s)", file=sys.stderr)
+        print(json.dumps({
+            "metric": "fit_quality_densify_ablation",
+            "n_splats": args.n, "resolution": f"{args.res}x{args.res}",
+            "steps": args.steps, "method": args.method,
+            "device": str(jax.devices()[0]), "results": rows,
+        }))
+        return
 
     fields = ("cr", "cg", "cb", "opacity")
     init = {k: jnp.full_like(splats[k], 0.5) for k in fields}

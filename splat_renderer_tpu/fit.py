@@ -17,6 +17,7 @@ Design notes (all measured, see CLAUDE.md):
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, Optional, Sequence, Tuple
 
 import jax
@@ -68,6 +69,9 @@ def fit_splats(
     densify_every: int = 0,
     densify_threshold: float = 1e-5,
     prune_opacity: float = 0.005,
+    clone_radius: Optional[float] = None,
+    opacity_reset_every: int = 0,
+    opacity_reset_value: float = 0.01,
     key: Optional[jax.Array] = None,
     checkpoint_path: Optional[str] = None,
     checkpoint_every: int = 0,
@@ -89,9 +93,20 @@ def fit_splats(
 
     densify_every > 0 enables 3DGS adaptive density control (density_control)
     every that many steps: splats whose ACCUMULATED positional-gradient
-    magnitude exceeds densify_threshold split into freed capacity (pruned
-    low-opacity slots); requires px/py/pz/radius/opacity in `fields` and
-    resets the Adam state at each event (the population changed).
+    magnitude exceeds densify_threshold reproduce into freed capacity
+    (pruned low-opacity slots) — small candidates CLONE at full size, large
+    ones SPLIT with both halves shrunk (the Kerbl sec. 5.2 under-/over-
+    reconstruction regimes; boundary `clone_radius`, None = live-radius
+    mean); requires px/py/pz/radius/opacity in `fields` and resets the Adam
+    state at each event (the population changed).
+
+    opacity_reset_every > 0 additionally clamps every live opacity DOWN to
+    opacity_reset_value every that many steps (Kerbl sec. 5.2's periodic
+    reset): splats the optimizer does not pull back up within the next
+    densify interval fall under prune_opacity and die — the mechanism that
+    clears accumulated floaters near the camera and lets density control
+    escape local minima in long fits.  Resets the Adam state at the event
+    (the parameter jumped), like densify events do.
 
     checkpoint_path + checkpoint_every > 0 write the FULL training state
     (theta, Adam moments, splats, densify score, RNG key, step, loss curve)
@@ -116,8 +131,10 @@ def fit_splats(
     datagen --gbuffer writes and data.load_dataset(gbuffer=True) returns).
     The objective gains depth_weight * mean_{target depth > 0} |d - d*|
     per view, rendered through render_diff_gbuffer — depth constrains the
-    along-ray direction a color loss barely sees.  Requires method="tiles"
-    (the Pallas VJP kernels are color-only).
+    along-ray direction a color loss barely sees.  Runs at full training
+    speed with method="pallas": the custom-VJP kernel pair carries the
+    expected-depth channel forward AND backward (ops/tile_blend_diff.py);
+    method="tiles" remains the any-profile fallback.
 
     Returns (splats with fitted fields, (steps,) loss curve)
     [+ fitted sh if fit_sh].
@@ -127,10 +144,10 @@ def fit_splats(
     if depth_targets is not None:
         if len(depth_targets) != len(cameras):
             raise ValueError("depth_targets must pair up with cameras")
-        if method != "tiles":
+        if method == "oracle":
             raise ValueError(
-                "depth supervision renders the G-buffer — only "
-                "method='tiles' produces it differentiably"
+                "depth supervision renders the G-buffer — use "
+                "method='pallas' (training grade) or 'tiles'"
             )
     if not fields and not fit_sh:
         raise ValueError("nothing to fit: fields is empty")
@@ -172,7 +189,7 @@ def fit_splats(
                 if dtargets is not None:
                     from .render.diff import render_diff_gbuffer
 
-                    gb = render_diff_gbuffer(s_v, cam, cfg)
+                    gb = render_diff_gbuffer(s_v, cam, cfg, method=method)
                     l_v = loss_img(gb["rgb"], t)
                     dt = dtargets[i]
                     mask = (dt > 0.0).astype(jnp.float32)
@@ -261,12 +278,18 @@ def fit_splats(
                 if fit_sh else sh_fixed
             )
             if sh_cur is not None:
-                merged, sh_new, stats = jax.jit(density_control)(
+                merged, sh_new, stats = jax.jit(
+                    functools.partial(density_control,
+                                      clone_radius=clone_radius)
+                )(
                     dict(splats, **theta_f), score / densify_every, sub,
                     densify_threshold, prune_opacity, sh=sh_cur,
                 )
             else:
-                merged, stats = jax.jit(density_control)(
+                merged, stats = jax.jit(
+                    functools.partial(density_control,
+                                      clone_radius=clone_radius)
+                )(
                     dict(splats, **theta_f), score / densify_every, sub,
                     densify_threshold, prune_opacity,
                 )
@@ -281,8 +304,19 @@ def fit_splats(
             if log_every:
                 print(
                     f"  densify @{i + 1}: split {int(stats['split'])}, "
+                    f"cloned {int(stats['cloned'])}, "
                     f"pruned {int(stats['pruned'])}, live {int(stats['live'])}"
                 )
+        if (opacity_reset_every and (i + 1) % opacity_reset_every == 0
+                and i + 1 < steps and "opacity" in theta):
+            # Kerbl sec. 5.2 periodic opacity reset: clamp DOWN to the reset
+            # value; dead slots (opacity 0) stay dead, live splats must earn
+            # their opacity back before the next prune or they die
+            theta = dict(theta, opacity=jnp.minimum(
+                theta["opacity"], opacity_reset_value))
+            opt_state = opt.init(theta)  # parameter jumped: fresh moments
+            if log_every:
+                print(f"  opacity reset @{i + 1} -> <= {opacity_reset_value}")
         if checkpoint_path and checkpoint_every and (
             (i + 1) % checkpoint_every == 0 or i + 1 == steps
         ):
@@ -487,8 +521,9 @@ def density_control(
     densify_threshold: float,
     prune_opacity: float = 0.005,
     split_factor: float = 1.6,
-    jitter: float = 0.01,
+    jitter: float = 0.5,
     sh=None,
+    clone_radius: float | None = None,
 ):
     """One 3DGS adaptive-density event under STATIC shapes.
 
@@ -500,11 +535,25 @@ def density_control(
     - prune: live splats with opacity < prune_opacity die (their slots join
       the free pool).
     - densify: live splats whose accumulated positional-gradient score
-      exceeds densify_threshold SPLIT — the i-th highest-scoring candidate
-      clones into the i-th free slot (rank-matching via one sort + an
-      N-scale gather/scatter, no dynamic shapes; candidates beyond the free
-      pool wait for the next event).  Both halves shrink by split_factor and
-      the clone is jittered by `jitter` * its world radius.
+      exceeds densify_threshold reproduce — the i-th highest-scoring
+      candidate copies into the i-th free slot (rank-matching via one sort
+      + an N-scale gather/scatter, no dynamic shapes; candidates beyond the
+      free pool wait for the next event).  Kerbl sec. 5.2 distinguishes the
+      two under-/over-reconstruction regimes and so do we, by world radius
+      against `clone_radius` (None = the live-radius mean, the static-shape
+      stand-in for percent_dense x scene extent):
+        * CLONE (radius <= clone_radius, under-reconstruction): the copy
+          keeps the original's size — coverage grows where geometry is
+          missing.
+        * SPLIT (radius > clone_radius, over-reconstruction): original and
+          copy both shrink by split_factor — detail grows where one big
+          splat blurs structure.
+      Every copy is jittered by `jitter` * its world radius — Kerbl samples
+      child positions from the source's own footprint pdf; a sub-radius
+      offset (default 0.5 sigma) breaks the gradient symmetry of coincident
+      copies so the optimizer can pull the pair apart (a near-zero jitter
+      leaves both halves receiving identical gradients and they never
+      separate — measured in benchmarks/fit_quality.py --densify).
 
     `sh` (the ``{"r"|"g"|"b": (n_rest, N)}`` coefficient pytree,
     render/sh.py) reallocates alongside the splats: pruned slots zero their
@@ -541,11 +590,20 @@ def density_control(
     # prune: zero the slot (radius 0 = culled everywhere)
     out["radius"] = jnp.where(prune, 0.0, radius)
     out["opacity"] = jnp.where(prune, 0.0, opacity)
-    # split originals shrink (mask scatter: slots of the paired candidates;
-    # add-then-threshold so unpaired writes to slot 0 cannot clobber)
+    # clone-vs-split boundary (Kerbl sec. 5.2): small candidates clone at
+    # full size, large ones split with both halves shrunk
+    if clone_radius is None:
+        n_keep = jnp.maximum(jnp.sum(keep.astype(jnp.int32)), 1)
+        clone_thr = jnp.sum(jnp.where(keep, radius, 0.0)) / n_keep
+    else:
+        clone_thr = jnp.asarray(clone_radius, radius.dtype)
+    is_big = radius > clone_thr
+    # split originals shrink (mask scatter: slots of the paired LARGE
+    # candidates; add-then-threshold so unpaired writes to slot 0 cannot
+    # clobber).  Small candidates (clones) keep their size.
     split_mask = (
         jnp.zeros((n,), jnp.int32)
-        .at[src].add(pair_ok.astype(jnp.int32), mode="drop")
+        .at[src].add((pair_ok & is_big[src]).astype(jnp.int32), mode="drop")
     ) > 0
     out["radius"] = jnp.where(split_mask, out["radius"] / split_factor,
                               out["radius"])
@@ -559,9 +617,11 @@ def density_control(
                 keys[axis], vals.shape
             )
         out[f] = out[f].at[dst].set(jnp.where(pair_ok, vals, 0.0), mode="drop")
+    n_split = jnp.sum((pair_ok & is_big[src]).astype(jnp.int32))
     stats = {
         "pruned": jnp.sum(prune.astype(jnp.int32)),
-        "split": k_live,
+        "split": n_split,
+        "cloned": k_live - n_split,
         "live": jnp.sum((out["radius"] > 0.0).astype(jnp.int32)),
     }
     if sh is not None:

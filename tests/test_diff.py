@@ -380,7 +380,7 @@ class TestDepthGradients:
         assert err_depth_fit < 0.35 * init_err, (init_err, err_depth_fit)
         assert err_depth_fit < 0.6 * err_rgb_fit, (err_rgb_fit, err_depth_fit)
 
-    def test_depth_targets_require_tiles(self, key):
+    def test_depth_targets_reject_oracle(self, key):
         from splat_renderer_tpu.fit import fit_splats
 
         _, camera, splats = _scene_and_splats(key, n=50)
@@ -388,4 +388,102 @@ class TestDepthGradients:
         d = jnp.zeros((CFG.height, CFG.width))
         with pytest.raises(ValueError):
             fit_splats(splats, [camera], [t], CFG, steps=1,
-                       method="pallas", depth_targets=[d])
+                       method="oracle", depth_targets=[d])
+
+
+class TestPallasDepth:
+    """The kernel pair's expected-depth channel (4th premultiplied channel,
+    ops/tile_blend_diff.py) against the FD-verified tiles G-buffer."""
+
+    def test_gbuffer_matches_tiles(self, key):
+        from splat_renderer_tpu.render import render_diff_gbuffer
+
+        _, camera, splats = _scene_and_splats(key, n=250)
+        gb_t = render_diff_gbuffer(splats, camera, CFG, method="tiles")
+        gb_p = render_diff_gbuffer(splats, camera, CFG, method="pallas",
+                                   interpret=True)
+        for k in ("rgb", "depth", "alpha"):
+            np.testing.assert_allclose(
+                np.asarray(gb_p[k]), np.asarray(gb_t[k]), atol=3e-5,
+                err_msg=k,
+            )
+
+    def test_depth_gradients_match_tiles(self, key):
+        """A masked depth-L1 + color loss: every field's gradient through
+        the kernel's depth channel must match the scan path."""
+        from splat_renderer_tpu.render import render_diff_gbuffer
+
+        _, camera, splats = _scene_and_splats(key, n=150)
+        gb0 = render_diff_gbuffer(splats, camera, CFG, method="tiles")
+        dt = jnp.where(gb0["alpha"] > 0.5, gb0["depth"] + 0.05, 0.0)
+        mask = (dt > 0.0).astype(jnp.float32)
+        target = jnp.full((CFG.height, CFG.width, 3), 0.4)
+        fields = ("px", "py", "pz", "radius", "opacity", "cr")
+
+        def make_loss(method):
+            def f(theta):
+                gb = render_diff_gbuffer(dict(splats, **theta), camera, CFG,
+                                         method=method, interpret=True)
+                l_rgb = jnp.mean((gb["rgb"] - target) ** 2)
+                l_d = jnp.sum(jnp.abs(gb["depth"] - dt) * mask) / jnp.sum(mask)
+                return l_rgb + l_d
+            return f
+
+        theta = {k: splats[k] for k in fields}
+        gt = jax.grad(make_loss("tiles"))(theta)
+        gp = jax.grad(make_loss("pallas"))(theta)
+        for k in fields:
+            a, b = np.asarray(gt[k]), np.asarray(gp[k])
+            scale = np.abs(a).max() + 1e-12
+            assert np.isfinite(b).all(), k
+            assert np.abs(a - b).max() / scale < 1e-3, (
+                f"{k}: maxrel {np.abs(a - b).max() / scale:.2e}"
+            )
+
+    def test_depth_gradient_matches_finite_differences_pallas(self, key):
+        """FD gate directly on the kernel path (not just tiles-parity)."""
+        from splat_renderer_tpu.render import render_diff_gbuffer
+
+        _, camera, splats = _scene_and_splats(key, n=80)
+        gb0 = render_diff_gbuffer(splats, camera, CFG, method="pallas",
+                                  interpret=True)
+        dt = jnp.where(gb0["alpha"] > 0.5, gb0["depth"] + 0.05, 0.0)
+        mask = (dt > 0.0).astype(jnp.float32)
+
+        @jax.jit
+        def loss(pz):
+            gb = render_diff_gbuffer(dict(splats, pz=pz), camera, CFG,
+                                     method="pallas", interpret=True)
+            return jnp.sum(jnp.abs(gb["depth"] - dt) * mask) / jnp.sum(mask)
+
+        g = jax.jit(jax.grad(loss))(splats["pz"])
+        assert np.all(np.isfinite(np.asarray(g)))
+        assert float(jnp.max(jnp.abs(g))) > 0.0
+        idx = np.argsort(-np.abs(np.asarray(g)))[:3]
+        eps = 1e-3
+        ok = 0
+        for i in idx:
+            e = jnp.zeros_like(splats["pz"]).at[i].set(eps)
+            fd = (loss(splats["pz"] + e) - loss(splats["pz"] - e)) / (2 * eps)
+            if float(fd) == pytest.approx(float(g[i]), rel=0.2, abs=1e-9):
+                ok += 1
+        assert ok >= 2
+
+    def test_fit_depth_supervision_pallas(self, key):
+        """fit_splats(depth_targets=..., method='pallas') descends."""
+        from splat_renderer_tpu.fit import fit_splats
+        from splat_renderer_tpu.render import render_diff, render_diff_gbuffer
+
+        _, camera, splats = _scene_and_splats(key, n=150)
+        gb = render_diff_gbuffer(splats, camera, CFG, method="pallas",
+                                 interpret=True)
+        target = render_diff(splats, camera, CFG, method="pallas",
+                             interpret=True)
+        pz_off = {"pz": splats["pz"] + 0.05}
+        start = dict(splats, **pz_off)
+        fitted, losses = fit_splats(
+            start, [camera], [target], CFG,
+            fields=("px", "py", "pz"), steps=25, lr=8e-3, method="pallas",
+            depth_targets=[gb["depth"]], depth_weight=1.0,
+        )
+        assert float(losses[-1]) < float(losses[0]) * 0.6
