@@ -329,8 +329,13 @@ def check_depth_key_order() -> bool:
     records within ~2^-22 relative depth (360p's 10 tile bits keep 22 key
     bits) composite in arbitrary order.  The deviation must stay visually
     bounded vs the rank-ordered turbo frame (benchmarks/probe_depth_order.py
-    measured ssim 1.000 / meandiff 1.5e-4 at 1M @1080p on v5e)."""
-    from splat_renderer_tpu.utils.ssim import ssim
+    measured ssim 1.000 / meandiff 1.5e-4 at 1M @1080p on v5e).
+
+    SSIM is computed ON HOST with range asserts (utils.ssim.quality_gate):
+    quality scalars from the device are not scoreboard-trustworthy — the
+    default bf16 conv precision produced an impossible 1.2312 in BENCH_r02
+    (root cause in benchmarks/probe_ssim_device.py)."""
+    from splat_renderer_tpu.utils.ssim import quality_gate
 
     scene = _scene()
     imgs = []
@@ -347,11 +352,53 @@ def check_depth_key_order() -> bool:
         imgs.append(np.asarray(
             jax.jit(lambda d: render_tiles_pallas(d, None, cfg))(data)
         ))
-    s = float(ssim(jnp.asarray(imgs[0]), jnp.asarray(imgs[1])))
+    s = quality_gate(imgs[1], imgs[0])
     meandiff = float(np.abs(imgs[0] - imgs[1]).mean())
     ok = np.isfinite(imgs[1]).all() and s > 0.995 and meandiff < 1e-3
     print(f"{'turbo depth-key order':>24}: ssim={s:.5f}  "
           f"meandiff={meandiff:.2e}  {'OK' if ok else 'FAIL'}")
+    return ok
+
+
+def check_turbo_at_scale() -> bool:
+    """Turbo vs exact at the SHIPPING scale (1M @1080p) — the r02 anomaly
+    appeared exactly here while the old gate ran at 20k @360p (1/144th the
+    scale).  Renders both presets at the bench config, asserts image range /
+    finiteness on host, and gates host-side SSIM >= 0.99.  This is the
+    driver-visible twin of bench.py's quality metric: a turbo regression or
+    an out-of-range render at scale can never again ship ungated."""
+    from splat_renderer_tpu.render.binning import bin_splats_packed
+    from splat_renderer_tpu.render.pipeline import render_splats
+    from splat_renderer_tpu.utils.ssim import quality_gate
+
+    scene = _scene()
+    cam = spt.Camera(aspect=1920 / 1080)
+    camera = {k: jnp.asarray(v) for k, v in cam.arrays().items()}
+    base = RenderConfig(width=1920, height=1080, base_radius=0.008,
+                        tiles_per_splat_cap=4)
+    splats = jax.jit(
+        lambda p, k: model_points(scene, p, k, 1_000_000, PointConfig(), base)
+    )(scene.params(), jax.random.PRNGKey(0))
+
+    imgs = []
+    for cfg in (base, spt.turbo_render_config(
+            1920, 1080, base_radius=0.008, tiles_per_splat_cap=4)):
+        data = jax.jit(lambda s, c: splat_screen_data(s, c, cfg))(
+            splats, camera)
+        binned = jax.jit(lambda d: bin_splats_packed(d, cfg, 1024))(data)
+        mt = int(np.asarray(binned["tiles_used"]) * 1.15) + 8
+        img = jax.jit(lambda s, c: render_splats(
+            s, c, cfg, "pallas", 1024, blend_max_blocks=mt,
+            blend_kernel="tile"))(splats, camera)
+        imgs.append(np.asarray(jax.device_get(img)))
+
+    try:
+        s = quality_gate(imgs[1], imgs[0])
+    except AssertionError as e:
+        print(f"{'turbo @1M/1080p':>24}: {e}  FAIL")
+        return False
+    ok = s >= 0.99
+    print(f"{'turbo @1M/1080p':>24}: ssim={s:.5f}  {'OK' if ok else 'FAIL'}")
     return ok
 
 
@@ -362,6 +409,13 @@ def main() -> int:
         "isotropic 1080p",
         RenderConfig(width=1920, height=1080, base_radius=0.03,
                      tiles_per_splat_cap=4),
+        20_000,
+    )
+    ok &= check(
+        "isotropic-ts32 360p",  # the round-3 headline tile size: the whole
+        # quantize/bin/blend chain re-gated at 32 px tiles (r grid doubles)
+        RenderConfig(width=640, height=368, base_radius=0.03,
+                     tiles_per_splat_cap=4, tile_size=32),
         20_000,
     )
     ok &= check(
@@ -398,6 +452,7 @@ def main() -> int:
         20_000,
     )
     ok &= check_depth_key_order()
+    ok &= check_turbo_at_scale()
     ok &= check(
         "antialias 360p",  # aa_dilation is record-domain (shade_planes):
         # oracle/tiles/pallas consume the same dilated record, so the ulp
