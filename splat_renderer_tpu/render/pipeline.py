@@ -275,6 +275,50 @@ class Engine:
             self._cache[(h, mb, cc)] = fn
         return fn
 
+    def _frame_splats(self, camera: CameraArrays, key: jax.Array):
+        """The splat planes a frame at this camera/key would render —
+        the stage_profile hook (SplatEngine overrides)."""
+        return jax.jit(
+            lambda p, k: model_points(self.scene, p, k, self.n, self.pcfg,
+                                      self.rcfg)
+        )(self.scene.params(), key)
+
+    def stage_profile(self, camera: CameraArrays, key: jax.Array,
+                      iters: int = 3) -> Dict[str, float]:
+        """One-off fused-delta stage timing at this camera (ms) — the
+        bench.py method: P1 = project, P2 = project+bin, P3 = full render;
+        deltas cancel the fixed dispatch overhead.  Pallas compositor only
+        (falls back to {} elsewhere).  Used by the viewer HUD."""
+        if not self._uses_pallas():
+            return {}
+        from ..utils.timing import time_fn
+        from .binning import bin_packed_words
+        from .projector import splat_screen_words
+
+        rcfg, block = self.rcfg, 1024
+        splats = self._frame_splats(camera, key)
+
+        def p1(s, c):
+            return splat_screen_words(s, c["view_proj"], c["cam_pos"], rcfg)
+
+        def p2(s, c):
+            w = p1(s, c)
+            return bin_packed_words(w["dk"], w["w_pos"], w["w_ro"],
+                                    w["w_rgb"], rcfg, block)["pair_w"]
+
+        def p3(s, c):
+            return render_splats(s, c, rcfg, "pallas", block,
+                                 blend_kernel=self.blend_kernel)
+
+        t1, _ = time_fn(jax.jit(p1), splats, camera, warmup=1, iters=iters)
+        t2, _ = time_fn(jax.jit(p2), splats, camera, warmup=1, iters=iters)
+        t3, _ = time_fn(jax.jit(p3), splats, camera, warmup=1, iters=iters)
+        return {
+            "project_ms": round(t1 * 1e3, 2),
+            "bin_ms": round(max(t2 - t1, 0.0) * 1e3, 2),
+            "blend_ms": round(max(t3 - t2, 0.0) * 1e3, 2),
+        }
+
     def frame(self, camera: CameraArrays, key: jax.Array) -> jnp.ndarray:
         h = self._key()
         mb = self._class.get(h)
@@ -351,6 +395,13 @@ class SplatEngine(Engine):
 
     def _key(self) -> str:
         return "static-splats"
+
+    def _frame_splats(self, camera: CameraArrays, key: jax.Array):
+        if self.sh is not None:
+            from .sh import apply_sh
+
+            return jax.jit(apply_sh)(self.splats, self.sh, camera["cam_pos"])
+        return self.splats
 
     def _args(self, camera: CameraArrays, key: jax.Array) -> Tuple:
         return (self.splats, self.sh, camera, key)

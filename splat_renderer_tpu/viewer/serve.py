@@ -1,13 +1,26 @@
 """Interactive browser viewer: mouse-orbit the TPU engine over HTTP.
 
 The reference is a browser WebGPU app with an OrbitCameraController bound to
-canvas mouse events (src/main.ts, src/OrbitCameraController.ts:35-70).  Our
-engine is headless; this serves the same interaction loop over HTTP: a
+canvas mouse events (src/main.ts:110-193, src/OrbitCameraController.ts:35-70).
+Our engine is headless; this serves the same interaction loop over HTTP: a
 single-page client maps drag/wheel gestures to orbit parameters (same speeds
-as the reference) and fetches freshly rendered PNG frames.
+as the reference) and streams freshly rendered frames.
 
-Stdlib-only (http.server); frames render on demand in ~tens of ms, so the
-loop is interactive on one chip.
+PIPELINED, not serial (round-3 redesign): a dedicated render thread
+continuously renders the LATEST requested camera state into a double buffer,
+while HTTP handler threads (ThreadingHTTPServer) encode and ship the newest
+completed frame — render of frame i+1 overlaps encode+transfer of frame i,
+so the served rate tracks the engine rate instead of the render+encode+ship
+sum.  Stale camera states are dropped (latest-wins), matching how a rAF
+browser loop coalesces input events.
+
+Transfer encodings: PNG (default, works in any <img>) or raw RGB
+(?raw=1, rendered via canvas putImageData — no encode on the hot path; the
+client picks raw automatically).  The HUD shows live server render ms,
+encode ms, client-measured FPS, and a one-off device per-stage profile
+(Engine.stage_profile: fused-delta project/bin/blend ms).
+
+Stdlib-only (http.server).
 
 Usage:
     from splat_renderer_tpu.viewer.serve import serve
@@ -17,8 +30,6 @@ Usage:
 from __future__ import annotations
 
 import io
-import json
-import math
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -30,27 +41,30 @@ import numpy as np
 
 from ..camera import Camera
 from ..render.pipeline import Engine
-from ..utils.image import to_uint8, write_png
+from ..utils.image import to_uint8
 
 _PAGE = """<!doctype html>
 <html><head><title>splat_renderer_tpu</title><style>
 body { margin:0; background:#0d0d1a; overflow:hidden; }
-img { width:100vw; height:100vh; object-fit:contain; display:block; cursor:grab; }
+canvas { width:100vw; height:100vh; object-fit:contain; display:block; cursor:grab; }
 #hud { position:fixed; top:8px; left:8px; color:#8fa; font:12px monospace;
        white-space:pre; }
 </style></head><body>
-<img id="v" draggable="false"><div id="hud"></div>
+<canvas id="v" width="__W__" height="__H__"></canvas><div id="hud"></div>
 <script>
 let az = 0.5, el = 0.5, dist = 3.0, px = 0, py = 0;
-let t0 = performance.now(), inflight = false, dirty = true;
-const img = document.getElementById('v'), hud = document.getElementById('hud');
+let t0 = performance.now(), seq = 0, frames = 0, fpsT = performance.now(), fps = 0;
+const animate = __ANIMATE__;
+const cv = document.getElementById('v'), hud = document.getElementById('hud');
+const ctx = cv.getContext('2d');
+const W = cv.width, H = cv.height;
 const clamp = (x, a, b) => Math.max(a, Math.min(b, x));
-let drag = null, panning = false;
+let drag = null, panning = false, dirty = true;
 // left drag rotates; middle/right drag pans (src/OrbitCameraController.ts:41-53)
-img.onmousedown = e => {
+cv.onmousedown = e => {
   drag = [e.clientX, e.clientY]; panning = e.button !== 0; e.preventDefault();
 };
-img.oncontextmenu = e => e.preventDefault();
+cv.oncontextmenu = e => e.preventDefault();
 window.onmouseup = () => drag = null;
 window.onmousemove = e => {
   if (!drag) return;
@@ -64,24 +78,132 @@ window.onmousemove = e => {
   drag = [e.clientX, e.clientY]; dirty = true;
 };
 window.onwheel = e => { dist = clamp(dist + e.deltaY * 0.001 * dist, 0.5, 20); dirty = true; };
-let prevUrl = null;
 async function loop() {
-  if (dirty && !inflight) {
-    dirty = false; inflight = true;
+  // keep exactly one fetch inflight; the server's render thread already
+  // pipelines the NEXT frame while this one encodes/ships
+  while (true) {
+    if (!dirty && !animate) { await new Promise(r => setTimeout(r, 8)); continue; }
+    dirty = false;
     const t = (performance.now() - t0) / 1000;
-    const r = await fetch(`/frame?az=${az}&el=${el}&d=${dist}&px=${px}&py=${py}&t=${t}`);
-    const ms = r.headers.get('x-render-ms');
-    const stages = r.headers.get('x-stage-ms') || '';
-    const url = URL.createObjectURL(await r.blob());
-    img.onload = () => { if (prevUrl) URL.revokeObjectURL(prevUrl); prevUrl = url; };
-    img.src = url;
-    hud.textContent = `render ${ms} ms  ${stages}\\naz=${az.toFixed(2)} el=${el.toFixed(2)} d=${dist.toFixed(2)} pan=(${px.toFixed(2)},${py.toFixed(2)})`;
-    inflight = false;
+    const r = await fetch(`/frame?az=${az}&el=${el}&d=${dist}&px=${px}&py=${py}&t=${t}&seq=${seq}&raw=1`);
+    seq = parseInt(r.headers.get('x-seq') || '0');
+    const ms = r.headers.get('x-render-ms'), stages = r.headers.get('x-stage-ms') || '';
+    const buf = new Uint8Array(await r.arrayBuffer());
+    const id = ctx.createImageData(W, H);
+    for (let i = 0, j = 0; i < buf.length; i += 3, j += 4) {
+      id.data[j] = buf[i]; id.data[j+1] = buf[i+1]; id.data[j+2] = buf[i+2]; id.data[j+3] = 255;
+    }
+    ctx.putImageData(id, 0, 0);
+    frames++;
+    const now = performance.now();
+    if (now - fpsT > 500) { fps = frames * 1000 / (now - fpsT); frames = 0; fpsT = now; }
+    hud.textContent = `served ${fps.toFixed(1)} fps  render ${ms} ms\\n${stages}\\naz=${az.toFixed(2)} el=${el.toFixed(2)} d=${dist.toFixed(2)} pan=(${px.toFixed(2)},${py.toFixed(2)})`;
   }
-  requestAnimationFrame(loop);
 }
-loop(); dirty = true;
+loop();
 </script></body></html>"""
+
+
+class _RenderLoop:
+    """Latest-wins render thread: double-buffers engine frames.
+
+    `request(state)` stores the newest desired camera state; the thread
+    renders whenever the desired state differs from the last rendered one
+    and publishes (seq, rgb_u8, render_ms).  `latest(min_seq, timeout)`
+    blocks until a frame newer than min_seq exists — handler threads encode
+    and ship it while the loop is already rendering the next.
+    """
+
+    def __init__(self, engine: Engine,
+                 animate: Optional[Callable[[float], None]] = None):
+        self.engine = engine
+        self.animate = animate
+        self._cv = threading.Condition()
+        self._desired = None
+        self._rendered_state = None
+        self._frame = None  # (seq, np.uint8 (H, W, 3), render_ms)
+        self._seq = 0
+        self._stop = False
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self.stage_ms = {}  # one-off device stage profile (filled lazily)
+
+    def start(self):
+        self._thread.start()
+        return self
+
+    def stop(self):
+        with self._cv:
+            self._stop = True
+            self._cv.notify_all()
+        self._thread.join(timeout=5)
+
+    def request(self, state: tuple):
+        with self._cv:
+            self._desired = state
+            self._cv.notify_all()
+
+    def latest(self, min_seq: int, state: tuple, timeout: float = 30.0):
+        """Newest frame strictly after min_seq — or the current frame if
+        `state` is already the rendered one (idempotent refetch)."""
+        deadline = time.monotonic() + timeout
+        with self._cv:
+            while not (
+                self._frame is not None
+                and (self._frame[0] > min_seq
+                     or self._rendered_state == state)
+            ):
+                rem = deadline - time.monotonic()
+                if rem <= 0 or self._stop:
+                    return self._frame  # best effort (may be None)
+                self._cv.wait(rem)
+            return self._frame
+
+    def _camera_arrays(self, state):
+        az, el, dist, px, py, t = state
+        cam = Camera(aspect=self.engine.rcfg.width / self.engine.rcfg.height)
+        cam.azimuth = az
+        cam.elevation = float(np.clip(el, -cam.MAX_ELEVATION,
+                                      cam.MAX_ELEVATION))
+        cam.distance = float(np.clip(dist, cam.MIN_DISTANCE,
+                                     cam.MAX_DISTANCE))
+        cam.target = np.zeros(3, np.float32)
+        if px or py:
+            cam.pan(px, py)
+        import jax.numpy as jnp
+
+        return {k: jnp.asarray(v) for k, v in cam.arrays(t).items()}
+
+    def _run(self):
+        while True:
+            with self._cv:
+                while not self._stop and (
+                    self._desired is None
+                    or self._desired == self._rendered_state
+                ):
+                    self._cv.wait()
+                if self._stop:
+                    return
+                state = self._desired
+            t = state[-1]
+            if self.animate is not None:
+                self.animate(t)
+            camera = self._camera_arrays(state)
+            seq = self._seq + 1
+            t0 = time.perf_counter()
+            img = self.engine.frame(camera, jax.random.PRNGKey(seq))
+            arr = to_uint8(np.asarray(img))
+            ms = (time.perf_counter() - t0) * 1e3
+            if not self.stage_ms:
+                try:  # one-off fused-delta device profile for the HUD
+                    self.stage_ms = self.engine.stage_profile(
+                        camera, jax.random.PRNGKey(0)) or {"n/a": 0.0}
+                except Exception:
+                    self.stage_ms = {"n/a": 0.0}
+            with self._cv:
+                self._seq = seq
+                self._frame = (seq, arr, ms)
+                self._rendered_state = state
+                self._cv.notify_all()
 
 
 def make_server(
@@ -93,11 +215,15 @@ def make_server(
     """Build the viewer HTTP server without starting it.
 
     port=0 binds an ephemeral port (read it from `.server_address[1]`) —
-    the test surface; `serve` is the blocking entry point.
+    the test surface; `serve` is the blocking entry point.  The attached
+    render loop starts with the server thread's first /frame request and is
+    stopped by `server.render_loop.stop()` (serve does both).
     """
-    cam = Camera(aspect=engine.rcfg.width / engine.rcfg.height)
-    lock = threading.Lock()
-    frame_counter = [0]
+    loop = _RenderLoop(engine, animate).start()
+    page = (_PAGE
+            .replace("__W__", str(engine.rcfg.width))
+            .replace("__H__", str(engine.rcfg.height))
+            .replace("__ANIMATE__", "true" if animate else "false"))
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *args):  # quiet
@@ -106,7 +232,7 @@ def make_server(
         def do_GET(self):
             url = urlparse(self.path)
             if url.path == "/":
-                body = _PAGE.encode()
+                body = page.encode()
                 self.send_response(200)
                 self.send_header("Content-Type", "text/html")
                 self.send_header("Content-Length", str(len(body)))
@@ -118,50 +244,47 @@ def make_server(
                 self.end_headers()
                 return
             q = parse_qs(url.query)
-            with lock:
-                cam.azimuth = float(q.get("az", [0.5])[0])
-                cam.elevation = float(
-                    np.clip(float(q.get("el", [0.5])[0]), -cam.MAX_ELEVATION,
-                            cam.MAX_ELEVATION)
-                )
-                cam.distance = float(
-                    np.clip(float(q.get("d", [3.0])[0]), cam.MIN_DISTANCE,
-                            cam.MAX_DISTANCE)
-                )
-                # pan: client accumulates camera-plane offsets (the
-                # reference's middle/right-drag, src/OrbitCameraController.ts:50-53)
-                cam.target = np.zeros(3, np.float32)
-                pan_x = float(q.get("px", [0.0])[0])
-                pan_y = float(q.get("py", [0.0])[0])
-                if pan_x or pan_y:
-                    cam.pan(pan_x, pan_y)
-                t = float(q.get("t", [0.0])[0])
-                if animate is not None:
-                    animate(t)
-                import jax.numpy as jnp
 
-                camera = {k: jnp.asarray(v) for k, v in cam.arrays(t).items()}
-                t0 = time.perf_counter()
-                frame_counter[0] += 1
-                img = engine.frame(camera, jax.random.PRNGKey(frame_counter[0]))
-                arr = to_uint8(np.asarray(img))
-                ms = (time.perf_counter() - t0) * 1e3
-            buf = io.BytesIO()
+            def f(name, default):
+                return float(q.get(name, [default])[0])
+
+            state = (f("az", 0.5), f("el", 0.5), f("d", 3.0),
+                     f("px", 0.0), f("py", 0.0), f("t", 0.0))
+            min_seq = int(f("seq", 0))
+            raw = q.get("raw", ["0"])[0] == "1"
+            loop.request(state)
+            got = loop.latest(min_seq, state)
+            if got is None:
+                self.send_response(503)
+                self.end_headers()
+                return
+            seq, arr, ms = got
             t1 = time.perf_counter()
-            _write_png_bytes(buf, arr)
+            if raw:
+                body = arr.tobytes()
+                ctype = "application/octet-stream"
+            else:
+                buf = io.BytesIO()
+                _write_png_bytes(buf, arr)
+                body = buf.getvalue()
+                ctype = "image/png"
             encode_ms = (time.perf_counter() - t1) * 1e3
-            body = buf.getvalue()
+            stages = " ".join(f"{k}={v}" for k, v in loop.stage_ms.items())
             self.send_response(200)
-            self.send_header("Content-Type", "image/png")
+            self.send_header("Content-Type", ctype)
             self.send_header("Content-Length", str(len(body)))
+            self.send_header("X-Seq", str(seq))
             self.send_header("X-Render-Ms", f"{ms:.1f}")
             self.send_header(
-                "X-Stage-Ms", f"device={ms:.1f} png={encode_ms:.1f}"
+                "X-Stage-Ms",
+                f"encode={encode_ms:.1f} | device stages: {stages}",
             )
             self.end_headers()
             self.wfile.write(body)
 
-    return ThreadingHTTPServer((host, port), Handler)
+    server = ThreadingHTTPServer((host, port), Handler)
+    server.render_loop = loop  # expose for tests/shutdown
+    return server
 
 
 def serve(
@@ -173,7 +296,10 @@ def serve(
     """Serve the interactive viewer (blocking)."""
     httpd = make_server(engine, port, animate, host)
     print(f"splat_renderer_tpu viewer: http://{host}:{httpd.server_address[1]}")
-    httpd.serve_forever()
+    try:
+        httpd.serve_forever()
+    finally:
+        httpd.render_loop.stop()
 
 
 def _write_png_bytes(buf: io.BytesIO, arr: np.ndarray) -> None:
