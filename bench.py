@@ -17,6 +17,13 @@ Stage accounting: bin_ms is the FULL binning pass (which contains the pair
 sort); sort_ms is the isolated pair sort so the sort's share is visible.
 blend_ms uses the steady-state capacity class (pipeline.Engine protocol) —
 the first frame per scene runs at the safe worst-case grid bound.
+
+Round-3 headline config: tile_size=32 with the Engine's class-partitioned
+pair expansion (benchmarks/probe_tile_size.py): at 32 px tiles the footprint
+census collapses (86% of splats straddle >= 2 tiles of 16 px; only 48% do at
+32 px), the class partition activates (pair rows 4M -> 1.9M), and the EXACT
+fused frame drops ~4.4 ms.  16 px remains the turbo preset's tile size
+(depth_key_order cannot compose with the class partition — it has no ranks).
 """
 
 from __future__ import annotations
@@ -149,6 +156,33 @@ def main() -> None:
 
     t_flat, _ = time_fn(jax.jit(full_flat), splats, camera, warmup=2, iters=5)
 
+    # ---- HEADLINE: exact fused frame at tile_size=32 + class-partitioned
+    # pair expansion (Engine-auto protocol; see module docstring).  The
+    # image stays oracle-exact — the class partition is output-identical
+    # whenever the census fits (gated: class_overflow must be False). ----
+    from splat_renderer_tpu.render.pipeline import _class_caps
+
+    rcfg32 = rcfg.replace(tile_size=32)
+    d32 = jax.jit(lambda s, c: splat_screen_data(s, c, rcfg32))(splats, camera)
+    b32 = jax.jit(lambda d: bin_splats_packed(d, rcfg32, BLOCK))(d32)
+    mt32 = int(np.asarray(b32["tiles_used"]) * 1.15) + 8
+
+    def full32(s, c, cc=None):
+        return render_splats(s, c, rcfg32, "pallas", BLOCK,
+                             blend_max_blocks=mt32, blend_kernel="tile",
+                             pair_class_caps=cc, return_stats=True)
+
+    _, stats32 = jax.jit(lambda s, c: full32(s, c))(splats, camera)
+    n_hi, n_mid = (int(x) for x in np.asarray(stats32["class_counts"]))
+    cc32 = _class_caps(n_hi, n_mid, N_SPLATS, rcfg32.tiles_per_splat_cap)
+    t_best, (img_best, st_best) = time_fn(
+        jax.jit(lambda s, c: full32(s, c, cc32)), splats, camera,
+        warmup=2, iters=5,
+    )
+    assert not bool(np.asarray(st_best["class_overflow"])), (
+        "headline class caps overflowed — census drifted; rerun"
+    )
+
     # ---- SH-lit frame (render/sh.py): degree-3 view-dependent color at
     # 1M — what rendering a pre-trained 3DGS scene's appearance costs ----
     from splat_renderer_tpu.render.sh import apply_sh
@@ -194,9 +228,21 @@ def main() -> None:
 
     t_turbo, img_turbo = time_fn(jax.jit(full_turbo), splats, camera,
                                  warmup=2, iters=5)
-    from splat_renderer_tpu.utils.ssim import ssim
+    # Quality metrics are computed ON HOST with range asserts: BENCH_r02
+    # shipped an impossible ssim=1.2312 from an on-device jit(ssim) scalar
+    # (the axon relay computes conv-based reductions wrongly at this image
+    # size — benchmarks/probe_ssim_device.py; NOTES.md round 3).  The
+    # scoreboard must never depend on a device scalar.
+    from splat_renderer_tpu.utils.ssim import quality_gate
 
-    ssim_turbo = float(jax.jit(ssim)(img_turbo, img_exact))
+    ssim_turbo = quality_gate(jax.device_get(img_turbo),
+                              jax.device_get(img_exact))
+    # the ts=32 headline uses a coarser r fixed-point grid (r_cap doubles,
+    # same 10 bits) — still self-gated against ITS OWN oracle on device
+    # (drive_tpu_parity), but vs the ts=16 frame the quantization step
+    # differs; report the cross-grid SSIM so the trade stays visible
+    ssim_headline = quality_gate(jax.device_get(img_best),
+                                 jax.device_get(img_exact))
 
     # ---- config 1: oracle, 10k splats @256x256 ----
     ocfg = RenderConfig(width=256, height=256, base_radius=0.03)
@@ -227,6 +273,76 @@ def main() -> None:
             max_blocks=mb720)),
         s100k, cam720, warmup=2, iters=5,
     )
+
+    # ---- fused-frame per-stage deltas (the honest method: each program
+    # carries ONE dispatch, so program-to-program deltas cancel the relay's
+    # ~1.5-2.8 ms fixed launch cost; CLAUDE.md dispatch-overhead rule).
+    # P1 = project only, P2 = project+bin, P3 = the full frame ----
+    from splat_renderer_tpu.render.binning import bin_packed_words
+
+    # fixed per-dispatch launch overhead of this transport (a trivial jit):
+    # single-dispatch numbers include it additively; the P1 (project-only)
+    # stage subtracts it, the P2-P1 / P3-P2 deltas cancel it by construction
+    t_disp, _ = time_fn(
+        jax.jit(lambda v: v + 1.0), jnp.ones((8, 128)), warmup=3, iters=20
+    )
+
+    def _stage_deltas(s_, c_, cfg_, mt_, cc_=None):
+        def p1(s, c):
+            return splat_screen_words(s, c["view_proj"], c["cam_pos"], cfg_)
+
+        def p2(s, c):
+            w = splat_screen_words(s, c["view_proj"], c["cam_pos"], cfg_)
+            return bin_packed_words(
+                w["dk"], w["w_pos"], w["w_ro"], w["w_rgb"], cfg_, BLOCK,
+                class_caps=cc_,
+            )["pair_w"]
+
+        def p3(s, c):
+            return render_splats(s, c, cfg_, "pallas", BLOCK,
+                                 blend_max_blocks=mt_, blend_kernel="tile",
+                                 pair_class_caps=cc_)
+
+        t1, _ = time_fn(jax.jit(p1), s_, c_, warmup=2, iters=5)
+        t2, _ = time_fn(jax.jit(p2), s_, c_, warmup=2, iters=5)
+        t3, _ = time_fn(jax.jit(p3), s_, c_, warmup=2, iters=5)
+        return (max(t1 - t_disp, 0.0), max(t2 - t1, 0.0),
+                max(t3 - t2, 0.0), t3)
+
+    # per-stage shares of the HEADLINE config (ts=32 + class caps)
+    st1m_proj, st1m_bin, st1m_blend, _ = _stage_deltas(
+        splats, camera, rcfg32, mt32, cc32)
+
+    # ---- the reference's own per-stage config: ~120k splats @1080p.
+    # GPU_PIPELINE_PLAN.md:533-546 ("After" estimates): project 0.2,
+    # extract keys 0.1, radix 2.0, count 0.6, scan 0.2, fill 0.7,
+    # render 2.0 ms = 5.8 ms total.  Our bin stage owns keys+sort+binning
+    # (their 2.9 ms); blend is their render (2.0 ms). ----
+    cfg120 = RenderConfig(width=WIDTH, height=HEIGHT, base_radius=0.02,
+                          tiles_per_splat_cap=4)
+    s120 = jax.jit(lambda p, k: model_points(scene, p, k, 120_000, pcfg,
+                                             cfg120))(params, key)
+    d120 = jax.jit(lambda s, c: splat_screen_data(s, c, cfg120))(s120, camera)
+    b120 = jax.jit(lambda d: bin_splats_packed(d, cfg120, BLOCK))(d120)
+    mt120 = int(np.asarray(b120["tiles_used"]) * 1.15) + 8
+    st120_proj, st120_bin, st120_blend, t_120 = _stage_deltas(
+        s120, camera, cfg120, mt120)
+
+    # ---- stress: 10M splats @1080p exact fused frame (the reference's
+    # stretch target, 3D_PLAN.md:379-382 "10M @ 30+ FPS", never demonstrated
+    # there; full sweep in benchmarks/probe_stress.py) ----
+    r10 = rcfg.replace(base_radius=0.008 * float(np.sqrt(0.1)))
+    s10m = jax.jit(lambda p, k: model_points(scene, p, k, 10_000_000, pcfg,
+                                             r10))(params, key)
+    d10m = jax.jit(lambda s, c: splat_screen_data(s, c, r10))(s10m, camera)
+    mb10 = _capacity_class(d10m, r10)
+    t_10m, img10 = time_fn(
+        jax.jit(lambda s, c: render_splats(s, c, r10, "pallas", BLOCK,
+                                           blend_max_blocks=mb10)),
+        s10m, camera, warmup=1, iters=3,
+    )
+    assert np.isfinite(np.asarray(jax.device_get(img10))).all()
+    del s10m, d10m, img10
 
     # ---- config 4: 500k animated over 120 frames (incl. host loop) ----
     d500 = jax.jit(lambda s, c: splat_screen_data(s, c, rcfg))(
@@ -351,21 +467,17 @@ def main() -> None:
     except Exception as e:  # pragma: no cover - bench resilience
         print(f"# fit-step metric skipped: {type(e).__name__}: {e}")
 
-    # fixed per-dispatch launch overhead of this transport (a trivial jit):
-    # all single-dispatch numbers above include it additively; the scan/
-    # multi-view sequence metrics amortize it (utils/timing.py caveat)
-    t_disp, _ = time_fn(
-        jax.jit(lambda v: v + 1.0), jnp.ones((8, 128)), warmup=3, iters=20
-    )
-
-    fps = 1.0 / t_full
+    fps = 1.0 / t_best
     result = {
         "metric": "fps_1080p_1m_splats",
         "value": round(fps, 3),
         "unit": "fps",
         "vs_baseline": round(fps / 60.0, 4),
         "msplats_per_sec": round(N_SPLATS * fps / 1e6, 2),
-        "frame_ms": round(t_full * 1e3, 3),
+        "frame_ms": round(t_best * 1e3, 3),
+        "headline_tile_size": 32,
+        "headline_class_caps": list(cc32) if cc32 else [],
+        "frame_ms_ts16": round(t_full * 1e3, 3),
         "frame_ms_flat_kernel": round(t_flat * 1e3, 3),
         "frame_ms_sh_deg3": round(t_sh * 1e3, 3),
         "frame_ms_fast": round(t_fast * 1e3, 3),
@@ -373,10 +485,23 @@ def main() -> None:
         "frame_ms_turbo": round(t_turbo * 1e3, 3),
         "fps_turbo": round(1.0 / t_turbo, 2),
         "ssim_turbo_vs_exact": round(ssim_turbo, 5),
+        "ssim_headline_ts32_vs_ts16": round(ssim_headline, 5),
         "project_ms": round(t_project * 1e3, 3),
         "sort_ms": round(t_sort * 1e3, 3),
         "bin_ms": round(t_bin * 1e3, 3),
         "blend_ms": round(t_blend * 1e3, 3),
+        # fused-frame deltas (dispatch overhead cancelled) — the honest
+        # per-stage shares of frame_ms at 1M @1080p
+        "stage_project_ms": round(st1m_proj * 1e3, 3),
+        "stage_bin_ms": round(st1m_bin * 1e3, 3),
+        "stage_blend_ms": round(st1m_blend * 1e3, 3),
+        # the reference's per-stage config (~120k @1080p), fused deltas;
+        # reference estimates: project 0.2 / sort+bin 2.9 / render 2.0 ms
+        "frame_120k_1080p_ms": round(t_120 * 1e3, 3),
+        "stage_project_120k_ms": round(st120_proj * 1e3, 3),
+        "stage_bin_120k_ms": round(st120_bin * 1e3, 3),
+        "stage_blend_120k_ms": round(st120_blend * 1e3, 3),
+        "stress_10m_ms": round(t_10m * 1e3, 3),
         "model_stage_ms": round(t_model * 1e3, 3),
         "oracle_10k_256_ms": round(t_oracle * 1e3, 3),
         "frame_720p_100k_ms": round(t_720 * 1e3, 3),
