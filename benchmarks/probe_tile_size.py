@@ -58,7 +58,14 @@ def main() -> None:
     ap.add_argument("--sizes", default="16,32")
     ap.add_argument("--n", type=int, default=1_000_000)
     args = ap.parse_args()
-    sizes = [int(s) for s in args.sizes.split(",")]
+
+    def parse(tok):  # "32" -> (32, 32) square; "32x16" -> (w=32, h=16)
+        if "x" in tok:
+            w_, h_ = tok.split("x")
+            return int(w_), int(h_)
+        return int(tok), int(tok)
+
+    sizes = [parse(s) for s in args.sizes.split(",")]
     n = args.n
 
     s1 = spt.Sphere(id="sphere1", position=(0, 0, 0), radius=0.5)
@@ -78,8 +85,9 @@ def main() -> None:
 
     images = {}
     for ts in sizes:
-        cfg = base.replace(tile_size=ts)
-        print(f"--- tile_size={ts}  (tiles {cfg.tiles_x}x{cfg.tiles_y}="
+        tw_, th_ = ts
+        cfg = base.replace(tile_size=tw_, tile_height=th_)
+        print(f"--- tile={tw_}x{th_}  (tiles {cfg.tiles_x}x{cfg.tiles_y}="
               f"{cfg.num_tiles}, tp={cfg.tile_pixels}, r_cap={cfg.r_cap:.2f})")
 
         data = jax.jit(lambda s, c: splat_screen_data(s, c, cfg))(
@@ -135,7 +143,8 @@ def main() -> None:
 
         # turbo preset at this tile size
         tcfg = spt.turbo_render_config(
-            W, H, base_radius=0.008, tiles_per_splat_cap=4, tile_size=ts)
+            W, H, base_radius=0.008, tiles_per_splat_cap=4,
+            tile_size=tw_, tile_height=th_)
         tdata = jax.jit(lambda s, c: splat_screen_data(s, c, tcfg))(
             splats, camera)
         tbinned = jax.jit(lambda d: bin_splats_packed(d, tcfg, BLOCK))(tdata)
@@ -150,7 +159,7 @@ def main() -> None:
     ref_ts = sizes[0]
     for ts in sizes[1:]:
         dev = float(np.abs(images[ts] - images[ref_ts]).max())
-        print(f"exact image max|ts{ts} - ts{ref_ts}| = {dev:.3e}")
+        print(f"exact image max|{ts} - {ref_ts}| = {dev:.3e}")
 
 
 if __name__ == "__main__":

@@ -419,6 +419,15 @@ def main() -> int:
         20_000,
     )
     ok &= check(
+        "isotropic-32x16 360p",  # rectangular tiles (the round-3 headline
+        # geometry): ts=32 straddle collapse in x at ts=16 blend pixels;
+        # Mosaic lowering of the rect pixel-coord reconstruction
+        # (lane % tw, lane // tw with tw != th) gated on the real chip
+        RenderConfig(width=640, height=368, base_radius=0.03,
+                     tiles_per_splat_cap=4, tile_size=32, tile_height=16),
+        20_000,
+    )
+    ok &= check(
         "oriented-alpha 360p",
         RenderConfig(width=640, height=368, base_radius=0.03,
                      tiles_per_splat_cap=16, oriented=True),

@@ -46,7 +46,18 @@ class RenderConfig:
 
     width: int = 1920
     height: int = 1080
-    tile_size: int = 16  # src/TileBinner.ts:35 default
+    tile_size: int = 16  # tile WIDTH in px; src/TileBinner.ts:35 default
+    # Tile HEIGHT in px; 0 = square tiles (tile_size).  Rectangular tiles
+    # decouple the two costs tile geometry trades against each other: the
+    # pair-sort rows scale with the per-AXIS straddle probability (~2*margin*
+    # radius / tile extent, independently in x and y) while the blend's
+    # pixels-per-record scale with tile AREA.  A 32x16 tile keeps the 32 px
+    # x-extent's straddle collapse (the round-3 class-cap win) at HALF the
+    # blend pixels of 32x32 — measured ~1.9M pair rows AND ~1.0 G pair-px at
+    # the 1M @1080p bench shape, the best of both square sizes
+    # (benchmarks/probe_tile_size.py).  The reference hardcodes square 16 px
+    # tiles (src/TileBinner.ts:35); rectangular tiles have no counterpart.
+    tile_height: int = 0
     # Gaussian falloff of the per-pixel compositor, src/ComputeShaderRenderer.ts:139
     sigma: float = 0.5
     # Bounding box padding: 1.5 * screenRadius covers ~99% of the Gaussian,
@@ -149,15 +160,26 @@ class RenderConfig:
     blend_chunk: int = 32
 
     @property
+    def tile_w(self) -> int:
+        """Tile width in px (alias of tile_size; see tile_height)."""
+        return self.tile_size
+
+    @property
+    def tile_h(self) -> int:
+        """Tile height in px (tile_height, or square when 0)."""
+        return self.tile_height if self.tile_height else self.tile_size
+
+    @property
     def r_cap(self) -> float:
         """Screen-radius cap: the largest radius whose padded bounds box
         (side 2*bounds_margin*r) spans at most floor(sqrt(tiles_per_splat_
-        cap)) tiles per axis.  THE single definition — the projector clamp,
+        cap)) tiles per axis — governed by the SMALLER tile extent for
+        rectangular tiles.  THE single definition — the projector clamp,
         the EWA major-axis clamp, the 2-word r:10 bit budget and the bench
         clamp stats all derive from it (they must agree exactly or binning
         silently drops covered tiles)."""
         k = max(int(self.tiles_per_splat_cap ** 0.5), 2)
-        return (k - 1) * self.tile_size / (2.0 * self.bounds_margin)
+        return (k - 1) * min(self.tile_w, self.tile_h) / (2.0 * self.bounds_margin)
 
     @property
     def pos_offset(self) -> float:
@@ -186,11 +208,11 @@ class RenderConfig:
 
     @property
     def tiles_x(self) -> int:
-        return _cdiv(self.width, self.tile_size)
+        return _cdiv(self.width, self.tile_w)
 
     @property
     def tiles_y(self) -> int:
-        return _cdiv(self.height, self.tile_size)
+        return _cdiv(self.height, self.tile_h)
 
     @property
     def num_tiles(self) -> int:
@@ -198,7 +220,7 @@ class RenderConfig:
 
     @property
     def tile_pixels(self) -> int:
-        return self.tile_size * self.tile_size
+        return self.tile_w * self.tile_h
 
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)

@@ -226,21 +226,25 @@ def _blend_window(cfg, spec, eps, sat_every, w_all, acc_ref, local0, cnt, px, py
 
 
 def _tile_pixel_coords(cfg, spec, t):
-    """Per-tile pixel-center coordinates, pixels along LANES: (1, tp) px/py."""
+    """Per-tile pixel-center coordinates, pixels along LANES: (1, tp) px/py.
+
+    Row-major within the tile: lane = y * tile_w + x (rectangular tiles
+    supported — tile_w/tile_h are independent powers of two, so the
+    mod/floordiv lower to lane bit ops)."""
     tp = cfg.tile_pixels
-    ts = cfg.tile_size
+    tw, th = cfg.tile_w, cfg.tile_h
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, tp), 1)
     if spec is None:
-        origin_x = ((t % cfg.tiles_x) * ts).astype(jnp.float32)
-        origin_y = ((t // cfg.tiles_x) * ts).astype(jnp.float32)
-        px = origin_x + (lane % ts).astype(jnp.float32) + 0.5
-        py = origin_y + (lane // ts).astype(jnp.float32) + 0.5
+        origin_x = ((t % cfg.tiles_x) * tw).astype(jnp.float32)
+        origin_y = ((t // cfg.tiles_x) * th).astype(jnp.float32)
+        px = origin_x + (lane % tw).astype(jnp.float32) + 0.5
+        py = origin_y + (lane // tw).astype(jnp.float32) + 0.5
     else:
         # tile-local frame: pixel coords offset by the pad_rel origin shift
         # baked into the w_a fields (binning.two_word_spec)
         pad_px = spec["pad_rel"] / cfg.pos_scale
-        px = (lane % ts).astype(jnp.float32) + (0.5 + pad_px)
-        py = (lane // ts).astype(jnp.float32) + (0.5 + pad_px)
+        px = (lane % tw).astype(jnp.float32) + (0.5 + pad_px)
+        py = (lane // tw).astype(jnp.float32) + (0.5 + pad_px)
     return px, py
 
 
@@ -347,7 +351,6 @@ def _make_kernel(cfg: RenderConfig, block: int, eps: float, spec=None,
     extra compute it saves); eps=0 parity runs are unaffected (saturation
     never engages)."""
     tp = cfg.tile_pixels
-    ts = cfg.tile_size
     pos_scale, pos_offset = cfg.pos_scale, cfg.pos_offset
     inv_ps = 1.0 / pos_scale
     inv_2sigma2 = 0.5 / (cfg.sigma * cfg.sigma)

@@ -58,9 +58,9 @@ def _band_cfg(rcfg: RenderConfig, sp: int) -> RenderConfig:
     if rcfg.tiles_y % sp:
         raise ValueError(
             f"tiles_y={rcfg.tiles_y} must be divisible by sp={sp} "
-            f"(pad height to a multiple of {sp * rcfg.tile_size})"
+            f"(pad height to a multiple of {sp * rcfg.tile_h})"
         )
-    return rcfg.replace(height=rcfg.tiles_y // sp * rcfg.tile_size)
+    return rcfg.replace(height=rcfg.tiles_y // sp * rcfg.tile_h)
 
 
 def render_band(

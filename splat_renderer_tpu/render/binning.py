@@ -121,11 +121,11 @@ def _footprint_cols(
     bmin_x, bmax_x = cx - hx, cx + hx
     bmin_y, bmax_y = cy - hy, cy + hy
 
-    ts = float(cfg.tile_size)
-    tx0 = jnp.clip(jnp.floor(bmin_x / ts), 0, cfg.tiles_x - 1).astype(jnp.int32)
-    ty0 = jnp.clip(jnp.floor(bmin_y / ts), 0, cfg.tiles_y - 1).astype(jnp.int32)
-    tx1 = jnp.clip(jnp.floor(bmax_x / ts), 0, cfg.tiles_x - 1).astype(jnp.int32)
-    ty1 = jnp.clip(jnp.floor(bmax_y / ts), 0, cfg.tiles_y - 1).astype(jnp.int32)
+    tw, th = float(cfg.tile_w), float(cfg.tile_h)
+    tx0 = jnp.clip(jnp.floor(bmin_x / tw), 0, cfg.tiles_x - 1).astype(jnp.int32)
+    ty0 = jnp.clip(jnp.floor(bmin_y / th), 0, cfg.tiles_y - 1).astype(jnp.int32)
+    tx1 = jnp.clip(jnp.floor(bmax_x / tw), 0, cfg.tiles_x - 1).astype(jnp.int32)
+    ty1 = jnp.clip(jnp.floor(bmax_y / th), 0, cfg.tiles_y - 1).astype(jnp.int32)
 
     alive = (
         depth_valid
@@ -146,8 +146,8 @@ def _footprint_cols(
     for k in range(1, cap + 1):
         h_allow = jnp.where(w_c == k, max(cap // k, 1), h_allow)
     h_c = jnp.minimum(h, h_allow)
-    ctx = jnp.clip(jnp.floor(cx / ts), 0, cfg.tiles_x - 1).astype(jnp.int32)
-    cty = jnp.clip(jnp.floor(cy / ts), 0, cfg.tiles_y - 1).astype(jnp.int32)
+    ctx = jnp.clip(jnp.floor(cx / tw), 0, cfg.tiles_x - 1).astype(jnp.int32)
+    cty = jnp.clip(jnp.floor(cy / th), 0, cfg.tiles_y - 1).astype(jnp.int32)
     tx0 = jnp.clip(ctx - (w_c - 1) // 2, tx0, tx1 - w_c + 1)
     ty0 = jnp.clip(cty - (h_c - 1) // 2, ty0, ty1 - h_c + 1)
 
@@ -188,17 +188,17 @@ def _diag_prune(
     (larger footprints from high caps are left alone — cap 4, the
     production setting, is always <= 2x2).
     """
-    ts = float(cfg.tile_size)
-    ctx = jnp.clip(jnp.floor(cx / ts), 0, cfg.tiles_x - 1).astype(jnp.int32)
-    cty = jnp.clip(jnp.floor(cy / ts), 0, cfg.tiles_y - 1).astype(jnp.int32)
+    tw, th = float(cfg.tile_w), float(cfg.tile_h)
+    ctx = jnp.clip(jnp.floor(cx / tw), 0, cfg.tiles_x - 1).astype(jnp.int32)
+    cty = jnp.clip(jnp.floor(cy / th), 0, cfg.tiles_y - 1).astype(jnp.int32)
     cix = ctx - tx0
     ciy = cty - ty0
     applicable = (
         (w == 2) & (h == 2)
         & (cix >= 0) & (cix <= 1) & (ciy >= 0) & (ciy <= 1)
     )
-    corner_x = (tx0 + 1).astype(jnp.float32) * ts
-    corner_y = (ty0 + 1).astype(jnp.float32) * ts
+    corner_x = (tx0 + 1).astype(jnp.float32) * tw
+    corner_y = (ty0 + 1).astype(jnp.float32) * th
     dx = cx - corner_x
     dy = cy - corner_y
     pad = radius * cfg.bounds_margin + 1.0 / cfg.pos_scale
@@ -449,7 +449,7 @@ def two_word_spec(cfg: RenderConfig):
     if cfg.oriented:
         return None
     ps = cfg.pos_scale
-    ts = cfg.tile_size
+    ts = max(cfg.tile_w, cfg.tile_h)  # per-axis budget: the larger extent
     r_cap_fx = round(cfg.r_cap * ps)
     pad_rel = math.ceil(cfg.bounds_margin * r_cap_fx)
     if r_cap_fx > 1023 or ts * ps + 2 * pad_rel > 2047:
@@ -770,16 +770,16 @@ def bin_packed_words(
             return jnp.broadcast_to(x[None, lo:hi], (budget, m)).reshape(-1)
 
         if spec is not None:
-            # tile-relative packing: cx_rel = cx_fx - ((tx*ts + po)*ps -
-            # pad_rel)
+            # tile-relative packing: cx_rel = cx_fx - ((tx*tw + po)*ps -
+            # pad_rel); each axis uses ITS tile extent
             pad_rel = spec["pad_rel"]
-            tsps = cfg.tile_size * ps
+            twps, thps = cfg.tile_w * ps, cfg.tile_h * ps
             r_cl = jnp.minimum(r_fx[lo:hi], 1023)  # contract: r <= r_cap_fx
             cx_rel = (
-                cx_fx[None, lo:hi] - tile_x * int(tsps) + int(pad_rel - po * ps)
+                cx_fx[None, lo:hi] - tile_x * int(twps) + int(pad_rel - po * ps)
             )
             cy_rel = (
-                cy_fx[None, lo:hi] - tile_y * int(tsps) + int(pad_rel - po * ps)
+                cy_fx[None, lo:hi] - tile_y * int(thps) + int(pad_rel - po * ps)
             )
             w_a = (
                 (cy_rel.astype(jnp.uint32) << 21)

@@ -35,9 +35,9 @@ from .blend import (
 
 def _tile_pixel_offsets(cfg: RenderConfig) -> jnp.ndarray:
     """(tile_pixels, 2) pixel-center offsets within a tile, row-major."""
-    ts = cfg.tile_size
-    py = jax.lax.broadcasted_iota(jnp.float32, (ts, ts), 0)
-    px = jax.lax.broadcasted_iota(jnp.float32, (ts, ts), 1)
+    tw, th = cfg.tile_w, cfg.tile_h
+    py = jax.lax.broadcasted_iota(jnp.float32, (th, tw), 0)
+    px = jax.lax.broadcasted_iota(jnp.float32, (th, tw), 1)
     return jnp.stack([px + 0.5, py + 0.5], axis=-1).reshape(-1, 2)
 
 
@@ -48,19 +48,19 @@ def tiles_to_image(
 ) -> jnp.ndarray:
     """Assemble per-tile pixel blocks into the (H, W, 3) image (cropping the
     partial tiles at the right/bottom edges) and composite the background."""
-    ts = cfg.tile_size
+    tw, th = cfg.tile_w, cfg.tile_h
     img = composite_over_background(tile_color, tile_alpha, cfg)
-    img = img.reshape(cfg.tiles_y, cfg.tiles_x, ts, ts, 3)
-    img = img.transpose(0, 2, 1, 3, 4).reshape(cfg.tiles_y * ts, cfg.tiles_x * ts, 3)
+    img = img.reshape(cfg.tiles_y, cfg.tiles_x, th, tw, 3)
+    img = img.transpose(0, 2, 1, 3, 4).reshape(cfg.tiles_y * th, cfg.tiles_x * tw, 3)
     return img[: cfg.height, : cfg.width]
 
 
 def tiles_to_plane(tile_vals: jnp.ndarray, cfg: RenderConfig) -> jnp.ndarray:
     """Assemble per-tile (T, tile_pixels) scalar planes into (H, W) —
     tiles_to_image's single-channel twin (depth/alpha G-buffer channels)."""
-    ts = cfg.tile_size
-    img = tile_vals.reshape(cfg.tiles_y, cfg.tiles_x, ts, ts)
-    img = img.transpose(0, 2, 1, 3).reshape(cfg.tiles_y * ts, cfg.tiles_x * ts)
+    tw, th = cfg.tile_w, cfg.tile_h
+    img = tile_vals.reshape(cfg.tiles_y, cfg.tiles_x, th, tw)
+    img = img.transpose(0, 2, 1, 3).reshape(cfg.tiles_y * th, cfg.tiles_x * tw)
     return img[: cfg.height, : cfg.width]
 
 
@@ -111,14 +111,14 @@ def render_tiles(
     pix_off = _tile_pixel_offsets(cfg)  # (tp, 2)
     pox = pix_off[:, 0]  # (tp,) planes — the (c, tp, 2) pixel broadcast
     poy = pix_off[:, 1]  # lane-pads 2 -> 128 on TPU (blend.splat_alpha note)
-    ts = float(cfg.tile_size)
+    tw, th = float(cfg.tile_w), float(cfg.tile_h)
 
     def body(carry, inputs):
         color, trans, depth = carry  # (T+1, tp, 3), (T+1, tp), (T+1, tp)|()
         tile_ids, splat_ids = inputs  # (c,), (c,)
         data = splat_data_sorted[splat_ids]  # (c, 10)
-        origin_x = (tile_ids % cfg.tiles_x).astype(jnp.float32) * ts  # (c,)
-        origin_y = (tile_ids // cfg.tiles_x).astype(jnp.float32) * ts
+        origin_x = (tile_ids % cfg.tiles_x).astype(jnp.float32) * tw  # (c,)
+        origin_y = (tile_ids // cfg.tiles_x).astype(jnp.float32) * th
         pxc = origin_x[:, None] + pox[None, :]  # (c, tp)
         pyc = origin_y[:, None] + poy[None, :]
         a = splat_alpha_planes(

@@ -487,3 +487,46 @@ class TestPallasDepth:
             depth_targets=[gb["depth"]], depth_weight=1.0,
         )
         assert float(losses[-1]) < float(losses[0]) * 0.6
+
+
+class TestRectTilesDiff:
+    """The differentiable chain at rectangular tile geometry (the kernels
+    share _tile_pixel_coords with the forward path — see
+    tests/test_render.py::TestRectangularTiles for the forward gates)."""
+
+    RCFG = RenderConfig(width=64, height=64, base_radius=0.08,
+                        tiles_per_splat_cap=4, tile_size=32, tile_height=16)
+
+    def test_pallas_matches_tiles_and_oracle(self, key):
+        _, camera, splats = _scene_and_splats(key, n=200, cfg=self.RCFG)
+        img_o = np.asarray(render_diff(splats, camera, self.RCFG,
+                                       method="oracle"))
+        img_t = np.asarray(render_diff(splats, camera, self.RCFG,
+                                       method="tiles"))
+        img_p = np.asarray(render_diff(splats, camera, self.RCFG,
+                                       method="pallas", interpret=True))
+        np.testing.assert_allclose(img_t, img_o, atol=3e-5)
+        np.testing.assert_allclose(img_p, img_o, atol=3e-5)
+
+    def test_gradients_match_tiles(self, key):
+        _, camera, splats = _scene_and_splats(key, n=120, cfg=self.RCFG)
+        target = jnp.full((self.RCFG.height, self.RCFG.width, 3), 0.4)
+        fields = ("px", "py", "pz", "radius", "opacity", "cr")
+
+        def make_loss(method):
+            def f(theta):
+                img = render_diff(dict(splats, **theta), camera, self.RCFG,
+                                  method=method, interpret=True)
+                return jnp.mean((img - target) ** 2)
+            return f
+
+        theta = {k: splats[k] for k in fields}
+        gt = jax.grad(make_loss("tiles"))(theta)
+        gp = jax.grad(make_loss("pallas"))(theta)
+        for k in fields:
+            a, b = np.asarray(gt[k]), np.asarray(gp[k])
+            scale = np.abs(a).max() + 1e-12
+            assert np.isfinite(b).all(), k
+            assert np.abs(a - b).max() / scale < 1e-3, (
+                f"{k}: maxrel {np.abs(a - b).max() / scale:.2e}"
+            )

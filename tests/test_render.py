@@ -1516,3 +1516,102 @@ class TestTurboProfile:
         img_t = render_splats(splats, cam, turbo, "tiles")
         img_o = render_oracle(splat_screen_data(splats, cam, turbo), turbo)
         np.testing.assert_allclose(img_t, img_o, atol=3e-5)
+
+
+class TestRectangularTiles:
+    """Rectangular tiles (tile_height != tile_size): the whole chain —
+    footprint, dense-gated binning, packed stream, Pallas blend (interpret),
+    image assembly — re-gated at non-square geometry.  The reference
+    hardcodes square 16 px tiles (src/TileBinner.ts:35); rect tiles decouple
+    the pair-sort row count (per-AXIS straddle probability) from the blend's
+    pixels-per-record (tile AREA) — see config.RenderConfig.tile_height."""
+
+    CFGS = (
+        RenderConfig(width=128, height=96, tile_size=32, tile_height=16,
+                     tiles_per_splat_cap=4),
+        RenderConfig(width=128, height=96, tile_size=16, tile_height=32,
+                     tiles_per_splat_cap=4),
+        RenderConfig(width=96, height=128, tile_size=32, tile_height=8,
+                     tiles_per_splat_cap=4),
+    )
+
+    def test_geometry_properties(self):
+        cfg = self.CFGS[0]
+        assert (cfg.tile_w, cfg.tile_h) == (32, 16)
+        assert cfg.tile_pixels == 512
+        assert cfg.tiles_x == 4 and cfg.tiles_y == 6
+        # r_cap follows the SMALLER tile extent (footprints must fit the
+        # per-axis cap in BOTH axes)
+        sq16 = RenderConfig(width=128, height=96, tile_size=16,
+                            tiles_per_splat_cap=4)
+        assert cfg.r_cap == sq16.r_cap
+        # square default unchanged: tile_height=0 means tile_size
+        assert sq16.tile_w == sq16.tile_h == 16
+
+    def test_tiles_match_oracle(self, rng):
+        # r_hi under every cfg's r_cap so the synthetic records respect the
+        # projector's footprint contract (the oracle has no tile cap)
+        for cfg in self.CFGS:
+            data = _random_screen_splats(rng, 150, cfg, r_lo=1.0, r_hi=2.5)
+            img_oracle = render_oracle(data, cfg)
+            _, _, ds = depth_sort(data[:, 7], data)
+            img_tiles = render_tiles(ds, bin_splats(ds, cfg), cfg,
+                                     pair_chunk=64)
+            np.testing.assert_allclose(img_tiles, img_oracle, atol=2e-5,
+                                       err_msg=str((cfg.tile_w, cfg.tile_h)))
+
+    def test_packed_binning_matches_reference_runs(self, rng):
+        from splat_renderer_tpu.render.binning import bin_splats_packed
+        from splat_renderer_tpu.render.packing import quantize_screen_data
+
+        for cfg in self.CFGS[:2]:
+            data = quantize_screen_data(
+                _random_screen_splats(rng, 150, cfg, r_lo=1.0, r_hi=2.5), cfg
+            )
+            ds = depth_sort(data[:, 7], data)[2]
+            base = bin_splats(ds, cfg)
+            packed = bin_splats_packed(data, cfg, block=1024)
+            np.testing.assert_array_equal(packed["offsets"], base["offsets"])
+            np.testing.assert_array_equal(packed["counts"], base["counts"])
+
+    def test_packed_blend_matches_tiles(self, rng):
+        from splat_renderer_tpu.render.binning import (
+            bin_splats_packed, depth_sort_data,
+        )
+        from splat_renderer_tpu.render.packing import quantize_screen_data
+        from splat_renderer_tpu.ops.tile_blend import render_tiles_pallas
+
+        for cfg in self.CFGS[:2]:
+            data = quantize_screen_data(
+                _random_screen_splats(rng, 120, cfg, r_lo=1.0, r_hi=2.5), cfg
+            )
+            st = bin_splats_packed(data, cfg, block=1024)
+            img_p = render_tiles_pallas(data, st, cfg, block=1024, eps=0.0,
+                                        interpret=True)
+            ds = depth_sort_data(data)
+            img_x = render_tiles(ds, bin_splats(ds, cfg), cfg, pair_chunk=32)
+            np.testing.assert_allclose(img_p, img_x, atol=2e-5,
+                                       err_msg=str((cfg.tile_w, cfg.tile_h)))
+
+    def test_class_partition_identical_at_rect(self, rng):
+        """Class-capped pair expansion must stay output-identical to the
+        full expansion at rect geometry (the headline composes both)."""
+        from splat_renderer_tpu.render.binning import bin_splats_packed
+        from splat_renderer_tpu.render.packing import quantize_screen_data
+        from splat_renderer_tpu.ops.tile_blend import render_tiles_pallas
+
+        cfg = self.CFGS[0]
+        data = quantize_screen_data(
+            _random_screen_splats(rng, 200, cfg, r_lo=1.0, r_hi=2.5), cfg
+        )
+        st_full = bin_splats_packed(data, cfg, block=1024)
+        n_hi, n_mid = (int(x) for x in np.asarray(st_full["class_counts"]))
+        caps = (n_hi + 8, max(n_mid - n_hi, 0) + 8)
+        st_cc = bin_splats_packed(data, cfg, block=1024, class_caps=caps)
+        assert not bool(st_cc["class_overflow"])
+        img_full = render_tiles_pallas(data, st_full, cfg, block=1024,
+                                       eps=0.0, interpret=True)
+        img_cc = render_tiles_pallas(data, st_cc, cfg, block=1024,
+                                     eps=0.0, interpret=True)
+        np.testing.assert_array_equal(np.asarray(img_full),
+                                      np.asarray(img_cc))
