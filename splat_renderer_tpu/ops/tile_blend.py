@@ -174,7 +174,10 @@ def _blend_window(cfg, spec, eps, sat_every, w_all, acc_ref, local0, cnt, px, py
                 d2 = dx * dx + dy * dy
                 scale = r
             scale2 = scale * scale
-            nd2 = d2 / jnp.maximum(scale2, 1e-12)  # exp argument only
+            # exp argument only: ONE record-scale (128, 1) coefficient
+            # replaces the (128, tp) panel divide + multiply (same fold as
+            # blend.splat_alpha_planes — op sequences must stay twinned)
+            coef = -inv_2sigma2 / jnp.maximum(scale2, 1e-12)
             if cfg.opaque and cfg.quad:
                 # reference-exact square coverage (src/Renderer.ts:95-131 —
                 # the live path never discards on uv); op sequence mirrors
@@ -192,7 +195,7 @@ def _blend_window(cfg, spec, eps, sat_every, w_all, acc_ref, local0, cnt, px, py
             else:
                 # disc support cutoff at bounds_margin * r (blend.py)
                 shape = jnp.where(
-                    d2 <= margin2 * scale2, jnp.exp(-inv_2sigma2 * nd2), 0.0
+                    d2 <= margin2 * scale2, jnp.exp(d2 * coef), 0.0
                 )
             alpha = op * shape  # (128, tp)
 

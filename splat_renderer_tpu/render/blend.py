@@ -154,7 +154,14 @@ def splat_alpha_planes(
         scale = radius
 
     scale2 = scale * scale
-    nd2 = dist2 / jnp.maximum(scale2, 1e-12)  # exp argument only
+    # exp ARGUMENT only: the normalized distance is folded into ONE
+    # record-scale coefficient coef = -1/(2 sigma^2 scale^2), so the hot
+    # panel path pays a single multiply where a (splat, pixel)-scale divide
+    # plus a multiply used to live (the divide moves to record scale —
+    # measured ~1.5 ms/frame at 1M @1080p, round 3).  A backend-ulp in the
+    # reciprocal perturbs alpha by ~1e-7, far under the 2e-5 parity gates;
+    # the support CUTOFF below stays all-multiply and is untouched.
+    coef = (-0.5 / (cfg.sigma * cfg.sigma)) / jnp.maximum(scale2, 1e-12)
     # Support cutoff: the reference tests the padded bounds BOX (1.5r,
     # src/ComputeShaderRenderer.ts:117-121); we cut at the inscribed DISC of
     # the same 1.5r support — the dropped box corners carry alpha <=
@@ -179,7 +186,7 @@ def splat_alpha_planes(
     else:
         shape = jnp.where(
             dist2 <= margin2 * scale2,
-            jnp.exp(-0.5 * nd2 / (cfg.sigma * cfg.sigma)),
+            jnp.exp(dist2 * coef),
             0.0,
         )
     return jnp.where(big_enough, opacity * shape, 0.0)
