@@ -18,12 +18,14 @@ sort); sort_ms is the isolated pair sort so the sort's share is visible.
 blend_ms uses the steady-state capacity class (pipeline.Engine protocol) —
 the first frame per scene runs at the safe worst-case grid bound.
 
-Round-3 headline config: tile_size=32 with the Engine's class-partitioned
-pair expansion (benchmarks/probe_tile_size.py): at 32 px tiles the footprint
-census collapses (86% of splats straddle >= 2 tiles of 16 px; only 48% do at
-32 px), the class partition activates (pair rows 4M -> 1.9M), and the EXACT
-fused frame drops ~4.4 ms.  16 px remains the turbo preset's tile size
-(depth_key_order cannot compose with the class partition — it has no ranks).
+Round-3 headline config: RECTANGULAR 32x16 tiles + the Engine's class-
+partitioned pair expansion (benchmarks/probe_tile_size.py): the 32 px
+x-extent collapses the straddle census (pair rows 4M -> ~2.45M with class
+caps) while the 16 px y-extent keeps blend pixels-per-record at half of
+32x32 AND r_cap on the fine 16 px quantization grid — measured best exact
+frame of the 16/32/32x16/32x8 sweep.  16 px square remains the turbo
+preset's tile size (depth_key_order cannot compose with the class
+partition — it has no ranks).
 """
 
 from __future__ import annotations
@@ -162,7 +164,7 @@ def main() -> None:
     # whenever the census fits (gated: class_overflow must be False). ----
     from splat_renderer_tpu.render.pipeline import _class_caps
 
-    rcfg32 = rcfg.replace(tile_size=32)
+    rcfg32 = rcfg.replace(tile_size=32, tile_height=16)
     d32 = jax.jit(lambda s, c: splat_screen_data(s, c, rcfg32))(splats, camera)
     b32 = jax.jit(lambda d: bin_splats_packed(d, rcfg32, BLOCK))(d32)
     mt32 = int(np.asarray(b32["tiles_used"]) * 1.15) + 8
@@ -237,10 +239,11 @@ def main() -> None:
 
     ssim_turbo = quality_gate(jax.device_get(img_turbo),
                               jax.device_get(img_exact))
-    # the ts=32 headline uses a coarser r fixed-point grid (r_cap doubles,
-    # same 10 bits) — still self-gated against ITS OWN oracle on device
-    # (drive_tpu_parity), but vs the ts=16 frame the quantization step
-    # differs; report the cross-grid SSIM so the trade stays visible
+    # the 32x16 headline shares ts=16's r grid (r_cap follows the smaller
+    # tile extent), so vs the ts=16 frame only footprint-cap clamping can
+    # differ; still self-gated against ITS OWN oracle on device
+    # (drive_tpu_parity); report the cross-config SSIM so any trade stays
+    # visible
     ssim_headline = quality_gate(jax.device_get(img_best),
                                  jax.device_get(img_exact))
 
@@ -475,7 +478,7 @@ def main() -> None:
         "vs_baseline": round(fps / 60.0, 4),
         "msplats_per_sec": round(N_SPLATS * fps / 1e6, 2),
         "frame_ms": round(t_best * 1e3, 3),
-        "headline_tile_size": 32,
+        "headline_tile": "32x16",
         "headline_class_caps": list(cc32) if cc32 else [],
         "frame_ms_ts16": round(t_full * 1e3, 3),
         "frame_ms_flat_kernel": round(t_flat * 1e3, 3),
@@ -485,7 +488,7 @@ def main() -> None:
         "frame_ms_turbo": round(t_turbo * 1e3, 3),
         "fps_turbo": round(1.0 / t_turbo, 2),
         "ssim_turbo_vs_exact": round(ssim_turbo, 5),
-        "ssim_headline_ts32_vs_ts16": round(ssim_headline, 5),
+        "ssim_headline_vs_ts16": round(ssim_headline, 5),
         "project_ms": round(t_project * 1e3, 3),
         "sort_ms": round(t_sort * 1e3, 3),
         "bin_ms": round(t_bin * 1e3, 3),
