@@ -337,6 +337,147 @@ def _make_tile_kernel(cfg: RenderConfig, block: int, eps: float, spec,
     return kernel
 
 
+def _make_tile_kernel_xp(cfg: RenderConfig, block: int, eps: float, spec,
+                         sat_every: int):
+    """Cross-tile-prefetch variant of _make_tile_kernel.
+
+    In the base tile-major kernel each grid step issues its tile's FIRST
+    window DMA and immediately waits it, so at ~600 records/tile (one window
+    per tile at block=1024) nearly every step exposes the full DMA
+    issue-to-complete latency serially — ~1-2 us x ~4k nonempty tiles is the
+    multi-ms gap between the blend's measured time and its panel-work +
+    group-overhead model (NOTES.md round 3).  Here each step prefetches the
+    NEXT tile's window 0 before doing its own compute, so that latency hides
+    under the current tile's panels:
+
+      slots 0/1: window-0 stream, alternating by STEP parity — step i-1
+                 starts slot i%2, step i waits it (VMEM scratch and DMA
+                 semaphores persist across the sequential grid).
+      slots 2/3: within-tile windows >= 1, double-buffered by window parity
+                 (the base kernel's scheme, minus window 0).
+
+    Semaphore discipline: every start is waited exactly once.  A step whose
+    PREDECESSOR was a trash slot (or step 0) self-starts its window 0; a
+    step never prefetches for a trash successor.  Listed slots are nonempty
+    (nw >= 1, binning guarantees), trash slots do nothing.  Output is
+    bit-identical to the base kernel — the fold order never changes, only
+    DMA scheduling (device-gated in drive_tpu_parity / probe_blend_xp)."""
+    tp = cfg.tile_pixels
+    num_tiles = cfg.num_tiles
+    bw = block // 128
+
+    def kernel(
+        tile_ref,  # (n_class,) tile id per slot (num_tiles = padding)
+        win0_ref,  # (n_class,) first stream-window unit of the tile's run
+        nwin_ref,  # (n_class,) number of windows
+        local0_ref,  # (n_class,) win0*block - run offset (lead-in, <= 0)
+        count_ref,  # (n_class,) run length
+        w_hbm,  # (rows, lanes) u32 pair stream, stays in HBM
+        out_ref,  # (1, 8, tp) block at row tile_ref[i]
+        acc_ref,  # VMEM (8, tp)
+        wbuf_ref,  # VMEM (4, bw, lanes) u32: 0/1 window-0, 2/3 windows >= 1
+        sem_ref,  # DMA semaphores (4,)
+    ):
+        i = pl.program_id(0)
+        nb = pl.num_programs(0)
+        t = tile_ref[i]
+
+        @pl.when(t < num_tiles)
+        def _():
+            def dma_first(slot, w0u):
+                row0 = pl.multiple_of(w0u * bw, 8)
+                return pltpu.make_async_copy(
+                    w_hbm.at[pl.ds(row0, bw), :],
+                    wbuf_ref.at[slot],
+                    sem_ref.at[slot],
+                )
+
+            # self-start window 0 when no predecessor prefetched it (step 0,
+            # or — defensively — a trash predecessor; trash is a suffix by
+            # construction, so this is step 0 in practice)
+            prev = jnp.maximum(i - 1, 0)
+            prev_missing = jnp.logical_or(i == 0, tile_ref[prev] >= num_tiles)
+
+            @pl.when(prev_missing)
+            def _():
+                dma_first(i % 2, win0_ref[i]).start()
+
+            # prefetch the NEXT tile's window 0 before any compute
+            nxt = jnp.minimum(i + 1, nb - 1)
+
+            @pl.when(jnp.logical_and(i + 1 < nb, tile_ref[nxt] < num_tiles))
+            def _():
+                dma_first((i + 1) % 2, win0_ref[nxt]).start()
+
+            px, py = _tile_pixel_coords(cfg, spec, t)
+            acc_ref[0:3, :] = jnp.zeros((3, tp), jnp.float32)
+            acc_ref[3:8, :] = jnp.concatenate(
+                [jnp.ones((1, tp), jnp.float32), jnp.zeros((4, tp), jnp.float32)]
+            )
+            win0 = win0_ref[i]
+            nw = nwin_ref[i]
+            local0_t = local0_ref[i]
+            cnt = count_ref[i]
+
+            def dma_in(w):  # windows >= 1
+                row0 = pl.multiple_of((win0 + w) * bw, 8)
+                slot = 2 + w % 2
+                return pltpu.make_async_copy(
+                    w_hbm.at[pl.ds(row0, bw), :],
+                    wbuf_ref.at[slot],
+                    sem_ref.at[slot],
+                )
+
+            # window 1's fetch hides under window 0's compute
+            @pl.when(nw > 1)
+            def _():
+                dma_in(1).start()
+
+            dma_first(i % 2, win0).wait()
+            _blend_window(
+                cfg, spec, eps, sat_every, wbuf_ref[i % 2], acc_ref,
+                local0_t, cnt, px, py,
+            )
+
+            def cond(state):
+                w, live = state
+                return jnp.logical_and(w < nw, live)
+
+            def body(state):
+                w, _ = state
+
+                @pl.when(w + 1 < nw)
+                def _():
+                    dma_in(w + 1).start()
+
+                dma_in(w).wait()
+                _blend_window(
+                    cfg, spec, eps, sat_every, wbuf_ref[2 + w % 2], acc_ref,
+                    local0_t + w * block, cnt, px, py,
+                )
+                return w + 1, jnp.max(acc_ref[3:4, :]) > eps
+
+            final_w, _ = jax.lax.while_loop(
+                cond,
+                body,
+                (
+                    jnp.int32(1),
+                    jnp.logical_and(
+                        eps < 1.0, jnp.max(acc_ref[3:4, :]) > eps
+                    ),
+                ),
+            )
+
+            # early exit leaves exactly one window->=1 DMA in flight
+            @pl.when(final_w < nw)
+            def _():
+                dma_in(final_w).wait()
+
+            out_ref[0] = acc_ref[:]
+
+    return kernel
+
+
 def _make_kernel(cfg: RenderConfig, block: int, eps: float, spec=None,
                  sat_every: int = 2, _strip: int = 0):
     """Kernel factory.  spec=None: global 3-word records (pos|ro|rgb lane
@@ -491,7 +632,10 @@ def pallas_blend_tiles(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "block", "eps", "interpret", "sat_every")
+    jax.jit,
+    static_argnames=(
+        "cfg", "block", "eps", "interpret", "sat_every", "prefetch_next"
+    ),
 )
 def pallas_blend_tiles_tm(
     pair_w: jnp.ndarray,  # (rows, lanes) u32 pair stream (stays in HBM)
@@ -506,11 +650,16 @@ def pallas_blend_tiles_tm(
     eps: float = -1.0,
     interpret: bool = False,
     sat_every: int = 2,
+    prefetch_next: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Tile-major variant of pallas_blend_tiles: grid = nonempty tiles,
     manual double-buffered DMA over each tile's windows (see
     _make_tile_kernel).  Tiles listed beyond the table are NOT rendered —
-    the caller masks them (render_tiles_pallas's capacity protocol)."""
+    the caller masks them (render_tiles_pallas's capacity protocol).
+
+    prefetch_next: cross-tile window-0 prefetch (_make_tile_kernel_xp) —
+    hides the per-tile DMA issue latency under the previous tile's compute;
+    bit-identical output."""
     if eps < 0:
         eps = cfg.transmittance_eps
     tp = cfg.tile_pixels
@@ -528,6 +677,7 @@ def pallas_blend_tiles_tm(
     if lanes == 256 and spec is None:
         raise ValueError("2-word pair stream but cfg does not allow the layout")
 
+    nbuf = 4 if prefetch_next else 2
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(n_class,),
@@ -537,12 +687,13 @@ def pallas_blend_tiles_tm(
         ),
         scratch_shapes=[
             pltpu.VMEM((8, tp), jnp.float32),
-            pltpu.VMEM((2, bw, lanes), jnp.uint32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((nbuf, bw, lanes), jnp.uint32),
+            pltpu.SemaphoreType.DMA((nbuf,)),
         ],
     )
+    make = _make_tile_kernel_xp if prefetch_next else _make_tile_kernel
     out = pl.pallas_call(
-        _make_tile_kernel(cfg, block, eps, spec, sat_every),
+        make(cfg, block, eps, spec, sat_every),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((num_tiles + 1, 8, tp), jnp.float32),
         interpret=interpret,
@@ -582,8 +733,9 @@ def render_tiles_pallas(
 
     kernel: "flat" = grid-per-window (pallas_blend_tiles), "tile" =
     grid-per-nonempty-tile with manual double-buffered DMA
-    (pallas_blend_tiles_tm) — both produce identical images; they differ
-    only in per-step overhead shape.
+    (pallas_blend_tiles_tm), "tile_xp" = tile-major with cross-tile
+    window-0 prefetch (_make_tile_kernel_xp) — all produce identical
+    images; they differ only in per-step overhead / DMA scheduling.
 
     max_blocks: static grid-capacity class, in WINDOW units for the flat
     kernel and NONEMPTY-TILE units for the tile kernel.  The safe worst-case
@@ -598,7 +750,7 @@ def render_tiles_pallas(
         binned = bin_splats_packed(
             splat_data_quantized, cfg, block, class_caps=class_caps
         )
-    if kernel == "tile":
+    if kernel in ("tile", "tile_xp"):
         mt = cfg.num_tiles if max_blocks is None else max_blocks
         tile_color, tile_alpha = pallas_blend_tiles_tm(
             binned["pair_w"],
@@ -613,6 +765,7 @@ def render_tiles_pallas(
             eps=eps,
             interpret=interpret,
             sat_every=sat_every,
+            prefetch_next=(kernel == "tile_xp"),
         )
         used = binned["tiles_used"]
         if return_tiles:

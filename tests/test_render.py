@@ -585,6 +585,11 @@ class TestPallasInterpret:
         img_tile = render_tiles_pallas(data, st, cfg, block=1024, eps=0.0,
                                        interpret=True, kernel="tile")
         np.testing.assert_array_equal(np.asarray(img_tile), np.asarray(img_flat))
+        # cross-tile-prefetch variant: same images, different DMA schedule
+        # (device bit-equality + perf wash: benchmarks/probe_blend_xp.py)
+        img_xp = render_tiles_pallas(data, st, cfg, block=1024, eps=0.0,
+                                     interpret=True, kernel="tile_xp")
+        np.testing.assert_array_equal(np.asarray(img_xp), np.asarray(img_flat))
         # capacity: a class smaller than tiles_used is safe + flagged
         used = int(st["tiles_used"])
         small, stats = render_tiles_pallas(
