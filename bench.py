@@ -1,39 +1,60 @@
 """Benchmark: the five BASELINE.json configs on one TPU chip.
 
-Prints ONE JSON line:
+Prints ONE JSON line (stdout):
   {"metric": ..., "value": FPS, "unit": "fps", "vs_baseline": FPS/60, ...}
 
 Baseline: the reference's north-star target of 1M splats @ 60 FPS
 (3D_PLAN.md:379-382; BASELINE.md "Targets"), so vs_baseline = fps / 60.
-Extra fields carry the per-stage breakdown (project/bin/sort/blend ms) plus
-all five BASELINE configs:
-  1. oracle_10k_256_ms      — SequentialRenderer parity config
-  2. frame_720p_100k_ms     — tile pipeline small
-  3. fps_1080p_1m_splats    — full GPU-pipeline parity (headline)
-  4. animated_120f_s        — 500k animated over 120 frames incl. host loop
-  5. multiview8_2m_ms       — 8 views x 2M splats @1080p, one fused program
+
+Round-4 harness design (VERDICT.md round 3, item 1 — BENCH_r03 timed out):
+  * persistent XLA compilation cache (.jax_cache/) — repeat runs stop
+    recompiling ~40 programs over the axon relay;
+  * a WALL-CLOCK BUDGET (env BENCH_BUDGET_S, default 1080 s): metrics run
+    headline-first in priority order; before each step the harness checks
+    remaining budget against the step's conservative cold-compile cost
+    estimate and skips the rest when spent, listing them in "skipped";
+  * every step is try/except-wrapped: a failure degrades that step's
+    fields (recorded in "errors"), never the run;
+  * per-step progress lines go to stderr so a timeout is diagnosable;
+  * skipped/failed fields are OMITTED from the JSON (never null) so the CI
+    schema check can keep rejecting nulls.
+
+Timing estimators (recorded in the JSON per ADVICE r3): FPS-visible
+scoreboard metrics use time_fn_best (min of 3 burst means — relay weather
+is strictly additive, utils/timing.py); stage/secondary metrics use
+time_fn (mean of one burst).
+
+Headline config (round 3, benchmarks/probe_tile_size.py): RECTANGULAR
+32x16 tiles + the Engine's class-partitioned pair expansion; the 32 px
+x-extent collapses the straddle census (pair rows 4M -> ~2.45M with class
+caps) while the 16 px y-extent keeps blend pixels-per-record at half of
+32x32 AND r_cap on the fine 16 px quantization grid.  16 px square remains
+the turbo preset's tile size (depth_key_order cannot compose with the
+class partition — it has no ranks).
 
 Stage accounting: bin_ms is the FULL binning pass (which contains the pair
 sort); sort_ms is the isolated pair sort so the sort's share is visible.
-blend_ms uses the steady-state capacity class (pipeline.Engine protocol) —
-the first frame per scene runs at the safe worst-case grid bound.
-
-Round-3 headline config: RECTANGULAR 32x16 tiles + the Engine's class-
-partitioned pair expansion (benchmarks/probe_tile_size.py): the 32 px
-x-extent collapses the straddle census (pair rows 4M -> ~2.45M with class
-caps) while the 16 px y-extent keeps blend pixels-per-record at half of
-32x32 AND r_cap on the fine 16 px quantization grid — measured best exact
-frame of the 16/32/32x16/32x8 sweep.  16 px square remains the turbo
-preset's tile size (depth_key_order cannot compose with the class
-partition — it has no ranks).
+Fused stage_* deltas cancel the relay's ~1.5-2.8 ms fixed dispatch cost by
+construction (P1 = project, P2 = project+bin, P3 = full frame).
 """
 
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
 import jax
+
+# Persistent compilation cache: the single biggest lever for finishing
+# inside the driver's time budget — without it every one of the ~40 jitted
+# programs recompiles over the relay on every run (BENCH_r03: rc 124).
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -42,6 +63,7 @@ from splat_renderer_tpu.config import PointConfig, RenderConfig
 from splat_renderer_tpu.ops.tile_blend import render_tiles_pallas
 from splat_renderer_tpu.render.binning import bin_splats_packed
 from splat_renderer_tpu.render.pipeline import (
+    _class_caps,
     model_points,
     render_splats,
     splat_screen_data,
@@ -68,232 +90,138 @@ def _capacity_class(data, rcfg, block=BLOCK, headroom=1.25) -> int:
     return max(1024, -(-int(used * headroom) // 1024) * 1024)
 
 
+class Harness:
+    """Priority-ordered, budget-aware, failure-isolated metric runner."""
+
+    def __init__(self, budget_s: float):
+        self.t0 = time.perf_counter()
+        self.budget = budget_s
+        self.fields: dict = {}
+        self.skipped: list[str] = []
+        self.errors: dict[str, str] = {}
+        self.step_s: dict[str, float] = {}
+
+    def elapsed(self) -> float:
+        return time.perf_counter() - self.t0
+
+    def remaining(self) -> float:
+        return self.budget - self.elapsed() if self.budget > 0 else float("inf")
+
+    def log(self, msg: str) -> None:
+        print(f"[bench t={self.elapsed():6.1f}s] {msg}", file=sys.stderr, flush=True)
+
+    def step(self, name: str, cost_s: float, fn) -> bool:
+        """Run `fn` if the remaining budget covers its conservative
+        cold-compile cost estimate.  Returns True iff it ran and succeeded."""
+        if self.remaining() < cost_s:
+            self.skipped.append(name)
+            self.log(f"SKIP {name} (est {cost_s:.0f}s > {self.remaining():.0f}s left)")
+            return False
+        self.log(f"start {name} (est {cost_s:.0f}s, {self.remaining():.0f}s left)")
+        t0 = time.perf_counter()
+        try:
+            fn()
+        except Exception as e:  # degrade the step, never the run
+            self.errors[name] = f"{type(e).__name__}: {e}"
+            self.log(f"FAIL {name}: {self.errors[name]}")
+            return False
+        finally:
+            self.step_s[name] = round(time.perf_counter() - t0, 1)
+        self.log(f"done {name} in {self.step_s[name]:.1f}s")
+        return True
+
+
 def main() -> None:
+    # Default sized so a warm-compilation-cache run (~850 s measured)
+    # completes every metric; a cold-cache run (~1500 s measured) lands the
+    # headline and the top-priority steps, skips the rest explicitly, and
+    # still exits 0 well inside any plausible driver timeout (r02's cold
+    # bench passed; r03's ~1900 s one did not).
+    budget = float(os.environ.get("BENCH_BUDGET_S", "1080"))
+    H = Harness(budget)
+    R = H.fields
+
     scene = _demo_scene()
     # 1M splats at 1080p: small world radius keeps footprints at a few
     # pixels, the physically sensible regime at this density.
     rcfg = RenderConfig(
         width=WIDTH, height=HEIGHT, base_radius=0.008, tiles_per_splat_cap=4
     )
+    rcfg32 = rcfg.replace(tile_size=32, tile_height=16)
     pcfg = PointConfig(descent_steps=5)
     cam = spt.Camera(aspect=WIDTH / HEIGHT)
     camera = {k: jnp.asarray(v) for k, v in cam.arrays().items()}
     params = scene.params()
     key = jax.random.PRNGKey(0)
 
-    # ---- stage-isolated timings (headline config 3) ----
-    model_j = jax.jit(lambda p, k: model_points(scene, p, k, N_SPLATS, pcfg, rcfg))
-    t_model, splats = time_fn(model_j, params, key, warmup=2, iters=5)
+    # Mutable cross-step state (each step only reads what an earlier step
+    # produced; a skipped producer makes the consumer fail fast into
+    # `errors`, which is the intended degradation).
+    S: dict = {}
 
-    # the Pallas frame's actual projection stage: plane SoA -> packed words
+    # ---- step 1 (REQUIRED): model 1M splats ----
+    def step_model():
+        model_j = jax.jit(lambda p, k: model_points(scene, p, k, N_SPLATS, pcfg, rcfg))
+        t_model, splats = time_fn(model_j, params, key, warmup=2, iters=5)
+        S["splats"] = splats
+        R["model_stage_ms"] = round(t_model * 1e3, 3)
+
+    H.step("model_1m", 90, step_model)
+
+    # ---- step 2 (REQUIRED, the headline): exact fused frame, 32x16 tiles
+    # + class-partitioned pair expansion (Engine-auto protocol).  The image
+    # stays oracle-exact — the class partition is output-identical whenever
+    # the census fits; on overflow we fall back to the un-partitioned
+    # timing instead of dying (BENCH_r03's mid-run assert is gone). ----
+    def step_headline():
+        splats = S["splats"]
+        b32 = jax.jit(lambda s, c: bin_splats_packed(
+            splat_screen_data(s, c, rcfg32), rcfg32, BLOCK))(splats, camera)
+        mt32 = int(np.asarray(b32["tiles_used"]) * 1.15) + 8
+        S["mt32"] = mt32
+
+        def full32(s, c, cc=None):
+            return render_splats(s, c, rcfg32, "pallas", BLOCK,
+                                 blend_max_blocks=mt32, blend_kernel="tile",
+                                 pair_class_caps=cc, return_stats=True)
+
+        _, stats32 = jax.jit(lambda s, c: full32(s, c))(splats, camera)
+        n_hi, n_mid = (int(x) for x in np.asarray(stats32["class_counts"]))
+        cc32 = _class_caps(n_hi, n_mid, N_SPLATS, rcfg32.tiles_per_splat_cap)
+        t_best, (img_best, st_best) = time_fn_best(
+            jax.jit(lambda s, c: full32(s, c, cc32)), splats, camera,
+            warmup=2, iters=5,
+        )
+        overflow = bool(np.asarray(st_best["class_overflow"]))
+        if overflow:
+            # census drifted: the partitioned frame dropped pairs — its
+            # timing is not an exact-frame number.  Re-time unpartitioned.
+            H.log("headline class caps overflowed; falling back to cc=None")
+            t_best, (img_best, _) = time_fn_best(
+                jax.jit(lambda s, c: full32(s, c)), splats, camera,
+                warmup=2, iters=5,
+            )
+        S["cc32"], S["img_best"] = cc32, img_best
+        fps = 1.0 / t_best
+        R.update({
+            "value": round(fps, 3),
+            "vs_baseline": round(fps / 60.0, 4),
+            "msplats_per_sec": round(N_SPLATS * fps / 1e6, 2),
+            "frame_ms": round(t_best * 1e3, 3),
+            "headline_tile": "32x16",
+            "headline_class_caps": [] if overflow else list(cc32),
+            "headline_class_overflow": overflow,
+        })
+
+    H.step("headline_32x16", 150, step_headline)
+
+    # ---- step 3: fused-frame per-stage deltas at the headline config (the
+    # honest method: each program carries ONE dispatch, so program-to-
+    # program deltas cancel the relay's ~1.5-2.8 ms fixed launch cost). ----
+    from splat_renderer_tpu.render.binning import bin_packed_words
     from splat_renderer_tpu.render.projector import project_planes, splat_screen_words
 
-    project_j = jax.jit(
-        lambda s, c: splat_screen_words(s, c["view_proj"], c["cam_pos"], rcfg)
-    )
-    t_project, _ = time_fn(project_j, splats, camera, warmup=2, iters=5)
-    data = jax.jit(lambda s, c: splat_screen_data(s, c, rcfg))(splats, camera)
-
-    # radius-cap stats (the capacity clamp the reference merely warns about,
-    # src/GPUTileBinner.ts:265-281)
-    proj = jax.jit(
-        lambda s, c: project_planes(
-            c["view_proj"], c["cam_pos"], s["px"], s["py"], s["pz"],
-            s["radius"], rcfg,
-        )
-    )(splats, camera)
-    r_cap = rcfg.r_cap
-    r_raw = np.asarray(proj["radius_raw"])
-    clamp_frac = float((r_raw > r_cap).mean())
-    r_raw_max = float(r_raw.max())
-
-    # isolated sorts (the stage the reference's RadixSorter owns): the
-    # record-rank sort at N plus the (tile, rank) pair sort at N*cap with the
-    # 2-word payload — exactly bin_splats_packed's sort structure
-    from splat_renderer_tpu.render.packing import depth_bits, pack_records
-
-    cap = rcfg.tiles_per_splat_cap
-
-    def pair_sort(d):
-        dk = depth_bits(d[:, 7])
-        w0, w1, w2 = pack_records(d, rcfg)
-        iota = jax.lax.broadcasted_iota(jnp.int32, (N_SPLATS, 1), 0)[:, 0]
-        _, _, w0, w1, w2 = jax.lax.sort(
-            (dk, iota, w0, w1, w2), num_keys=2, is_stable=False
-        )
-        tile = jnp.zeros((cap * N_SPLATS,), jnp.int32)
-
-        def bc(x):
-            return jnp.broadcast_to(x[None, :], (cap, N_SPLATS)).reshape(-1)
-
-        return jax.lax.sort(
-            (tile, bc(iota), bc(w0), bc(w2)), num_keys=2, is_stable=False
-        )[2]
-
-    t_sort, _ = time_fn(jax.jit(pair_sort), data, warmup=2, iters=5)
-
-    bin_j = jax.jit(lambda d: bin_splats_packed(d, rcfg, BLOCK))
-    t_bin, binned = time_fn(bin_j, data, warmup=2, iters=5)
-    blocks_used = int(np.asarray(binned["block_off"])[-1])
-    mb = max(1024, -(-int(blocks_used * 1.25) // 1024) * 1024)
-
-    blend_j = jax.jit(
-        lambda d, b: render_tiles_pallas(d, b, rcfg, block=BLOCK, max_blocks=mb)
-    )
-    t_blend, img = time_fn(blend_j, data, binned, warmup=2, iters=5)
-
-    # ---- full fused frame (render-only: splats -> image) ----
-    # headline kernel: tile-major (grid-per-nonempty-tile); class in tiles
-    mt = int(np.asarray(binned["tiles_used"]) * 1.15) + 8
-
-    def full(s, c):
-        return render_splats(s, c, rcfg, "pallas", BLOCK, blend_max_blocks=mt,
-                             blend_kernel="tile")
-
-    # FPS-visible metrics use time_fn_best (min of 3 bursts): relay weather
-    # is strictly additive and spans multiple ms run-to-run, so a single
-    # burst can ship a weather-inflated scoreboard number (utils/timing.py)
-    full_j = jax.jit(full)
-    t_full, img_exact = time_fn_best(full_j, splats, camera, warmup=2, iters=5)
-
-    def full_flat(s, c):
-        return render_splats(s, c, rcfg, "pallas", BLOCK, blend_max_blocks=mb)
-
-    t_flat, _ = time_fn_best(jax.jit(full_flat), splats, camera, warmup=2, iters=5)
-
-    # ---- HEADLINE: exact fused frame at tile_size=32 + class-partitioned
-    # pair expansion (Engine-auto protocol; see module docstring).  The
-    # image stays oracle-exact — the class partition is output-identical
-    # whenever the census fits (gated: class_overflow must be False). ----
-    from splat_renderer_tpu.render.pipeline import _class_caps
-
-    rcfg32 = rcfg.replace(tile_size=32, tile_height=16)
-    d32 = jax.jit(lambda s, c: splat_screen_data(s, c, rcfg32))(splats, camera)
-    b32 = jax.jit(lambda d: bin_splats_packed(d, rcfg32, BLOCK))(d32)
-    mt32 = int(np.asarray(b32["tiles_used"]) * 1.15) + 8
-
-    def full32(s, c, cc=None):
-        return render_splats(s, c, rcfg32, "pallas", BLOCK,
-                             blend_max_blocks=mt32, blend_kernel="tile",
-                             pair_class_caps=cc, return_stats=True)
-
-    _, stats32 = jax.jit(lambda s, c: full32(s, c))(splats, camera)
-    n_hi, n_mid = (int(x) for x in np.asarray(stats32["class_counts"]))
-    cc32 = _class_caps(n_hi, n_mid, N_SPLATS, rcfg32.tiles_per_splat_cap)
-    t_best, (img_best, st_best) = time_fn_best(
-        jax.jit(lambda s, c: full32(s, c, cc32)), splats, camera,
-        warmup=2, iters=5,
-    )
-    assert not bool(np.asarray(st_best["class_overflow"])), (
-        "headline class caps overflowed — census drifted; rerun"
-    )
-
-    # ---- SH-lit frame (render/sh.py): degree-3 view-dependent color at
-    # 1M — what rendering a pre-trained 3DGS scene's appearance costs ----
-    from splat_renderer_tpu.render.sh import apply_sh
-
-    sh_rng = np.random.default_rng(5)
-    sh = {c: jnp.asarray(sh_rng.normal(scale=0.1, size=(15, N_SPLATS))
-                         .astype(np.float32)) for c in ("r", "g", "b")}
-
-    def full_sh(s, sh_, c):
-        return render_splats(apply_sh(s, sh_, c["cam_pos"]), c, rcfg,
-                             "pallas", BLOCK, blend_max_blocks=mt,
-                             blend_kernel="tile")
-
-    t_sh, _ = time_fn_best(jax.jit(full_sh), splats, sh, camera, warmup=2, iters=5)
-
-    # ---- fast profile (cfg.fast_math): coarse-rank fused pair sort
-    # (sub-quantization order deviation; opt-in, see config.py) ----
-    rcfg_fast = rcfg.replace(fast_math=True)
-
-    def full_fast(s, c):
-        return render_splats(s, c, rcfg_fast, "pallas", BLOCK,
-                             blend_max_blocks=mt, blend_kernel="tile")
-
-    t_fast, _ = time_fn_best(jax.jit(full_fast), splats, camera, warmup=2, iters=5)
-
-    # ---- turbo profile (config.turbo_render_config): fast_math + support
-    # cut at 1.3r — documented approximation preset; SSIM vs the exact frame
-    # is reported alongside so the trade is always visible ----
-    rcfg_turbo = spt.turbo_render_config(
-        WIDTH, HEIGHT, base_radius=0.008, tiles_per_splat_cap=4
-    )
-    data_turbo = jax.jit(lambda s, c: splat_screen_data(s, c, rcfg_turbo))(
-        splats, camera
-    )
-    binned_turbo = jax.jit(lambda d: bin_splats_packed(d, rcfg_turbo, BLOCK))(
-        data_turbo
-    )
-    mt_turbo = int(np.asarray(binned_turbo["tiles_used"]) * 1.15) + 8
-
-    def full_turbo(s, c):
-        return render_splats(s, c, rcfg_turbo, "pallas", BLOCK,
-                             blend_max_blocks=mt_turbo, blend_kernel="tile")
-
-    t_turbo, img_turbo = time_fn_best(jax.jit(full_turbo), splats, camera,
-                                      warmup=2, iters=5)
-    # Quality metrics are computed ON HOST with range asserts: BENCH_r02
-    # shipped an impossible ssim=1.2312 from an on-device jit(ssim) scalar
-    # (the axon relay computes conv-based reductions wrongly at this image
-    # size — benchmarks/probe_ssim_device.py; NOTES.md round 3).  The
-    # scoreboard must never depend on a device scalar.
-    from splat_renderer_tpu.utils.ssim import quality_gate
-
-    ssim_turbo = quality_gate(jax.device_get(img_turbo),
-                              jax.device_get(img_exact))
-    # the 32x16 headline shares ts=16's r grid (r_cap follows the smaller
-    # tile extent), so vs the ts=16 frame only footprint-cap clamping can
-    # differ; still self-gated against ITS OWN oracle on device
-    # (drive_tpu_parity); report the cross-config SSIM so any trade stays
-    # visible
-    ssim_headline = quality_gate(jax.device_get(img_best),
-                                 jax.device_get(img_exact))
-
-    # ---- config 1: oracle, 10k splats @256x256 ----
-    ocfg = RenderConfig(width=256, height=256, base_radius=0.03)
-    from splat_renderer_tpu.render.oracle import render_oracle
-
-    o_splats = jax.jit(lambda p, k: model_points(scene, p, k, 10_000, pcfg, ocfg))(
-        params, key
-    )
-    ocam = {k_: jnp.asarray(v) for k_, v in spt.Camera(aspect=1.0).arrays().items()}
-    t_oracle, _ = time_fn(
-        jax.jit(lambda s, c: render_oracle(splat_screen_data(s, c, ocfg), ocfg)),
-        o_splats, ocam, warmup=1, iters=3,
-    )
-
-    # ---- config 2: tile pipeline small, 100k @720p ----
-    cfg720 = RenderConfig(width=1280, height=720, base_radius=0.02,
-                          tiles_per_splat_cap=4)
-    s100k = jax.jit(lambda p, k: model_points(scene, p, k, 100_000, pcfg, cfg720))(
-        params, key
-    )
-    cam720 = {k_: jnp.asarray(v) for k_, v in
-              spt.Camera(aspect=1280 / 720).arrays().items()}
-    d720 = jax.jit(lambda s, c: splat_screen_data(s, c, cfg720))(s100k, cam720)
-    mb720 = _capacity_class(d720, cfg720)
-    t_720, _ = time_fn(
-        jax.jit(lambda s, c: render_tiles_pallas(
-            splat_screen_data(s, c, cfg720), None, cfg720, block=BLOCK,
-            max_blocks=mb720)),
-        s100k, cam720, warmup=2, iters=5,
-    )
-
-    # ---- fused-frame per-stage deltas (the honest method: each program
-    # carries ONE dispatch, so program-to-program deltas cancel the relay's
-    # ~1.5-2.8 ms fixed launch cost; CLAUDE.md dispatch-overhead rule).
-    # P1 = project only, P2 = project+bin, P3 = the full frame ----
-    from splat_renderer_tpu.render.binning import bin_packed_words
-
-    # fixed per-dispatch launch overhead of this transport (a trivial jit):
-    # single-dispatch numbers include it additively; the P1 (project-only)
-    # stage subtracts it, the P2-P1 / P3-P2 deltas cancel it by construction
-    t_disp, _ = time_fn(
-        jax.jit(lambda v: v + 1.0), jnp.ones((8, 128)), warmup=3, iters=20
-    )
-
-    def _stage_deltas(s_, c_, cfg_, mt_, cc_=None):
+    def _stage_deltas(s_, c_, cfg_, mt_, t_disp, cc_=None):
         def p1(s, c):
             return splat_screen_words(s, c["view_proj"], c["cam_pos"], cfg_)
 
@@ -315,138 +243,248 @@ def main() -> None:
         return (max(t1 - t_disp, 0.0), max(t2 - t1, 0.0),
                 max(t3 - t2, 0.0), t3)
 
-    # per-stage shares of the HEADLINE config (ts=32 + class caps)
-    st1m_proj, st1m_bin, st1m_blend, _ = _stage_deltas(
-        splats, camera, rcfg32, mt32, cc32)
+    def step_stages_headline():
+        # fixed per-dispatch launch overhead of this transport (a trivial
+        # jit): P1 subtracts it; the P2-P1 / P3-P2 deltas cancel it anyway
+        t_disp, _ = time_fn(
+            jax.jit(lambda v: v + 1.0), jnp.ones((8, 128)), warmup=3, iters=20
+        )
+        S["t_disp"] = t_disp
+        p, b, bl, _ = _stage_deltas(S["splats"], camera, rcfg32, S["mt32"],
+                                    t_disp, S["cc32"])
+        R.update({
+            "dispatch_overhead_ms": round(t_disp * 1e3, 3),
+            "stage_project_ms": round(p * 1e3, 3),
+            "stage_bin_ms": round(b * 1e3, 3),
+            "stage_blend_ms": round(bl * 1e3, 3),
+        })
 
-    # ---- the reference's own per-stage config: ~120k splats @1080p.
+    H.step("stages_headline", 120, step_stages_headline)
+
+    # ---- step 4: turbo profile (config.turbo_render_config): fast_math +
+    # support cut at 1.3r — documented approximation preset; SSIM vs the
+    # exact headline frame is reported so the trade is always visible.
+    # Quality metrics are computed ON HOST with range asserts: BENCH_r02
+    # shipped an impossible ssim=1.2312 from an on-device jit(ssim) scalar
+    # (benchmarks/probe_ssim_device.py) — the scoreboard must never depend
+    # on a device scalar. ----
+    from splat_renderer_tpu.utils.ssim import quality_gate
+
+    def step_turbo():
+        splats = S["splats"]
+        rcfg_turbo = spt.turbo_render_config(
+            WIDTH, HEIGHT, base_radius=0.008, tiles_per_splat_cap=4
+        )
+        binned_turbo = jax.jit(lambda s, c: bin_splats_packed(
+            splat_screen_data(s, c, rcfg_turbo), rcfg_turbo, BLOCK))(
+            splats, camera)
+        mt_turbo = int(np.asarray(binned_turbo["tiles_used"]) * 1.15) + 8
+
+        def full_turbo(s, c):
+            return render_splats(s, c, rcfg_turbo, "pallas", BLOCK,
+                                 blend_max_blocks=mt_turbo, blend_kernel="tile")
+
+        t_turbo, img_turbo = time_fn_best(jax.jit(full_turbo), splats, camera,
+                                          warmup=2, iters=5)
+        R["frame_ms_turbo"] = round(t_turbo * 1e3, 3)
+        R["fps_turbo"] = round(1.0 / t_turbo, 2)
+        R["ssim_turbo_vs_exact"] = round(quality_gate(
+            jax.device_get(img_turbo), jax.device_get(S["img_best"])), 5)
+
+    H.step("turbo", 100, step_turbo)
+
+    # ---- step 5: ts=16 square-tile exact frame (r02 headline continuity)
+    # + isolated per-stage programs (sort_ms inside bin_ms, blend alone) ----
+    def step_ts16():
+        splats = S["splats"]
+        data = jax.jit(lambda s, c: splat_screen_data(s, c, rcfg))(splats, camera)
+        S["data"] = data
+
+        project_j = jax.jit(
+            lambda s, c: splat_screen_words(s, c["view_proj"], c["cam_pos"], rcfg)
+        )
+        t_project, _ = time_fn(project_j, splats, camera, warmup=2, iters=5)
+
+        # isolated pair sort (the stage the reference's RadixSorter owns):
+        # record-rank sort at N plus the (tile, rank) pair sort at N*cap —
+        # exactly bin_splats_packed's sort structure
+        from splat_renderer_tpu.render.packing import depth_bits, pack_records
+
+        cap = rcfg.tiles_per_splat_cap
+
+        def pair_sort(d):
+            dk = depth_bits(d[:, 7])
+            w0, w1, w2 = pack_records(d, rcfg)
+            iota = jax.lax.broadcasted_iota(jnp.int32, (N_SPLATS, 1), 0)[:, 0]
+            _, _, w0, w1, w2 = jax.lax.sort(
+                (dk, iota, w0, w1, w2), num_keys=2, is_stable=False
+            )
+            tile = jnp.zeros((cap * N_SPLATS,), jnp.int32)
+
+            def bc(x):
+                return jnp.broadcast_to(x[None, :], (cap, N_SPLATS)).reshape(-1)
+
+            return jax.lax.sort(
+                (tile, bc(iota), bc(w0), bc(w2)), num_keys=2, is_stable=False
+            )[2]
+
+        t_sort, _ = time_fn(jax.jit(pair_sort), data, warmup=2, iters=5)
+
+        bin_j = jax.jit(lambda d: bin_splats_packed(d, rcfg, BLOCK))
+        t_bin, binned = time_fn(bin_j, data, warmup=2, iters=5)
+        blocks_used = int(np.asarray(binned["block_off"])[-1])
+        mb = max(1024, -(-int(blocks_used * 1.25) // 1024) * 1024)
+        blend_j = jax.jit(
+            lambda d, b: render_tiles_pallas(d, b, rcfg, block=BLOCK, max_blocks=mb)
+        )
+        t_blend, _ = time_fn(blend_j, data, binned, warmup=2, iters=5)
+
+        mt = int(np.asarray(binned["tiles_used"]) * 1.15) + 8
+        S["mt"] = mt
+
+        def full(s, c):
+            return render_splats(s, c, rcfg, "pallas", BLOCK,
+                                 blend_max_blocks=mt, blend_kernel="tile")
+
+        t_full, img_exact = time_fn_best(jax.jit(full), splats, camera,
+                                         warmup=2, iters=5)
+        R.update({
+            "project_ms": round(t_project * 1e3, 3),
+            "sort_ms": round(t_sort * 1e3, 3),
+            "bin_ms": round(t_bin * 1e3, 3),
+            "blend_ms": round(t_blend * 1e3, 3),
+            "blend_blocks_used": blocks_used,
+            "blend_capacity_class": mb,
+            "frame_ms_ts16": round(t_full * 1e3, 3),
+            # the 32x16 headline shares ts=16's r grid (r_cap follows the
+            # smaller tile extent), so only footprint-cap clamping can
+            # differ; still self-gated against ITS OWN oracle on device
+            # (drive_tpu_parity) — this cross-config SSIM keeps any trade
+            # visible
+            "ssim_headline_vs_ts16": round(quality_gate(
+                jax.device_get(S["img_best"]), jax.device_get(img_exact)), 5),
+        })
+
+    H.step("ts16_stages", 150, step_ts16)
+
+    # ---- step 6: the reference's own per-stage config: ~120k @1080p.
     # GPU_PIPELINE_PLAN.md:533-546 ("After" estimates): project 0.2,
     # extract keys 0.1, radix 2.0, count 0.6, scan 0.2, fill 0.7,
     # render 2.0 ms = 5.8 ms total.  Our bin stage owns keys+sort+binning
     # (their 2.9 ms); blend is their render (2.0 ms). ----
-    cfg120 = RenderConfig(width=WIDTH, height=HEIGHT, base_radius=0.02,
-                          tiles_per_splat_cap=4)
-    s120 = jax.jit(lambda p, k: model_points(scene, p, k, 120_000, pcfg,
-                                             cfg120))(params, key)
-    d120 = jax.jit(lambda s, c: splat_screen_data(s, c, cfg120))(s120, camera)
-    b120 = jax.jit(lambda d: bin_splats_packed(d, cfg120, BLOCK))(d120)
-    mt120 = int(np.asarray(b120["tiles_used"]) * 1.15) + 8
-    st120_proj, st120_bin, st120_blend, t_120 = _stage_deltas(
-        s120, camera, cfg120, mt120)
+    def step_120k():
+        cfg120 = RenderConfig(width=WIDTH, height=HEIGHT, base_radius=0.02,
+                              tiles_per_splat_cap=4)
+        s120 = jax.jit(lambda p, k: model_points(scene, p, k, 120_000, pcfg,
+                                                 cfg120))(params, key)
+        b120 = jax.jit(lambda s, c: bin_splats_packed(
+            splat_screen_data(s, c, cfg120), cfg120, BLOCK))(s120, camera)
+        mt120 = int(np.asarray(b120["tiles_used"]) * 1.15) + 8
+        t_disp = S.get("t_disp", 0.0)
+        p, b, bl, t_120 = _stage_deltas(s120, camera, cfg120, mt120, t_disp)
+        R.update({
+            "frame_120k_1080p_ms": round(t_120 * 1e3, 3),
+            "stage_project_120k_ms": round(p * 1e3, 3),
+            "stage_bin_120k_ms": round(b * 1e3, 3),
+            "stage_blend_120k_ms": round(bl * 1e3, 3),
+        })
 
-    # ---- stress: 10M splats @1080p exact fused frame (the reference's
-    # stretch target, 3D_PLAN.md:379-382 "10M @ 30+ FPS", never demonstrated
-    # there; full sweep in benchmarks/probe_stress.py) ----
-    r10 = rcfg.replace(base_radius=0.008 * float(np.sqrt(0.1)))
-    s10m = jax.jit(lambda p, k: model_points(scene, p, k, 10_000_000, pcfg,
-                                             r10))(params, key)
-    d10m = jax.jit(lambda s, c: splat_screen_data(s, c, r10))(s10m, camera)
-    mb10 = _capacity_class(d10m, r10)
-    t_10m, img10 = time_fn(
-        jax.jit(lambda s, c: render_splats(s, c, r10, "pallas", BLOCK,
-                                           blend_max_blocks=mb10)),
-        s10m, camera, warmup=1, iters=3,
-    )
-    assert np.isfinite(np.asarray(jax.device_get(img10))).all()
-    del s10m, d10m, img10
+    H.step("ref_120k", 120, step_120k)
 
-    # ---- config 4: 500k animated over 120 frames (incl. host loop) ----
-    d500 = jax.jit(lambda s, c: splat_screen_data(s, c, rcfg))(
-        jax.jit(lambda p, k: model_points(scene, p, k, 500_000, pcfg, rcfg))(
-            params, key
-        ),
-        camera,
-    )
-    mb500 = _capacity_class(d500, rcfg)
-
-    def animated(p, c, k):
-        s = model_points(scene, p, k, 500_000, pcfg, rcfg)
-        d = splat_screen_data(s, c, rcfg)
-        return render_tiles_pallas(d, None, rcfg, block=BLOCK, max_blocks=mb500)
-
-    anim_j = jax.jit(animated)
-    t_anim, _ = time_fn_best(anim_j, params, camera, key, warmup=2, iters=5)
-
-    # the honest 120-frame sequence: animate primitive params + orbit the
-    # camera every frame, host loop included (BASELINE config 4 verbatim)
-    acam = spt.Camera(aspect=WIDTH / HEIGHT)
-    out = None
-    t0 = time.perf_counter()
-    for i in range(120):
-        t = i / 60.0
-        scene["sphere2"].position[1] = 0.6 + 0.2 * np.sin(2 * np.pi * t)
-        acam.azimuth = 0.5 + 0.02 * i
-        c_i = {k_: jnp.asarray(v) for k_, v in acam.arrays(t).items()}
-        out = anim_j(scene.params(), c_i, jax.random.fold_in(key, i))
-    jax.device_get(out.ravel()[:1])
-    t_seq = time.perf_counter() - t0
-    scene["sphere2"].position[1] = 0.6  # restore
-
-    # ...and the fused form: all 120 frames in ONE lax.scan program
-    # (render/sequence.py) — the TPU datagen mode, zero host round trips
-    from splat_renderer_tpu.render.sequence import render_sequence
-
-    acam2 = spt.Camera(aspect=WIDTH / HEIGHT)
-    cam_list, par_list = [], []
-    for i in range(120):
-        t = i / 60.0
-        scene["sphere2"].position[1] = 0.6 + 0.2 * np.sin(2 * np.pi * t)
-        acam2.azimuth = 0.5 + 0.02 * i
-        cam_list.append({k_: jnp.asarray(v) for k_, v in acam2.arrays(t).items()})
-        par_list.append(scene.params())
-    scene["sphere2"].position[1] = 0.6
-    cam_stack = jax.tree.map(lambda *xs: jnp.stack(xs), *cam_list)
-    par_stack = jax.tree.map(lambda *xs: jnp.stack(xs), *par_list)
-    seq_j = jax.jit(
-        lambda p, c, k: render_sequence(
-            scene, p, c, k, 500_000, pcfg, rcfg, "pallas",
-            blend_max_blocks=mb500,
+    # ---- step 7: stress: 10M splats @1080p exact fused frame (the
+    # reference's stretch target, 3D_PLAN.md:379-382 "10M @ 30+ FPS", never
+    # demonstrated there; full sweep in benchmarks/probe_stress.py) ----
+    def step_10m():
+        r10 = rcfg.replace(base_radius=0.008 * float(np.sqrt(0.1)))
+        s10m = jax.jit(lambda p, k: model_points(scene, p, k, 10_000_000, pcfg,
+                                                 r10))(params, key)
+        d10m = jax.jit(lambda s, c: splat_screen_data(s, c, r10))(s10m, camera)
+        mb10 = _capacity_class(d10m, r10)
+        t_10m, img10 = time_fn(
+            jax.jit(lambda s, c: render_splats(s, c, r10, "pallas", BLOCK,
+                                               blend_max_blocks=mb10)),
+            s10m, camera, warmup=1, iters=3,
         )
-    )
-    t_scan, _ = time_fn_best(seq_j, par_stack, cam_stack, key, warmup=1,
-                             iters=2, bursts=3)
+        if not np.isfinite(np.asarray(jax.device_get(img10))).all():
+            raise ValueError("10M stress frame has non-finite pixels")
+        R["stress_10m_ms"] = round(t_10m * 1e3, 3)
 
-    # ---- config 5: 8 views x 2M splats @1080p, one fused program ----
-    from splat_renderer_tpu.render import render_views
+    H.step("stress_10m", 150, step_10m)
 
-    s2m = jax.jit(lambda p, k: model_points(scene, p, k, 2_000_000, pcfg, rcfg))(
-        params, key
-    )
-    cams8 = {k_: jnp.asarray(v) for k_, v in
-             spt.orbit_ring(8, aspect=WIDTH / HEIGHT).items()}
-    d2m = jax.jit(lambda s, c: splat_screen_data(s, c, rcfg))(s2m, camera)
-    mb2m = _capacity_class(d2m, rcfg)
-    mv_j = jax.jit(
-        lambda s, c: render_views(s, c, rcfg, "pallas", BLOCK, blend_max_blocks=mb2m, flat=True)
-    )
-    t_mv, _ = time_fn(mv_j, s2m, cams8, warmup=1, iters=3)
+    # ---- step 8: config 4 — 500k animated over 120 frames ----
+    def step_animated():
+        d500 = jax.jit(lambda s, c: splat_screen_data(s, c, rcfg))(
+            jax.jit(lambda p, k: model_points(scene, p, k, 500_000, pcfg, rcfg))(
+                params, key
+            ),
+            camera,
+        )
+        mb500 = _capacity_class(d500, rcfg)
 
-    # ---- the reference's LIVE path: opaque oriented surface @1M ----
-    scfg = spt.surface_render_config(
-        WIDTH, HEIGHT, base_radius=0.004, tiles_per_splat_cap=4
-    )
-    dsurf = jax.jit(lambda s, c: splat_screen_data(s, c, scfg))(
-        jax.jit(lambda p, k: model_points(scene, p, k, N_SPLATS, pcfg, scfg))(
-            params, key
-        ),
-        camera,
-    )
-    mbs = _capacity_class(dsurf, scfg)
+        def animated(p, c, k):
+            s = model_points(scene, p, k, 500_000, pcfg, rcfg)
+            d = splat_screen_data(s, c, rcfg)
+            return render_tiles_pallas(d, None, rcfg, block=BLOCK, max_blocks=mb500)
 
-    def surface(p, c, k):
-        s = model_points(scene, p, k, N_SPLATS, pcfg, scfg)
-        d = splat_screen_data(s, c, scfg)
-        return render_tiles_pallas(d, None, scfg, block=BLOCK, max_blocks=mbs)
+        anim_j = jax.jit(animated)
+        t_anim, _ = time_fn_best(anim_j, params, camera, key, warmup=2, iters=5)
+        R["animated_frame_ms_500k"] = round(t_anim * 1e3, 3)
 
-    surf_j = jax.jit(surface)
-    t_surf, _ = time_fn(surf_j, params, camera, key, warmup=2, iters=5)
+        # the honest 120-frame sequence: animate primitive params + orbit
+        # the camera every frame, host loop included (BASELINE config 4)
+        acam = spt.Camera(aspect=WIDTH / HEIGHT)
+        out = None
+        t0 = time.perf_counter()
+        for i in range(120):
+            t = i / 60.0
+            scene["sphere2"].position[1] = 0.6 + 0.2 * np.sin(2 * np.pi * t)
+            acam.azimuth = 0.5 + 0.02 * i
+            c_i = {k_: jnp.asarray(v) for k_, v in acam.arrays(t).items()}
+            out = anim_j(scene.params(), c_i, jax.random.fold_in(key, i))
+        jax.device_get(out.ravel()[:1])
+        t_seq = time.perf_counter() - t0
+        scene["sphere2"].position[1] = 0.6  # restore
+        R["animated_120f_s"] = round(t_seq, 3)
+        R["animated_120f_fps"] = round(120.0 / t_seq, 2)
+        S["mb500"] = mb500
 
-    # ---- inverse rendering: one fit step (value_and_grad through the
-    # custom-VJP Pallas diff path, render/diff.py method="pallas") at
-    # 200k @512^2 — the training-speed metric; guarded so a diff-path
-    # regression can never take the whole bench down ----
-    t_fit = None
-    try:
+    H.step("animated", 120, step_animated)
+
+    # ---- step 9: ...and the fused form: all 120 frames in ONE lax.scan
+    # program (render/sequence.py) — the TPU datagen mode, zero host round
+    # trips.  Separate step: its compile is the largest in the bench. ----
+    def step_anim_scan():
+        from splat_renderer_tpu.render.sequence import render_sequence
+
+        acam2 = spt.Camera(aspect=WIDTH / HEIGHT)
+        cam_list, par_list = [], []
+        for i in range(120):
+            t = i / 60.0
+            scene["sphere2"].position[1] = 0.6 + 0.2 * np.sin(2 * np.pi * t)
+            acam2.azimuth = 0.5 + 0.02 * i
+            cam_list.append({k_: jnp.asarray(v)
+                             for k_, v in acam2.arrays(t).items()})
+            par_list.append(scene.params())
+        scene["sphere2"].position[1] = 0.6
+        cam_stack = jax.tree.map(lambda *xs: jnp.stack(xs), *cam_list)
+        par_stack = jax.tree.map(lambda *xs: jnp.stack(xs), *par_list)
+        seq_j = jax.jit(
+            lambda p, c, k: render_sequence(
+                scene, p, c, k, 500_000, pcfg, rcfg, "pallas",
+                blend_max_blocks=S["mb500"],
+            )
+        )
+        t_scan, _ = time_fn_best(seq_j, par_stack, cam_stack, key, warmup=1,
+                                 iters=2, bursts=3)
+        R["animated_120f_scan_s"] = round(t_scan, 3)
+        R["animated_120f_scan_fps"] = round(120.0 / t_scan, 2)
+
+    H.step("animated_scan", 150, step_anim_scan)
+
+    # ---- step 10: inverse rendering: one fit step (value_and_grad through
+    # the custom-VJP Pallas diff path, render/diff.py method="pallas") at
+    # 200k @512^2 — the training-speed metric ----
+    def step_fit():
         from splat_renderer_tpu.render import render_diff
 
         fcfg = RenderConfig(width=512, height=512, base_radius=0.008,
@@ -471,66 +509,165 @@ def main() -> None:
             return jax.value_and_grad(loss)(theta)
 
         t_fit, _ = time_fn(fit_step, ftheta, fs, ftarget, warmup=1, iters=3)
-    except Exception as e:  # pragma: no cover - bench resilience
-        print(f"# fit-step metric skipped: {type(e).__name__}: {e}")
+        R["fit_step_200k_512_ms"] = round(t_fit * 1e3, 3)
 
-    fps = 1.0 / t_best
+    H.step("fit_step", 120, step_fit)
+
+    # ---- step 11: config 1 (oracle 10k @256^2) + config 2 (100k @720p) ----
+    def step_small_configs():
+        from splat_renderer_tpu.render.oracle import render_oracle
+
+        ocfg = RenderConfig(width=256, height=256, base_radius=0.03)
+        o_splats = jax.jit(
+            lambda p, k: model_points(scene, p, k, 10_000, pcfg, ocfg))(params, key)
+        ocam = {k_: jnp.asarray(v)
+                for k_, v in spt.Camera(aspect=1.0).arrays().items()}
+        t_oracle, _ = time_fn(
+            jax.jit(lambda s, c: render_oracle(splat_screen_data(s, c, ocfg), ocfg)),
+            o_splats, ocam, warmup=1, iters=3,
+        )
+        R["oracle_10k_256_ms"] = round(t_oracle * 1e3, 3)
+
+        cfg720 = RenderConfig(width=1280, height=720, base_radius=0.02,
+                              tiles_per_splat_cap=4)
+        s100k = jax.jit(
+            lambda p, k: model_points(scene, p, k, 100_000, pcfg, cfg720))(
+            params, key)
+        cam720 = {k_: jnp.asarray(v) for k_, v in
+                  spt.Camera(aspect=1280 / 720).arrays().items()}
+        d720 = jax.jit(lambda s, c: splat_screen_data(s, c, cfg720))(s100k, cam720)
+        mb720 = _capacity_class(d720, cfg720)
+        t_720, _ = time_fn(
+            jax.jit(lambda s, c: render_tiles_pallas(
+                splat_screen_data(s, c, cfg720), None, cfg720, block=BLOCK,
+                max_blocks=mb720)),
+            s100k, cam720, warmup=2, iters=5,
+        )
+        R["frame_720p_100k_ms"] = round(t_720 * 1e3, 3)
+
+    H.step("small_configs", 120, step_small_configs)
+
+    # ---- step 12: SH-lit frame (render/sh.py): degree-3 view-dependent
+    # color at 1M + the fast_math profile, both on the ts16 pipeline ----
+    def step_sh_fast():
+        from splat_renderer_tpu.render.sh import apply_sh
+
+        splats, mt = S["splats"], S["mt"]
+        sh_rng = np.random.default_rng(5)
+        sh = {c: jnp.asarray(sh_rng.normal(scale=0.1, size=(15, N_SPLATS))
+                             .astype(np.float32)) for c in ("r", "g", "b")}
+
+        def full_sh(s, sh_, c):
+            return render_splats(apply_sh(s, sh_, c["cam_pos"]), c, rcfg,
+                                 "pallas", BLOCK, blend_max_blocks=mt,
+                                 blend_kernel="tile")
+
+        t_sh, _ = time_fn_best(jax.jit(full_sh), splats, sh, camera,
+                               warmup=2, iters=5)
+        R["frame_ms_sh_deg3"] = round(t_sh * 1e3, 3)
+
+        rcfg_fast = rcfg.replace(fast_math=True)
+
+        def full_fast(s, c):
+            return render_splats(s, c, rcfg_fast, "pallas", BLOCK,
+                                 blend_max_blocks=mt, blend_kernel="tile")
+
+        t_fast, _ = time_fn_best(jax.jit(full_fast), splats, camera,
+                                 warmup=2, iters=5)
+        R["frame_ms_fast"] = round(t_fast * 1e3, 3)
+        R["fps_fast"] = round(1.0 / t_fast, 2)
+
+    H.step("sh_fast", 120, step_sh_fast)
+
+    # ---- step 13: config 5 — 8 views x 2M splats @1080p, one fused
+    # program; plus the reference's LIVE path (opaque oriented surface) ----
+    def step_mv_surface():
+        from splat_renderer_tpu.render import render_views
+
+        s2m = jax.jit(lambda p, k: model_points(scene, p, k, 2_000_000, pcfg,
+                                                rcfg))(params, key)
+        cams8 = {k_: jnp.asarray(v) for k_, v in
+                 spt.orbit_ring(8, aspect=WIDTH / HEIGHT).items()}
+        d2m = jax.jit(lambda s, c: splat_screen_data(s, c, rcfg))(s2m, camera)
+        mb2m = _capacity_class(d2m, rcfg)
+        mv_j = jax.jit(
+            lambda s, c: render_views(s, c, rcfg, "pallas", BLOCK,
+                                      blend_max_blocks=mb2m, flat=True)
+        )
+        t_mv, _ = time_fn(mv_j, s2m, cams8, warmup=1, iters=3)
+        R["multiview8_2m_ms"] = round(t_mv * 1e3, 3)
+
+        scfg = spt.surface_render_config(
+            WIDTH, HEIGHT, base_radius=0.004, tiles_per_splat_cap=4
+        )
+        dsurf = jax.jit(lambda s, c: splat_screen_data(s, c, scfg))(
+            jax.jit(lambda p, k: model_points(scene, p, k, N_SPLATS, pcfg,
+                                              scfg))(params, key),
+            camera,
+        )
+        mbs = _capacity_class(dsurf, scfg)
+
+        def surface(p, c, k):
+            s = model_points(scene, p, k, N_SPLATS, pcfg, scfg)
+            d = splat_screen_data(s, c, scfg)
+            return render_tiles_pallas(d, None, scfg, block=BLOCK, max_blocks=mbs)
+
+        t_surf, _ = time_fn(jax.jit(surface), params, camera, key,
+                            warmup=2, iters=5)
+        R["surface_opaque_frame_ms_1m"] = round(t_surf * 1e3, 3)
+
+    H.step("mv_surface", 150, step_mv_surface)
+
+    # ---- step 14: radius-cap stats (the capacity clamp the reference
+    # merely warns about, src/GPUTileBinner.ts:265-281) ----
+    def step_radius_stats():
+        proj = jax.jit(
+            lambda s, c: project_planes(
+                c["view_proj"], c["cam_pos"], s["px"], s["py"], s["pz"],
+                s["radius"], rcfg,
+            )
+        )(S["splats"], camera)
+        r_raw = np.asarray(proj["radius_raw"])
+        R["radius_clamped_frac"] = round(float((r_raw > rcfg.r_cap).mean()), 5)
+        R["radius_raw_max_px"] = round(float(r_raw.max()), 2)
+
+    H.step("radius_stats", 40, step_radius_stats)
+
+    # ---- flat-kernel A/B at ts16 (kernel-variant delta; lowest value) ----
+    def step_flat_kernel():
+        splats = S["splats"]
+        data = S["data"]
+        binned = jax.jit(lambda d: bin_splats_packed(d, rcfg, BLOCK))(data)
+        blocks_used = int(np.asarray(binned["block_off"])[-1])
+        mb = max(1024, -(-int(blocks_used * 1.25) // 1024) * 1024)
+
+        def full_flat(s, c):
+            return render_splats(s, c, rcfg, "pallas", BLOCK,
+                                 blend_max_blocks=mb)
+
+        t_flat, _ = time_fn_best(jax.jit(full_flat), splats, camera,
+                                 warmup=2, iters=5)
+        R["frame_ms_flat_kernel"] = round(t_flat * 1e3, 3)
+
+    H.step("flat_kernel", 90, step_flat_kernel)
+
+    # ---- emit ----
     result = {
         "metric": "fps_1080p_1m_splats",
-        "value": round(fps, 3),
         "unit": "fps",
-        "vs_baseline": round(fps / 60.0, 4),
-        "msplats_per_sec": round(N_SPLATS * fps / 1e6, 2),
-        "frame_ms": round(t_best * 1e3, 3),
-        "headline_tile": "32x16",
-        "headline_class_caps": list(cc32) if cc32 else [],
-        "frame_ms_ts16": round(t_full * 1e3, 3),
-        "frame_ms_flat_kernel": round(t_flat * 1e3, 3),
-        "frame_ms_sh_deg3": round(t_sh * 1e3, 3),
-        "frame_ms_fast": round(t_fast * 1e3, 3),
-        "fps_fast": round(1.0 / t_fast, 2),
-        "frame_ms_turbo": round(t_turbo * 1e3, 3),
-        "fps_turbo": round(1.0 / t_turbo, 2),
-        "ssim_turbo_vs_exact": round(ssim_turbo, 5),
-        "ssim_headline_vs_ts16": round(ssim_headline, 5),
-        "project_ms": round(t_project * 1e3, 3),
-        "sort_ms": round(t_sort * 1e3, 3),
-        "bin_ms": round(t_bin * 1e3, 3),
-        "blend_ms": round(t_blend * 1e3, 3),
-        # fused-frame deltas (dispatch overhead cancelled) — the honest
-        # per-stage shares of frame_ms at 1M @1080p
-        "stage_project_ms": round(st1m_proj * 1e3, 3),
-        "stage_bin_ms": round(st1m_bin * 1e3, 3),
-        "stage_blend_ms": round(st1m_blend * 1e3, 3),
-        # the reference's per-stage config (~120k @1080p), fused deltas;
-        # reference estimates: project 0.2 / sort+bin 2.9 / render 2.0 ms
-        "frame_120k_1080p_ms": round(t_120 * 1e3, 3),
-        "stage_project_120k_ms": round(st120_proj * 1e3, 3),
-        "stage_bin_120k_ms": round(st120_bin * 1e3, 3),
-        "stage_blend_120k_ms": round(st120_blend * 1e3, 3),
-        "stress_10m_ms": round(t_10m * 1e3, 3),
-        "model_stage_ms": round(t_model * 1e3, 3),
-        "oracle_10k_256_ms": round(t_oracle * 1e3, 3),
-        "frame_720p_100k_ms": round(t_720 * 1e3, 3),
-        "animated_frame_ms_500k": round(t_anim * 1e3, 3),
-        "animated_120f_s": round(t_seq, 3),
-        "animated_120f_fps": round(120.0 / t_seq, 2),
-        "animated_120f_scan_s": round(t_scan, 3),
-        "animated_120f_scan_fps": round(120.0 / t_scan, 2),
-        "multiview8_2m_ms": round(t_mv * 1e3, 3),
-        "surface_opaque_frame_ms_1m": round(t_surf * 1e3, 3),
-        "blend_blocks_used": blocks_used,
-        "blend_capacity_class": mb,
-        "radius_clamped_frac": round(clamp_frac, 5),
-        "radius_raw_max_px": round(r_raw_max, 2),
-        "fit_step_200k_512_ms": (
-            round(t_fit * 1e3, 3) if t_fit is not None else None
-        ),
-        "dispatch_overhead_ms": round(t_disp * 1e3, 3),
+        **R,
+        "timing_fps_metrics": "min_of_3_burst_means(iters=5)",
+        "timing_stage_metrics": "mean_of_1_burst(iters=5)",
+        "budget_s": budget,
+        "elapsed_s": round(H.elapsed(), 1),
+        "step_s": H.step_s,
+        "skipped": H.skipped,
+        "errors": H.errors,
         "n_splats": N_SPLATS,
         "resolution": f"{WIDTH}x{HEIGHT}",
         "device": str(jax.devices()[0]),
     }
+    H.log(f"emitting JSON ({len(H.skipped)} skipped, {len(H.errors)} errors)")
     print(json.dumps(result))
 
 

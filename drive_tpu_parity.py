@@ -20,9 +20,20 @@ mesh (untested anywhere else).
 
 from __future__ import annotations
 
+import os
 import sys
 
 import jax
+
+# share bench.py's persistent compilation cache: the gate compiles ~20
+# sizable programs; without the cache a full run blows past 30 min over
+# the relay (each large executable re-compiles at ~30-100 s)
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import jax.numpy as jnp
 import numpy as np
 
