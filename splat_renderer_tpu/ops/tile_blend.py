@@ -82,7 +82,19 @@ def _exclusive_cumprod_rows(q: jnp.ndarray) -> jnp.ndarray:
     return x
 
 
-def _blend_window(cfg, spec, eps, sat_every, w_all, acc_ref, local0, cnt, px, py):
+def _acc_init(acc_ref, tp, with_depth):
+    """Zero the channel rows, 1.0 the transmittance row, zero the spares.
+    Channel rows: [r, g, b] (+ expected depth when with_depth); the
+    transmittance row immediately follows the channels."""
+    nc = 4 if with_depth else 3
+    acc_ref[0:nc, :] = jnp.zeros((nc, tp), jnp.float32)
+    acc_ref[nc:8, :] = jnp.concatenate(
+        [jnp.ones((1, tp), jnp.float32), jnp.zeros((7 - nc, tp), jnp.float32)]
+    )
+
+
+def _blend_window(cfg, spec, eps, sat_every, w_all, acc_ref, local0, cnt, px,
+                  py, with_depth=False, group=128):
     """Fold one `block`-record window (w_all: (block//128, lanes) u32 values)
     into the tile accumulator — shared by the flat (grid-per-window) and
     tile-major (grid-per-tile) kernels.
@@ -90,22 +102,54 @@ def _blend_window(cfg, spec, eps, sat_every, w_all, acc_ref, local0, cnt, px, py
     Records arrive packed in lanes (contiguous full-lane DMA); one cheap vreg
     transpose per plane puts them in SUBLANES so per-record fields become
     (128, 1) columns that broadcast against the (1, tp) pixel rows
-    (~30 ns/window, measured)."""
+    (~30 ns/window, measured).
+
+    with_depth (the G-buffer stream, binning with_depth=True): one extra
+    trailing lane section holds each record's depth KEY; the kernel recovers
+    f32 depth (bitcast of key & 0x7FFFFFFF — packing.depth_bits inverse for
+    the positive depths projection emits) and folds alpha-weighted expected
+    depth as a 4th MXU channel into acc row 3; transmittance moves to row 4
+    (the layout the diff forward kernel already uses,
+    ops/tile_blend_diff.py).
+
+    group: records per prefix/fold group (power-of-two multiple of 128).
+    Larger groups amortize the per-group fixed cost (~0.2 us of scalar
+    predicate + panel lead-in, benchmarks/probe_blend_iso.py) over more
+    records, at +1 Hillis-Steele doubling step per doubling (7 steps at
+    128, 8 at 256) and coarser run-mask/saturation granularity — output is
+    EXACT for any value (the run mask folds per record; coarser saturation
+    checks only ADD sub-threshold contributions)."""
     pos_scale, pos_offset = cfg.pos_scale, cfg.pos_offset
     inv_ps = 1.0 / pos_scale
     inv_2sigma2 = 0.5 / (cfg.sigma * cfg.sigma)
     margin2 = cfg.bounds_margin * cfg.bounds_margin
-    groups = w_all.shape[0]
-    row = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
+    assert group % 128 == 0 and (group & (group - 1)) == 0
+    sub = group // 128  # 128-lane columns per group
+    groups = (w_all.shape[0] * 128) // group
+    row = jax.lax.broadcasted_iota(jnp.int32, (group, 1), 0)
+    nc = 4 if with_depth else 3  # accumulated channels; trans row follows
+
+    def col(tw, g):
+        """One group's (group, 1) record column from the lane-transposed
+        (128, block//128) plane: `sub` consecutive 128-columns stacked
+        along sublanes."""
+        if sub == 1:
+            return tw[:, g : g + 1]
+        return jnp.concatenate(
+            [tw[:, g * sub + j : g * sub + j + 1] for j in range(sub)],
+            axis=0,
+        )
 
     if spec is None:
         tw_pos = w_all[:, 0:128].T  # (128, groups) u32
         tw_ro = w_all[:, 128:256].T
         tw_rgb = w_all[:, 256:384].T
+        tw_d = w_all[:, 384:512].T if with_depth else None
     else:
         tw_pos = w_all[:, 0:128].T  # w_a: cy_rel:11 | cx_rel:11 | r:10
         tw_ro = None
         tw_rgb = w_all[:, 128:256].T
+        tw_d = w_all[:, 256:384].T if with_depth else None
 
     def u2f(x):
         # Mosaic lacks a direct u32->f32 cast; all unpacked fields fit in
@@ -117,9 +161,9 @@ def _blend_window(cfg, spec, eps, sat_every, w_all, acc_ref, local0, cnt, px, py
         # groups (past the run end), and saturated-tile groups cost
         # nothing — a finer-grained version of the reference's per-pixel
         # break (src/ComputeShaderRenderer.ts:188-190)
-        g_lo = local0 + g * 128
-        trans = acc_ref[3:4, :]  # (1, tp)
-        g_active = jnp.logical_and(g_lo + 128 > 0, g_lo < cnt)
+        g_lo = local0 + g * group
+        trans = acc_ref[nc : nc + 1, :]  # (1, tp)
+        g_active = jnp.logical_and(g_lo + group > 0, g_lo < cnt)
         if g % sat_every == 0 and g > 0:
             # scalar saturation re-check (the caller's window-level
             # predicate already covered g == 0)
@@ -127,11 +171,11 @@ def _blend_window(cfg, spec, eps, sat_every, w_all, acc_ref, local0, cnt, px, py
 
         @pl.when(g_active)
         def _(g=g, g_lo=g_lo, trans=trans):
-            w_pos = tw_pos[:, g : g + 1]  # (128, 1) u32
-            w_rgb = tw_rgb[:, g : g + 1]
+            w_pos = col(tw_pos, g)  # (group, 1) u32
+            w_rgb = col(tw_rgb, g)
 
             if spec is None:
-                w_ro = tw_ro[:, g : g + 1]
+                w_ro = col(tw_ro, g)
                 # dequant by MULTIPLY only (packing.py INV_* rationale)
                 cx = u2f(w_pos & 0xFFFF) * inv_ps - pos_offset
                 cy = u2f(w_pos >> 16) * inv_ps - pos_offset
@@ -217,15 +261,47 @@ def _blend_window(cfg, spec, eps, sat_every, w_all, acc_ref, local0, cnt, px, py
                 ],
                 axis=1,
             ) * INV_COLOR_SCALE  # (128, 3)
+            if with_depth:
+                # depth rides the SAME contraction as a 4th channel
+                # (bit-exact record depth, no quant grid)
+                w_d = col(tw_d, g)
+                d = jax.lax.bitcast_convert_type(
+                    w_d & jnp.uint32(0x7FFFFFFF), jnp.float32
+                )
+                rgb = jnp.concatenate([rgb, d], axis=1)  # (group, 4)
             contrib = jax.lax.dot_general(
                 rgb,
                 weight,
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
-            )  # (3, tp)
-            acc_ref[0:3, :] += contrib
-            acc_ref[3:4, :] = trans * (t_excl[127:128, :] * q[127:128, :])
+            )  # (nc, tp)
+            acc_ref[0:nc, :] += contrib
+            acc_ref[nc : nc + 1, :] = trans * (
+                t_excl[group - 1 : group, :] * q[group - 1 : group, :]
+            )
+
+
+def _stream_spec(cfg, lanes, with_depth):
+    """Resolve the pair stream's record layout from its lane width: returns
+    two_word_spec(cfg) for the tile-relative 2-word layout, None for the
+    global 3-word layout.  with_depth adds one trailing 128-lane section."""
+    from ..render.binning import two_word_spec
+
+    base_words = lanes // 128 - (1 if with_depth else 0)
+    if base_words == 2:
+        spec = two_word_spec(cfg)
+        if spec is None:
+            raise ValueError(
+                "2-word pair stream but cfg does not allow the layout"
+            )
+        return spec
+    if base_words != 3:
+        raise ValueError(
+            f"pair stream has {lanes} lanes ({lanes // 128} words) — "
+            f"expected 2 or 3 payload words (+1 depth: {with_depth})"
+        )
+    return None
 
 
 def _tile_pixel_coords(cfg, spec, t):
@@ -252,7 +328,8 @@ def _tile_pixel_coords(cfg, spec, t):
 
 
 def _make_tile_kernel(cfg: RenderConfig, block: int, eps: float, spec,
-                      sat_every: int):
+                      sat_every: int, with_depth: bool = False,
+                      group: int = 128):
     """Tile-major streaming kernel: ONE grid step per nonempty tile, manual
     double-buffered DMA over the tile's consecutive stream windows, and a
     while-loop saturation exit that stops both compute AND DMA.
@@ -265,6 +342,7 @@ def _make_tile_kernel(cfg: RenderConfig, block: int, eps: float, spec,
     tp = cfg.tile_pixels
     num_tiles = cfg.num_tiles
     bw = block // 128
+    tr = 4 if with_depth else 3  # transmittance accumulator row
 
     def kernel(
         tile_ref,  # (n_class,) tile id per slot (num_tiles = padding)
@@ -284,10 +362,7 @@ def _make_tile_kernel(cfg: RenderConfig, block: int, eps: float, spec,
         @pl.when(t < num_tiles)
         def _():
             px, py = _tile_pixel_coords(cfg, spec, t)
-            acc_ref[0:3, :] = jnp.zeros((3, tp), jnp.float32)
-            acc_ref[3:8, :] = jnp.concatenate(
-                [jnp.ones((1, tp), jnp.float32), jnp.zeros((4, tp), jnp.float32)]
-            )
+            _acc_init(acc_ref, tp, with_depth)
             win0 = win0_ref[i]
             nw = nwin_ref[i]
             local0_t = local0_ref[i]
@@ -317,9 +392,9 @@ def _make_tile_kernel(cfg: RenderConfig, block: int, eps: float, spec,
                 dma(w % 2, w).wait()
                 _blend_window(
                     cfg, spec, eps, sat_every, wbuf_ref[w % 2], acc_ref,
-                    local0_t + w * block, cnt, px, py,
+                    local0_t + w * block, cnt, px, py, with_depth, group,
                 )
-                return w + 1, jnp.max(acc_ref[3:4, :]) > eps
+                return w + 1, jnp.max(acc_ref[tr : tr + 1, :]) > eps
 
             final_w, _ = jax.lax.while_loop(
                 cond, body, (jnp.int32(0), jnp.bool_(eps < 1.0))
@@ -338,7 +413,8 @@ def _make_tile_kernel(cfg: RenderConfig, block: int, eps: float, spec,
 
 
 def _make_tile_kernel_xp(cfg: RenderConfig, block: int, eps: float, spec,
-                         sat_every: int):
+                         sat_every: int, with_depth: bool = False,
+                         group: int = 128):
     """Cross-tile-prefetch variant of _make_tile_kernel.
 
     In the base tile-major kernel each grid step issues its tile's FIRST
@@ -365,6 +441,7 @@ def _make_tile_kernel_xp(cfg: RenderConfig, block: int, eps: float, spec,
     tp = cfg.tile_pixels
     num_tiles = cfg.num_tiles
     bw = block // 128
+    tr = 4 if with_depth else 3  # transmittance accumulator row
 
     def kernel(
         tile_ref,  # (n_class,) tile id per slot (num_tiles = padding)
@@ -410,10 +487,7 @@ def _make_tile_kernel_xp(cfg: RenderConfig, block: int, eps: float, spec,
                 dma_first((i + 1) % 2, win0_ref[nxt]).start()
 
             px, py = _tile_pixel_coords(cfg, spec, t)
-            acc_ref[0:3, :] = jnp.zeros((3, tp), jnp.float32)
-            acc_ref[3:8, :] = jnp.concatenate(
-                [jnp.ones((1, tp), jnp.float32), jnp.zeros((4, tp), jnp.float32)]
-            )
+            _acc_init(acc_ref, tp, with_depth)
             win0 = win0_ref[i]
             nw = nwin_ref[i]
             local0_t = local0_ref[i]
@@ -434,10 +508,18 @@ def _make_tile_kernel_xp(cfg: RenderConfig, block: int, eps: float, spec,
                 dma_in(1).start()
 
             dma_first(i % 2, win0).wait()
-            _blend_window(
-                cfg, spec, eps, sat_every, wbuf_ref[i % 2], acc_ref,
-                local0_t, cnt, px, py,
-            )
+            # eps is static: the degenerate eps >= 1.0 config skips ALL
+            # blending in the base kernel (while-loop init there is
+            # eps < 1.0), so skip window 0 too — bit-identity with the base
+            # kernel now holds for every eps, not just the meaningful
+            # eps < 1.0 range (ADVICE r3).  The DMA wait above stays: the
+            # window-0 fetch was already started and the semaphore must
+            # balance.
+            if eps < 1.0:
+                _blend_window(
+                    cfg, spec, eps, sat_every, wbuf_ref[i % 2], acc_ref,
+                    local0_t, cnt, px, py, with_depth, group,
+                )
 
             def cond(state):
                 w, live = state
@@ -453,9 +535,9 @@ def _make_tile_kernel_xp(cfg: RenderConfig, block: int, eps: float, spec,
                 dma_in(w).wait()
                 _blend_window(
                     cfg, spec, eps, sat_every, wbuf_ref[2 + w % 2], acc_ref,
-                    local0_t + w * block, cnt, px, py,
+                    local0_t + w * block, cnt, px, py, with_depth, group,
                 )
-                return w + 1, jnp.max(acc_ref[3:4, :]) > eps
+                return w + 1, jnp.max(acc_ref[tr : tr + 1, :]) > eps
 
             final_w, _ = jax.lax.while_loop(
                 cond,
@@ -463,7 +545,7 @@ def _make_tile_kernel_xp(cfg: RenderConfig, block: int, eps: float, spec,
                 (
                     jnp.int32(1),
                     jnp.logical_and(
-                        eps < 1.0, jnp.max(acc_ref[3:4, :]) > eps
+                        eps < 1.0, jnp.max(acc_ref[tr : tr + 1, :]) > eps
                     ),
                 ),
             )
@@ -479,7 +561,8 @@ def _make_tile_kernel_xp(cfg: RenderConfig, block: int, eps: float, spec,
 
 
 def _make_kernel(cfg: RenderConfig, block: int, eps: float, spec=None,
-                 sat_every: int = 2, _strip: int = 0):
+                 sat_every: int = 2, _strip: int = 0,
+                 with_depth: bool = False, group: int = 128):
     """Kernel factory.  spec=None: global 3-word records (pos|ro|rgb lane
     thirds).  spec=two_word_spec(cfg): tile-relative 2-word records (w_a|rgb
     halves) — all coordinates tile-local, so the kernel touches no global
@@ -501,6 +584,7 @@ def _make_kernel(cfg: RenderConfig, block: int, eps: float, spec=None,
     margin2 = cfg.bounds_margin * cfg.bounds_margin
     num_tiles = cfg.num_tiles
     groups = block // 128
+    tr = 4 if with_depth else 3  # transmittance accumulator row
 
     def kernel(
         block_tile_ref,  # (n_blocks_cap,) owning tile per grid block
@@ -525,16 +609,14 @@ def _make_kernel(cfg: RenderConfig, block: int, eps: float, spec=None,
                 jnp.logical_and(block_first_ref[b] == 1, jnp.logical_not(is_trash))
             )
             def _():
-                acc_ref[0:3, :] = jnp.zeros((3, tp), jnp.float32)
-                acc_ref[3:8, :] = jnp.concatenate(
-                    [jnp.ones((1, tp), jnp.float32), jnp.zeros((4, tp), jnp.float32)]
-                )
+                _acc_init(acc_ref, tp, with_depth)
 
         if _strip >= 1:
             live = jnp.logical_and(jnp.logical_not(is_trash), eps < -1e30)
         else:
             live = jnp.logical_and(
-                jnp.logical_not(is_trash), jnp.max(acc_ref[3:4, :]) > eps
+                jnp.logical_not(is_trash),
+                jnp.max(acc_ref[tr : tr + 1, :]) > eps,
             )
 
         @pl.when(live)
@@ -542,7 +624,8 @@ def _make_kernel(cfg: RenderConfig, block: int, eps: float, spec=None,
             px, py = _tile_pixel_coords(cfg, spec, t)
             _blend_window(
                 cfg, spec, eps, sat_every, w_ref[:], acc_ref,
-                block_local0_ref[b], block_count_ref[b], px, py,
+                block_local0_ref[b], block_count_ref[b], px, py, with_depth,
+                group,
             )
 
         if _strip >= 2:
@@ -560,7 +643,11 @@ def _make_kernel(cfg: RenderConfig, block: int, eps: float, spec=None,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "block", "eps", "interpret", "sat_every", "_strip")
+    jax.jit,
+    static_argnames=(
+        "cfg", "block", "eps", "interpret", "sat_every", "_strip",
+        "with_depth", "group",
+    ),
 )
 def pallas_blend_tiles(
     pair_w: jnp.ndarray,  # (rows, 384) u32 fused record planes (pos|ro|rgb)
@@ -576,8 +663,12 @@ def pallas_blend_tiles(
     interpret: bool = False,
     sat_every: int = 2,
     _strip: int = 0,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Composite all tiles; returns (tile_color (T, tp, 3), tile_alpha (T, tp)).
+    with_depth: bool = False,
+    group: int = 128,
+) -> Tuple[jnp.ndarray, ...]:
+    """Composite all tiles; returns (tile_color (T, tp, 3), tile_alpha (T, tp))
+    — plus tile_depth (T, tp) when with_depth (the binner must have packed
+    the stream with_depth=True; depth is the trailing lane section).
 
     eps=0 disables early termination (bit-comparable to the oracle); the
     default -1 resolves to cfg.transmittance_eps, matching the reference's
@@ -596,12 +687,8 @@ def pallas_blend_tiles(
     num_tiles = cfg.num_tiles
     n_blocks_cap = block_tile.shape[0]
     bw = block // 128
-    lanes = pair_w.shape[1]  # 256 = 2-word tile-relative, 384 = 3-word global
-    from ..render.binning import two_word_spec
-
-    spec = two_word_spec(cfg) if lanes == 256 else None
-    if lanes == 256 and spec is None:
-        raise ValueError("2-word pair stream but cfg does not allow the layout")
+    lanes = pair_w.shape[1]  # 128 * payload words
+    spec = _stream_spec(cfg, lanes, with_depth)
 
     def data_index(b, bt, bf, bwin, bl0, bcnt):
         return (bwin[b], 0)
@@ -617,7 +704,8 @@ def pallas_blend_tiles(
         scratch_shapes=[pltpu.VMEM((8, tp), jnp.float32)],
     )
     out = pl.pallas_call(
-        _make_kernel(cfg, block, eps, spec, sat_every, _strip),
+        _make_kernel(cfg, block, eps, spec, sat_every, _strip, with_depth,
+                     group),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((num_tiles + 1, 8, tp), jnp.float32),
         interpret=interpret,
@@ -625,16 +713,21 @@ def pallas_blend_tiles(
 
     out = out[:num_tiles]
     # tiles with no splats are never visited by the stream: mask them clear
+    tr = 4 if with_depth else 3
     empty = (counts == 0)[:, None]
     tile_color = jnp.where(empty[..., None], 0.0, out[:, 0:3, :].transpose(0, 2, 1))
-    tile_alpha = jnp.where(empty, 0.0, 1.0 - out[:, 3, :])
+    tile_alpha = jnp.where(empty, 0.0, 1.0 - out[:, tr, :])
+    if with_depth:
+        tile_depth = jnp.where(empty, 0.0, out[:, 3, :])
+        return tile_color, tile_alpha, tile_depth
     return tile_color, tile_alpha
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "cfg", "block", "eps", "interpret", "sat_every", "prefetch_next"
+        "cfg", "block", "eps", "interpret", "sat_every", "prefetch_next",
+        "with_depth", "group",
     ),
 )
 def pallas_blend_tiles_tm(
@@ -651,7 +744,9 @@ def pallas_blend_tiles_tm(
     interpret: bool = False,
     sat_every: int = 2,
     prefetch_next: bool = False,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    with_depth: bool = False,
+    group: int = 128,
+) -> Tuple[jnp.ndarray, ...]:
     """Tile-major variant of pallas_blend_tiles: grid = nonempty tiles,
     manual double-buffered DMA over each tile's windows (see
     _make_tile_kernel).  Tiles listed beyond the table are NOT rendered —
@@ -659,7 +754,10 @@ def pallas_blend_tiles_tm(
 
     prefetch_next: cross-tile window-0 prefetch (_make_tile_kernel_xp) —
     hides the per-tile DMA issue latency under the previous tile's compute;
-    bit-identical output."""
+    bit-identical output.
+
+    with_depth: G-buffer stream (see pallas_blend_tiles) — also returns
+    tile_depth."""
     if eps < 0:
         eps = cfg.transmittance_eps
     tp = cfg.tile_pixels
@@ -671,11 +769,7 @@ def pallas_blend_tiles_tm(
     n_class = tile_list.shape[0]
     bw = block // 128
     lanes = pair_w.shape[1]
-    from ..render.binning import two_word_spec
-
-    spec = two_word_spec(cfg) if lanes == 256 else None
-    if lanes == 256 and spec is None:
-        raise ValueError("2-word pair stream but cfg does not allow the layout")
+    spec = _stream_spec(cfg, lanes, with_depth)
 
     nbuf = 4 if prefetch_next else 2
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -693,7 +787,7 @@ def pallas_blend_tiles_tm(
     )
     make = _make_tile_kernel_xp if prefetch_next else _make_tile_kernel
     out = pl.pallas_call(
-        make(cfg, block, eps, spec, sat_every),
+        make(cfg, block, eps, spec, sat_every, with_depth, group),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((num_tiles + 1, 8, tp), jnp.float32),
         interpret=interpret,
@@ -702,11 +796,15 @@ def pallas_blend_tiles_tm(
     out = out[:num_tiles]
     # unrendered rows: empty tiles AND nonempty tiles whose slot fell beyond
     # the capacity class (the caller re-renders at a bigger class)
+    tr = 4 if with_depth else 3
     nz = counts > 0
     slot = jnp.cumsum(nz.astype(jnp.int32)) - 1
     ok = (nz & (slot < n_class))[:, None]
     tile_color = jnp.where(ok[..., None], out[:, 0:3, :].transpose(0, 2, 1), 0.0)
-    tile_alpha = jnp.where(ok, 1.0 - out[:, 3, :], 0.0)
+    tile_alpha = jnp.where(ok, 1.0 - out[:, tr, :], 0.0)
+    if with_depth:
+        tile_depth = jnp.where(ok, out[:, 3, :], 0.0)
+        return tile_color, tile_alpha, tile_depth
     return tile_color, tile_alpha
 
 
@@ -723,8 +821,17 @@ def render_tiles_pallas(
     kernel: str = "flat",
     return_tiles: bool = False,
     class_caps: Tuple[int, int] | None = None,
+    with_depth: bool = False,
+    group: int = 128,
 ) -> jnp.ndarray:
     """Drop-in replacement for render/compositor.render_tiles on TPU.
+
+    with_depth: G-buffer mode — the stream carries a trailing depth section
+    (binning with_depth=True; computed here when binned is None) and the
+    kernel folds alpha-weighted expected depth as a 4th channel.  Returns
+    (tile_color, tile_alpha, tile_depth) with return_tiles, else the
+    {"rgb", "depth", "alpha"} image dict (depth premultiplied — the caller
+    normalizes, pipeline.render_gbuffer).
 
     `splat_data_quantized` is the UNSORTED (N, 10) output of
     projector.splat_screen_records (already on the quantization grids);
@@ -746,13 +853,20 @@ def render_tiles_pallas(
     re-renders at a bigger class (capacity-growth protocol, pipeline.Engine).
     None = the safe bound (never overflows).
     """
+    if kernel not in ("flat", "tile", "tile_xp"):
+        # a typo'd kernel string must never silently time the wrong kernel
+        # in an A/B probe (ADVICE r3)
+        raise ValueError(f"unknown blend kernel {kernel!r}; "
+                         "expected 'flat', 'tile', or 'tile_xp'")
     if binned is None or "pair_w" not in binned:
         binned = bin_splats_packed(
-            splat_data_quantized, cfg, block, class_caps=class_caps
+            splat_data_quantized, cfg, block, class_caps=class_caps,
+            with_depth=with_depth,
         )
+    tile_depth = None
     if kernel in ("tile", "tile_xp"):
         mt = cfg.num_tiles if max_blocks is None else max_blocks
-        tile_color, tile_alpha = pallas_blend_tiles_tm(
+        res = pallas_blend_tiles_tm(
             binned["pair_w"],
             binned["tile_list"][:mt],
             binned["tile_win0"][:mt],
@@ -766,43 +880,62 @@ def render_tiles_pallas(
             interpret=interpret,
             sat_every=sat_every,
             prefetch_next=(kernel == "tile_xp"),
+            with_depth=with_depth,
+            group=group,
         )
+        tile_color, tile_alpha = res[0], res[1]
+        if with_depth:
+            tile_depth = res[2]
         used = binned["tiles_used"]
-        if return_tiles:
-            out = (tile_color, tile_alpha)
-        else:
-            out = tiles_to_image(tile_color, tile_alpha, cfg)
-        if return_stats:
-            return out, _blend_stats(binned, used, used > mt)
-        return out
-    mb = binned["block_tile"].shape[0] if max_blocks is None else max_blocks
-    tile_color, tile_alpha = pallas_blend_tiles(
-        binned["pair_w"],
-        binned["block_tile"][:mb],
-        binned["block_first"][:mb],
-        binned["block_window"][:mb],
-        binned["block_local0"][:mb],
-        binned["block_count"][:mb],
-        binned["counts"],
-        cfg,
-        block=block,
-        eps=eps,
-        interpret=interpret,
-        sat_every=sat_every,
-    )
-    used = binned["block_off"][-1]
-    if max_blocks is not None:
-        # tiles whose last window fell beyond the capacity class hold partial
-        # accumulations: render them empty (background) instead of garbage
-        ok = binned["block_off"][1:] <= mb
-        tile_color = jnp.where(ok[:, None, None], tile_color, 0.0)
-        tile_alpha = jnp.where(ok[:, None], tile_alpha, 0.0)
+        overflow = used > mt
+    else:
+        mb = binned["block_tile"].shape[0] if max_blocks is None else max_blocks
+        res = pallas_blend_tiles(
+            binned["pair_w"],
+            binned["block_tile"][:mb],
+            binned["block_first"][:mb],
+            binned["block_window"][:mb],
+            binned["block_local0"][:mb],
+            binned["block_count"][:mb],
+            binned["counts"],
+            cfg,
+            block=block,
+            eps=eps,
+            interpret=interpret,
+            sat_every=sat_every,
+            with_depth=with_depth,
+            group=group,
+        )
+        tile_color, tile_alpha = res[0], res[1]
+        if with_depth:
+            tile_depth = res[2]
+        used = binned["block_off"][-1]
+        overflow = used > mb
+        if max_blocks is not None:
+            # tiles whose last window fell beyond the capacity class hold
+            # partial accumulations: render them empty (background), never
+            # garbage
+            ok = binned["block_off"][1:] <= mb
+            tile_color = jnp.where(ok[:, None, None], tile_color, 0.0)
+            tile_alpha = jnp.where(ok[:, None], tile_alpha, 0.0)
+            if tile_depth is not None:
+                tile_depth = jnp.where(ok[:, None], tile_depth, 0.0)
     if return_tiles:
         out = (tile_color, tile_alpha)
+        if with_depth:
+            out = out + (tile_depth,)
+    elif with_depth:
+        from ..render.compositor import tiles_to_plane
+
+        out = {
+            "rgb": tiles_to_image(tile_color, tile_alpha, cfg),
+            "depth": tiles_to_plane(tile_depth, cfg),
+            "alpha": tiles_to_plane(tile_alpha, cfg),
+        }
     else:
         out = tiles_to_image(tile_color, tile_alpha, cfg)
     if return_stats:
-        return out, _blend_stats(binned, used, used > mb)
+        return out, _blend_stats(binned, used, overflow)
     return out
 
 

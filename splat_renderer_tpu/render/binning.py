@@ -462,6 +462,7 @@ def bin_splats_packed(
     cfg: RenderConfig,
     block: int,
     class_caps: Tuple[int, int] | None = None,
+    with_depth: bool = False,
 ) -> Binned:
     """Fastest binning path: packed records, rank-keyed two-stage sort.
 
@@ -502,7 +503,8 @@ def bin_splats_packed(
     dkeys = depth_bits(splat_data_quantized[:, 7])
     w_pos, w_ro, w_rgb = pack_records(splat_data_quantized, cfg)
     return bin_packed_words(
-        dkeys, w_pos, w_ro, w_rgb, cfg, block, class_caps=class_caps
+        dkeys, w_pos, w_ro, w_rgb, cfg, block, class_caps=class_caps,
+        with_depth=with_depth,
     )
 
 
@@ -515,10 +517,21 @@ def bin_packed_words(
     block: int,
     compact_to: int | None = None,
     class_caps: Tuple[int, int] | None = None,
+    with_depth: bool = False,
 ) -> Binned:
     """Core of bin_splats_packed, taking the packed u32 columns directly —
     the projector's SoA fast path (projector.splat_screen_words) feeds this
     without ever materializing the (N, 10) record array.
+
+    with_depth: carry each record's DEPTH VALUE into the pair stream as one
+    extra trailing u32 lane section (the G-buffer path,
+    pipeline.render_gbuffer).  No extra plane is needed at the input: the
+    depth key already IS the value under the monotonic IEEE-754 flip
+    (packing.depth_bits — positive depths map to bits | 0x80000000, so the
+    kernel recovers f32 depth as bitcast(key & 0x7FFFFFFF); projection
+    culls behind-camera splats to +inf, SplatProjector.ts:77 semantics).
+    Costs one payload column in the pair sort (~0.5 ms @4M) and one more
+    lane section of blend DMA.
 
     compact_to: keep only the first `compact_to` rows AFTER the canonical
     record sort (valid records sort before the inf-depth sentinels, so this
@@ -590,6 +603,11 @@ def bin_packed_words(
         )
         r_fx = (w_ro & 0xFFFF).astype(jnp.int32)
 
+    # depth-value column for the with_depth stream: dk_s is already aligned
+    # with the (record-sorted) payload words in every branch above
+    # (depth_order keeps input order, where dkeys == dk_s)
+    dk_col = dk_s if with_depth else None
+
     if compact_to is not None:
         # a capacity above the input size is a no-op (slack * n/sp can
         # exceed n for small meshes)
@@ -599,6 +617,8 @@ def bin_packed_words(
         )
         if w_ro is not None:
             w_ro = w_ro[:n]
+        if dk_col is not None:
+            dk_col = dk_col[:n]
         iota_n = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
 
     # footprints from the sorted words (unpacked values are grid-exact f32)
@@ -672,6 +692,9 @@ def bin_packed_words(
         class_overflow = (n_hi > c4) | (n_mid > c4 + c2)
         rank_u = iota_n.astype(jnp.uint32)
         fold_r = w_ro is None and rank_bits + 12 <= 32
+        # the depth column (with_depth) rides every class sort as one extra
+        # trailing payload column
+        dk_pay = () if dk_col is None else (dk_col,)
         if fold_r:
             # isotropic 2-word profile: key = code:2 | rank | r:10 — the
             # radius rides in the key (same trick as ro_in_key above) and
@@ -681,27 +704,37 @@ def bin_packed_words(
                 | (rank_u << 10)
                 | jnp.minimum(r_fx, 1023).astype(jnp.uint32)
             )
-            ckey_s, w_pos, w_rgb = jax.lax.sort(
-                (ckey, w_pos, w_rgb), num_keys=1, is_stable=False
+            res_c = jax.lax.sort(
+                (ckey, w_pos, w_rgb) + dk_pay, num_keys=1, is_stable=False
             )
+            ckey_s, w_pos, w_rgb = res_c[:3]
+            if dk_col is not None:
+                dk_col = res_c[3]
             r_fx = (ckey_s & jnp.uint32(0x3FF)).astype(jnp.int32)
             rank_col = (ckey_s >> 10) & jnp.uint32((1 << rank_bits) - 1)
             code_shift = rank_bits + 10
         elif w_ro is None:
             ckey = (code << rank_bits) | rank_u
-            ckey_s, w_pos, w_rgb, r_u = jax.lax.sort(
-                (ckey, w_pos, w_rgb, r_fx.astype(jnp.uint32)),
+            res_c = jax.lax.sort(
+                (ckey, w_pos, w_rgb, r_fx.astype(jnp.uint32)) + dk_pay,
                 num_keys=1,
                 is_stable=False,
             )
+            ckey_s, w_pos, w_rgb, r_u = res_c[:4]
+            if dk_col is not None:
+                dk_col = res_c[4]
             r_fx = r_u.astype(jnp.int32)
             rank_col = ckey_s & jnp.uint32((1 << rank_bits) - 1)
             code_shift = rank_bits
         else:
             ckey = (code << rank_bits) | rank_u
-            ckey_s, w_pos, w_ro, w_rgb = jax.lax.sort(
-                (ckey, w_pos, w_ro, w_rgb), num_keys=1, is_stable=False
+            res_c = jax.lax.sort(
+                (ckey, w_pos, w_ro, w_rgb) + dk_pay, num_keys=1,
+                is_stable=False,
             )
+            ckey_s, w_pos, w_ro, w_rgb = res_c[:4]
+            if dk_col is not None:
+                dk_col = res_c[4]
             r_fx = (w_ro & 0xFFFF).astype(jnp.int32)
             rank_col = ckey_s & jnp.uint32((1 << rank_bits) - 1)
             code_shift = rank_bits
@@ -787,9 +820,11 @@ def bin_packed_words(
                 | r_cl.astype(jnp.uint32)[None, :]
             )
             w_a = jnp.where(active, w_a, 0).reshape(-1)
-            pay_parts.append((w_a, bc(w_rgb)))
+            cols = (w_a, bc(w_rgb))
+            pay_parts.append(cols if dk_col is None else cols + (bc(dk_col),))
         else:
-            pay_parts.append((bc(w_pos), bc(w_ro), bc(w_rgb)))
+            cols = (bc(w_pos), bc(w_ro), bc(w_rgb))
+            pay_parts.append(cols if dk_col is None else cols + (bc(dk_col),))
 
     def cat(parts):
         return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
