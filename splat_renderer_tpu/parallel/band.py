@@ -208,19 +208,56 @@ def band_frame_fn(
         overflow = jax.lax.pmax(
             (n_valid > cap_band).astype(jnp.int32), "sp"
         ).astype(jnp.bool_)
+        # wire census (NOTES.md "Multi-chip scaling model"): VALID records
+        # actually crossing ICI (off-diagonal all_to_all rows; the diagonal
+        # row stays on-device) and the total valid population — the dryrun
+        # asserts these against the model's formulas, tying the scaling
+        # table to executed code (VERDICT r3 item 6)
+        off_diag = rows != dev
+        routed_off = jnp.sum((keep & off_diag).astype(jnp.int32))
+        valid_local = jnp.sum((w["dk"] < inf_depth).astype(jnp.int32))
         return img, {
             "band_overflow": overflow,
             "band_max_count": jax.lax.pmax(n_valid, "sp"),
+            "routed_records": jax.lax.psum(routed_off, "sp"),
+            "valid_records": jax.lax.psum(valid_local, "sp"),
         }
 
     shard_fn = jax.shard_map(
         local_step,
         mesh=flat_mesh,
         in_specs=(P(), P(), P()),
-        out_specs=(P(), {"band_overflow": P(), "band_max_count": P()}),
+        out_specs=(
+            P(),
+            {
+                "band_overflow": P(),
+                "band_max_count": P(),
+                "routed_records": P(),
+                "valid_records": P(),
+            },
+        ),
         check_vma=False,
     )
-    return jax.jit(shard_fn)
+    fn = jax.jit(shard_fn)
+
+    def wrapped(params, camera, key):
+        return fn(params, camera, key)
+
+    # static per-frame wire volumes, straight from the collective buffer
+    # shapes this factory just built (n_words = dk/pos/ro/rgb u32 columns;
+    # gather layers = 3 color + 1 alpha f32 per tile pixel).  The NOTES.md
+    # scaling model's bytes columns are THESE numbers x the link rate; the
+    # dryrun recomputes the model formulas independently and asserts
+    # equality (VERDICT r3 item 6).
+    wrapped.wire_model = {
+        "sp": sp,
+        "n_local": n_local,
+        "a2a_egress_bytes_per_device": (sp - 1) * n_local * 4 * 4,
+        "gather_ingress_bytes_per_device": (
+            (sp - 1) * rcfg.num_tiles * rcfg.tile_pixels * 4 * 4
+        ),
+    }
+    return wrapped
 
 
 def _keys_to_depth(dk: jnp.ndarray) -> jnp.ndarray:
