@@ -87,9 +87,14 @@ def main() -> None:
     for g, f in fns.items():  # compile + correctness capture
         imgs[g] = np.asarray(jax.device_get(f(splats, camera)))
     for g in (256, 512):
+        # default-eps drift comes from coarser saturation checkpoints
+        # (bounded by a few x transmittance_eps; the eps=0 BIT-equality
+        # gate lives in drive_tpu_parity.check_blend_group + the interpret
+        # test) — report it, bound it loosely
         d = float(np.abs(imgs[g] - imgs[128]).max())
-        print(f"max|g{g} - g128| = {d:.2e}", file=sys.stderr)
-        assert d < 5e-5, d
+        print(f"max|g{g} - g128| = {d:.2e} (sat-skip granularity)",
+              file=sys.stderr)
+        assert d < 5 * rcfg.transmittance_eps, d
 
     # interleaved A/B bursts: both variants see the same relay weather
     results = {g: [] for g in fns}

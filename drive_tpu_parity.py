@@ -413,6 +413,76 @@ def check_turbo_at_scale() -> bool:
     return ok
 
 
+def check_gbuffer() -> bool:
+    """Kernel-speed G-buffer (depth-carrying pair stream + spare-row MXU
+    channel, ops/tile_blend.py with_depth) vs the scan path ON DEVICE —
+    the Mosaic lowering of the depth-key bitcast recovery and the 4-channel
+    contraction is only exercised here (tests gate it in interpret mode)."""
+    from splat_renderer_tpu.render import render_gbuffer
+
+    scene = _scene()
+    cfg = RenderConfig(width=640, height=368, base_radius=0.03,
+                       tiles_per_splat_cap=4, tile_size=32, tile_height=16)
+    cam = spt.Camera(aspect=cfg.width / cfg.height)
+    camera = {k: jnp.asarray(v) for k, v in cam.arrays().items()}
+    splats = jax.jit(
+        lambda p, k: model_points(scene, p, k, 20_000, PointConfig(), cfg)
+    )(scene.params(), jax.random.PRNGKey(0))
+    ref = jax.jit(
+        lambda s, c: render_gbuffer(s, c, cfg, method="tiles")
+    )(splats, camera)
+    out = jax.jit(
+        lambda s, c: render_gbuffer(s, c, cfg, method="pallas", eps=0.0)
+    )(splats, camera)
+    ok = True
+    msg = []
+    for ch, tol in (("rgb", ATOL), ("alpha", ATOL), ("depth", 1e-3)):
+        d = float(np.abs(np.asarray(out[ch]) - np.asarray(ref[ch])).max())
+        ok &= d < tol
+        msg.append(f"{ch}={d:.2e}")
+    print(f"{'gbuffer kernel 360p':>24}: {'  '.join(msg)}  "
+          f"{'OK' if ok else 'FAIL'}")
+    return ok
+
+
+def check_blend_group() -> bool:
+    """Blend predicate-group knob (ops/tile_blend._blend_window group=):
+    256-/512-record groups vs the 128 default on device.
+
+    Two gates: (a) eps=0 — no saturation skip can fire, the sub folds run
+    the identical op sequence, output must be BIT-identical; (b) default
+    eps — the coarser saturation checkpoints skip different sub-threshold
+    contributions (same approximation family as sat_every), bounded by a
+    few x transmittance_eps (measured 2.9e-3 at eps=0.01 on device)."""
+    from splat_renderer_tpu.render.pipeline import render_splats
+
+    scene = _scene()
+    cfg = RenderConfig(width=640, height=368, base_radius=0.03,
+                       tiles_per_splat_cap=4, tile_size=32, tile_height=16)
+    cam = spt.Camera(aspect=cfg.width / cfg.height)
+    camera = {k: jnp.asarray(v) for k, v in cam.arrays().items()}
+    splats = jax.jit(
+        lambda p, k: model_points(scene, p, k, 20_000, PointConfig(), cfg)
+    )(scene.params(), jax.random.PRNGKey(0))
+    ok = True
+    msg = []
+    for eps, tol, tag in ((0.0, 0.0, "eps0"),
+                          (-1.0, 5 * cfg.transmittance_eps, "def")):
+        imgs = {}
+        for g in (128, 256, 512):
+            imgs[g] = np.asarray(jax.jit(
+                lambda s, c, g=g, e=eps: render_splats(
+                    s, c, cfg, "pallas", 1024, blend_kernel="tile",
+                    blend_group=g, blend_eps=e)
+            )(splats, camera))
+        d = max(float(np.abs(imgs[g] - imgs[128]).max()) for g in (256, 512))
+        ok &= d <= tol
+        msg.append(f"{tag}={d:.2e}")
+    print(f"{'blend group 256/512':>24}: {'  '.join(msg)}  "
+          f"{'OK' if ok else 'FAIL'}")
+    return ok
+
+
 def main() -> int:
     print(f"device: {jax.devices()[0]}")
     ok = True
@@ -494,6 +564,8 @@ def main() -> int:
     ok &= check_diff_path()
     ok &= check_diff_pallas()
     ok &= check_sh()
+    ok &= check_gbuffer()
+    ok &= check_blend_group()
     print("PARITY GATE:", "PASS" if ok else "FAIL")
     return 0 if ok else 1
 

@@ -112,33 +112,27 @@ def _blend_window(cfg, spec, eps, sat_every, w_all, acc_ref, local0, cnt, px,
     (the layout the diff forward kernel already uses,
     ops/tile_blend_diff.py).
 
-    group: records per prefix/fold group (power-of-two multiple of 128).
+    group: records per PREDICATE group (power-of-two multiple of 128).
     Larger groups amortize the per-group fixed cost (~0.2 us of scalar
-    predicate + panel lead-in, benchmarks/probe_blend_iso.py) over more
-    records, at +1 Hillis-Steele doubling step per doubling (7 steps at
-    128, 8 at 256) and coarser run-mask/saturation granularity — output is
-    EXACT for any value (the run mask folds per record; coarser saturation
-    checks only ADD sub-threshold contributions)."""
+    predicate + saturation sync, benchmarks/probe_blend_iso.py) by running
+    group/128 consecutive 128-record folds under ONE pl.when — each fold
+    keeps the identical 7-step cumprod + MXU contraction, so the op
+    sequence (and output) is BIT-identical to group=128 wherever no
+    saturation skip fires; coarser saturation checks only ADD
+    sub-threshold contributions (same semantics as sat_every).  NOTE: an
+    earlier design stacked `sub` column slices into one (group, 1) vector
+    — Mosaic cannot lower that sublane concatenate of lane-offset slices
+    ("result/input offset mismatch on non-concat dimension", caught by
+    drive_tpu_parity.check_blend_group on device)."""
     pos_scale, pos_offset = cfg.pos_scale, cfg.pos_offset
     inv_ps = 1.0 / pos_scale
     inv_2sigma2 = 0.5 / (cfg.sigma * cfg.sigma)
     margin2 = cfg.bounds_margin * cfg.bounds_margin
     assert group % 128 == 0 and (group & (group - 1)) == 0
-    sub = group // 128  # 128-lane columns per group
+    sub = group // 128  # consecutive 128-record folds per predicate group
     groups = (w_all.shape[0] * 128) // group
-    row = jax.lax.broadcasted_iota(jnp.int32, (group, 1), 0)
+    row = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
     nc = 4 if with_depth else 3  # accumulated channels; trans row follows
-
-    def col(tw, g):
-        """One group's (group, 1) record column from the lane-transposed
-        (128, block//128) plane: `sub` consecutive 128-columns stacked
-        along sublanes."""
-        if sub == 1:
-            return tw[:, g : g + 1]
-        return jnp.concatenate(
-            [tw[:, g * sub + j : g * sub + j + 1] for j in range(sub)],
-            axis=0,
-        )
 
     if spec is None:
         tw_pos = w_all[:, 0:128].T  # (128, groups) u32
@@ -170,12 +164,19 @@ def _blend_window(cfg, spec, eps, sat_every, w_all, acc_ref, local0, cnt, px,
             g_active = jnp.logical_and(g_active, jnp.max(trans) > eps)
 
         @pl.when(g_active)
-        def _(g=g, g_lo=g_lo, trans=trans):
-            w_pos = col(tw_pos, g)  # (group, 1) u32
-            w_rgb = col(tw_rgb, g)
+        def _(g=g, g_lo=g_lo):
+          # `sub` consecutive 128-record folds under one predicate; each
+          # fold re-reads the trans row its predecessor just wrote, so the
+          # op sequence is exactly the group=128 one
+          for j in range(sub):
+            gi = g * sub + j
+            f_lo = g_lo + j * 128
+            trans = acc_ref[nc : nc + 1, :]  # (1, tp)
+            w_pos = tw_pos[:, gi : gi + 1]  # (128, 1) u32
+            w_rgb = tw_rgb[:, gi : gi + 1]
 
             if spec is None:
-                w_ro = col(tw_ro, g)
+                w_ro = tw_ro[:, gi : gi + 1]
                 # dequant by MULTIPLY only (packing.py INV_* rationale)
                 cx = u2f(w_pos & 0xFFFF) * inv_ps - pos_offset
                 cy = u2f(w_pos >> 16) * inv_ps - pos_offset
@@ -190,7 +191,7 @@ def _blend_window(cfg, spec, eps, sat_every, w_all, acc_ref, local0, cnt, px,
             op = u2f(w_rgb >> 24) * INV_COLOR_SCALE
             # fold the run mask and the min-radius cull into the (128, 1)
             # opacity column — record-scale, not panel-scale
-            local = g_lo + row
+            local = f_lo + row
             ok = jnp.logical_and(
                 jnp.logical_and(local >= 0, local < cnt),
                 r >= cfg.min_screen_radius,
@@ -264,11 +265,11 @@ def _blend_window(cfg, spec, eps, sat_every, w_all, acc_ref, local0, cnt, px,
             if with_depth:
                 # depth rides the SAME contraction as a 4th channel
                 # (bit-exact record depth, no quant grid)
-                w_d = col(tw_d, g)
+                w_d = tw_d[:, gi : gi + 1]
                 d = jax.lax.bitcast_convert_type(
                     w_d & jnp.uint32(0x7FFFFFFF), jnp.float32
                 )
-                rgb = jnp.concatenate([rgb, d], axis=1)  # (group, 4)
+                rgb = jnp.concatenate([rgb, d], axis=1)  # (128, 4)
             contrib = jax.lax.dot_general(
                 rgb,
                 weight,
@@ -278,7 +279,7 @@ def _blend_window(cfg, spec, eps, sat_every, w_all, acc_ref, local0, cnt, px,
             )  # (nc, tp)
             acc_ref[0:nc, :] += contrib
             acc_ref[nc : nc + 1, :] = trans * (
-                t_excl[group - 1 : group, :] * q[group - 1 : group, :]
+                t_excl[127:128, :] * q[127:128, :]
             )
 
 

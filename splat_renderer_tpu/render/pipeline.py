@@ -79,6 +79,7 @@ def render_splats(
     blend_kernel: str = "flat",
     pair_class_caps: Optional[Tuple[int, int]] = None,
     blend_group: int = 128,
+    blend_eps: float = -1.0,
 ):
     """Splat chain: project -> depth sort -> bin -> composite -> (H, W, 3).
 
@@ -106,9 +107,17 @@ def render_splats(
     shrinks the pair sort, the frame's wall, toward the true pair count.
     None = safe full-cap expansion.
 
-    blend_group: records per blend prefix/fold group (ops.tile_blend
-    _blend_window; 128 default, larger powers of two amortize the per-group
-    fixed cost — output exact for any value, benchmarks/probe_group.py).
+    blend_group: records per blend PREDICATE group (ops.tile_blend
+    _blend_window; 128 default).  Larger powers of two amortize the
+    per-group scalar predicate + saturation sync over several 128-record
+    folds: bit-identical to 128 at eps=0, and within a few x
+    transmittance_eps at default eps (coarser saturation checkpoints —
+    same approximation family as sat_every; device-gated in
+    drive_tpu_parity.check_blend_group, measured in
+    benchmarks/probe_group.py).
+
+    blend_eps: saturation cutoff for the Pallas path (-1 = use
+    cfg.transmittance_eps; 0 disables early exit, for parity runs).
     """
     if compositor == "auto":
         compositor = "pallas" if on_tpu() else "tiles"
@@ -129,7 +138,7 @@ def render_splats(
             rcfg, blend_block, class_caps=pair_class_caps,
         )
         return render_tiles_pallas(
-            None, binned, rcfg, block=blend_block,
+            None, binned, rcfg, block=blend_block, eps=blend_eps,
             max_blocks=blend_max_blocks, return_stats=return_stats,
             kernel=blend_kernel, group=blend_group,
         )

@@ -602,6 +602,31 @@ class TestPallasInterpret:
         img_x = render_tiles(ds, bin_splats(ds, cfg), cfg, pair_chunk=32)
         np.testing.assert_allclose(img_p, img_x, atol=2e-5)
 
+    def test_blend_group_knob_bit_identical(self, rng):
+        """group=256/512 runs sub consecutive 128-record folds under one
+        predicate (ops/tile_blend._blend_window) — at eps=0 no saturation
+        skip fires, so the op sequence and output must be BIT-identical to
+        the group=128 default, on both kernels."""
+        from splat_renderer_tpu.render.binning import bin_splats_packed
+        from splat_renderer_tpu.render.packing import quantize_screen_data
+        from splat_renderer_tpu.ops.tile_blend import render_tiles_pallas
+
+        cfg = RenderConfig(width=64, height=48, tiles_per_splat_cap=16)
+        data = quantize_screen_data(
+            _random_screen_splats(rng, 400, cfg, r_lo=1.0, r_hi=8.0), cfg
+        )
+        st = bin_splats_packed(data, cfg, block=1024)
+        for kern in ("flat", "tile"):
+            ref = np.asarray(render_tiles_pallas(
+                data, st, cfg, block=1024, eps=0.0, interpret=True,
+                kernel=kern))
+            for g in (256, 512, 1024):
+                out = np.asarray(render_tiles_pallas(
+                    data, st, cfg, block=1024, eps=0.0, interpret=True,
+                    kernel=kern, group=g))
+                np.testing.assert_array_equal(
+                    out, ref, err_msg=f"kernel={kern} group={g}")
+
     def test_capacity_class_overflow_is_safe_and_flagged(self, rng):
         """A too-small blend capacity class must render affected tiles EMPTY
         (never garbage) and raise the overflow flag (Engine growth protocol)."""
