@@ -78,7 +78,7 @@ def render_splats(
     return_stats: bool = False,
     blend_kernel: str = "flat",
     pair_class_caps: Optional[Tuple[int, int]] = None,
-    blend_group: int = 128,
+    blend_group: int = 256,
     blend_eps: float = -1.0,
 ):
     """Splat chain: project -> depth sort -> bin -> composite -> (H, W, 3).
@@ -108,13 +108,16 @@ def render_splats(
     None = safe full-cap expansion.
 
     blend_group: records per blend PREDICATE group (ops.tile_blend
-    _blend_window; 128 default).  Larger powers of two amortize the
-    per-group scalar predicate + saturation sync over several 128-record
-    folds: bit-identical to 128 at eps=0, and within a few x
-    transmittance_eps at default eps (coarser saturation checkpoints —
-    same approximation family as sat_every; device-gated in
-    drive_tpu_parity.check_blend_group, measured in
-    benchmarks/probe_group.py).
+    _blend_window).  Larger powers of two amortize the per-group scalar
+    predicate + saturation sync over several 128-record folds:
+    bit-identical to 128 at eps=0, and within a few x transmittance_eps
+    at default eps — coarser checkpoints skip FEWER sub-threshold records,
+    i.e. strictly closer to the no-early-exit ground truth (device-gated
+    in drive_tpu_parity.check_blend_group).  Default 256: measured -1.0 ms
+    on the 1M@1080p fused frame, 512 adds nothing
+    (benchmarks/probe_group.py, in-process interleaved).  The ops-level
+    render_tiles_pallas keeps default 128 so kernel-API continuity metrics
+    stay comparable across rounds.
 
     blend_eps: saturation cutoff for the Pallas path (-1 = use
     cfg.transmittance_eps; 0 disables early exit, for parity runs).
@@ -162,6 +165,7 @@ def render_gbuffer(
     blend_max_blocks: Optional[int] = None,
     eps: float = -1.0,
     interpret: bool = False,
+    blend_group: int = 256,
 ):
     """Render the G-buffer: {"rgb" (H,W,3), "depth" (H,W), "alpha" (H,W)}.
 
@@ -199,7 +203,7 @@ def render_gbuffer(
         gb = render_tiles_pallas(
             None, binned, rcfg, block=blend_block, eps=eps,
             max_blocks=blend_max_blocks, kernel="tile", with_depth=True,
-            interpret=interpret,
+            interpret=interpret, group=blend_group,
         )
         alpha = gb["alpha"]
         depth = jnp.where(
