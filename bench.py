@@ -103,9 +103,12 @@ class Harness:
     stops scheduling steps (the runtime may be wedged), keeps every field
     gathered so far, and emits the partial JSON with exit 0."""
 
-    def __init__(self, budget_s: float):
+    def __init__(self, budget_s: float, min_deadline_s: float = 240.0,
+                 grace_s: float = 60.0):
         self.t0 = time.perf_counter()
         self.budget = budget_s
+        self.min_deadline = min_deadline_s
+        self.grace = grace_s
         self.fields: dict = {}
         self.skipped: list[str] = []
         self.errors: dict[str, str] = {}
@@ -170,7 +173,8 @@ class Harness:
 
         # deadline: generous multiple of the cold estimate, but never past
         # the remaining budget by more than a grace period
-        deadline = min(max(3.0 * cost_s, 240.0), self.remaining() + 60.0)
+        deadline = min(max(3.0 * cost_s, self.min_deadline),
+                       self.remaining() + self.grace)
         worker = threading.Thread(target=run, daemon=True, name=f"step-{name}")
         worker.start()
         worker.join(timeout=deadline)
