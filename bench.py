@@ -826,5 +826,82 @@ def main() -> None:
         os._exit(0)
 
 
+def outer_main() -> None:
+    """Outage-resilient wrapper: the driver invokes bench.py exactly once,
+    but the relay can be wedged AT THAT MOMENT (observed round 4: a
+    multi-hour outage window with transient recoveries).  The outer
+    process never touches the device; it spawns inner attempts
+    (BENCH_INNER=1 -> main()) and emits the most complete capture.  A
+    fresh process also side-steps a wedged in-process runtime — an
+    in-process retry would reuse the stuck backend.
+
+    Scoring: a capture with the headline beats any without; ties break on
+    field count.  A healthy full run (value present, no hung_step) stops
+    immediately; a partial capture retries while the outer budget allows."""
+    import subprocess
+
+    outer_budget = float(os.environ.get("BENCH_OUTER_BUDGET_S", "1700"))
+    inner_default = float(os.environ.get("BENCH_BUDGET_S", "1080"))
+    t0 = time.perf_counter()
+
+    def log(msg: str) -> None:
+        print(f"[bench-outer t={time.perf_counter() - t0:6.1f}s] {msg}",
+              file=sys.stderr, flush=True)
+
+    def score(rec: dict | None):
+        if rec is None:
+            return (-1, -1)
+        return (1 if "value" in rec else 0, len(rec))
+
+    best: dict | None = None
+    attempt = 0
+    while True:
+        remaining = outer_budget - (time.perf_counter() - t0)
+        if remaining < 420:  # not enough for a meaningful inner attempt
+            break
+        attempt += 1
+        inner_budget = min(inner_default, remaining - 120)
+        env = dict(os.environ,
+                   BENCH_INNER="1", BENCH_BUDGET_S=str(inner_budget))
+        log(f"attempt {attempt} (inner budget {inner_budget:.0f}s)")
+        rec = None
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)], env=env,
+                stdout=subprocess.PIPE, timeout=inner_budget + 360,
+            )
+            lines = proc.stdout.decode().strip().splitlines()
+            if lines:
+                rec = json.loads(lines[-1])
+        except subprocess.TimeoutExpired:
+            log(f"attempt {attempt}: inner exceeded hard timeout, killed")
+        except Exception as e:
+            log(f"attempt {attempt}: {type(e).__name__}: {e}")
+        if score(rec) > score(best):
+            best = rec
+        if rec is not None and "value" in rec and "hung_step" not in rec:
+            log(f"attempt {attempt}: full healthy capture")
+            break
+        if rec is not None and "value" in rec:
+            log(f"attempt {attempt}: headline captured but run degraded "
+                f"({rec.get('hung_step')}); retrying for a fuller capture")
+        else:
+            log(f"attempt {attempt}: no headline (relay outage?); retrying")
+        time.sleep(90)
+    if best is None:
+        best = {
+            "metric": "fps_1080p_1m_splats", "unit": "fps",
+            "error": "no inner bench attempt produced JSON "
+                     "(relay outage for the whole window?)",
+            "attempts": attempt,
+            "elapsed_s": round(time.perf_counter() - t0, 1),
+        }
+    best["outer_attempts"] = attempt
+    print(json.dumps(best))
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_INNER"):
+        main()
+    else:
+        outer_main()
