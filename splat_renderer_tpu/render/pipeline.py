@@ -80,6 +80,7 @@ def render_splats(
     pair_class_caps: Optional[Tuple[int, int]] = None,
     blend_group: int = 256,
     blend_eps: float = -1.0,
+    blend_sat_every: int = 2,
 ):
     """Splat chain: project -> depth sort -> bin -> composite -> (H, W, 3).
 
@@ -121,6 +122,10 @@ def render_splats(
 
     blend_eps: saturation cutoff for the Pallas path (-1 = use
     cfg.transmittance_eps; 0 disables early exit, for parity runs).
+
+    blend_sat_every: saturation-checkpoint spacing in predicate groups
+    (ops.tile_blend sat_every; tuned by benchmarks/probe_sat.py — the
+    per-check (1,1) scalar sync trades against the compute it skips).
     """
     if compositor == "auto":
         compositor = "pallas" if on_tpu() else "tiles"
@@ -144,6 +149,7 @@ def render_splats(
             None, binned, rcfg, block=blend_block, eps=blend_eps,
             max_blocks=blend_max_blocks, return_stats=return_stats,
             kernel=blend_kernel, group=blend_group,
+            sat_every=blend_sat_every,
         )
     data = splat_screen_data(splats, camera, rcfg)
     if compositor == "oracle":
