@@ -114,6 +114,12 @@ class Harness:
         self.errors: dict[str, str] = {}
         self.step_s: dict[str, float] = {}
         self.hung_step: str | None = None
+        # steps timed while an earlier abandoned step's thread was still
+        # alive: its late device bursts compete with this step's dispatches,
+        # so the published number may be inflated (ADVICE r4) — recorded so
+        # the reader can discount them
+        self.contaminated: list[str] = []
+        self._abandoned: list = []  # (name, Thread) of watchdog-fired steps
 
     def elapsed(self) -> float:
         return time.perf_counter() - self.t0
@@ -158,6 +164,13 @@ class Harness:
             self.skipped.append(name)
             self.log(f"SKIP {name} (est {cost_s:.0f}s > {self.remaining():.0f}s left)")
             return False
+        live_abandoned = [n for n, th in self._abandoned if th.is_alive()]
+        if live_abandoned:
+            # a previously-abandoned step's thread is still issuing device
+            # work: this step's timings may be contaminated by its bursts
+            self.contaminated.append(name)
+            self.log(f"WARN {name} runs while abandoned step(s) "
+                     f"{live_abandoned} still alive — timings contaminated")
         self.log(f"start {name} (est {cost_s:.0f}s, {self.remaining():.0f}s left)")
         t0 = time.perf_counter()
         import threading
@@ -190,6 +203,7 @@ class Harness:
                 f"watchdog: still running after {deadline:.0f}s "
                 "(relay stall); step abandoned"
             )
+            self._abandoned.append((name, worker))
             self.log(f"STALL {name}: {self.errors[name]}")
             if not self._probe_relay(45.0):
                 self.hung_step = name
@@ -310,14 +324,24 @@ def main() -> None:
                                  blend_max_blocks=mt_, blend_kernel="tile",
                                  pair_class_caps=cc_)
 
-        # min-of-bursts per program: relay weather is additive and NOT
-        # constant across the three programs' bursts (BENCH_r04 cold run:
-        # a weather spike made stage_project_120k_ms = 12 ms > the full
-        # frame and clamped the bin delta to 0) — minima are the least-
-        # contaminated estimator, and deltas of minima stay meaningful
-        t1, _ = time_fn_best(jax.jit(p1), s_, c_, warmup=2, iters=5)
-        t2, _ = time_fn_best(jax.jit(p2), s_, c_, warmup=2, iters=5)
-        t3, _ = time_fn_best(jax.jit(p3), s_, c_, warmup=2, iters=5)
+        # INTERLEAVED min-of-bursts (the NOTES /tmp-probe method, now the
+        # stage-table standard per VERDICT r4 item 4): the burst order is
+        # P1 P2 P3, P1 P2 P3, ... so all three programs sample the SAME
+        # weather windows; per-program minima are then comparable and
+        # deltas of minima stay meaningful.  (BENCH_r04's sequential
+        # version shipped stage_project_120k = 3.8 ms > project@1M and a
+        # clamped stage_bin_120k = 0.0 — cross-program weather.)
+        f1, f2, f3 = jax.jit(p1), jax.jit(p2), jax.jit(p3)
+        for f in (f1, f2, f3):  # compile + settle outside the timing
+            # device_get barrier, not block_until_ready (unreliable on the
+            # relay — utils/timing rationale)
+            jax.device_get(jax.tree.leaves(f(s_, c_))[0].ravel()[:1])
+        b1, b2, b3 = [], [], []
+        for _ in range(3):
+            for f, acc in ((f1, b1), (f2, b2), (f3, b3)):
+                t, _ = time_fn(f, s_, c_, warmup=1, iters=5)
+                acc.append(t)
+        t1, t2, t3 = min(b1), min(b2), min(b3)
         return (max(t1 - t_disp, 0.0), max(t2 - t1, 0.0),
                 max(t3 - t2, 0.0), t3)
 
@@ -460,12 +484,31 @@ def main() -> None:
         mt120 = int(np.asarray(b120["tiles_used"]) * 1.15) + 8
         t_disp = S.get("t_disp", 0.0)
         p, b, bl, t_120 = _stage_deltas(s120, camera, cfg120, mt120, t_disp)
-        R.update({
-            "frame_120k_1080p_ms": round(t_120 * 1e3, 3),
-            "stage_project_120k_ms": round(p * 1e3, 3),
-            "stage_bin_120k_ms": round(b * 1e3, 3),
-            "stage_blend_120k_ms": round(bl * 1e3, 3),
-        })
+        R["frame_120k_1080p_ms"] = round(t_120 * 1e3, 3)
+        # At 120k the true stage times approach the interleaved-minima
+        # noise band (~0.5 ms); a delta below it is NOT a measurement —
+        # publish the stage as below-floor instead of an impossible 0.0
+        # (BENCH_r04 shipped stage_bin_120k_ms: 0.0; VERDICT r4 item 4).
+        floor_ms = 0.5
+        below = []
+        for name, sec in (("project", p), ("bin", b), ("blend", bl)):
+            ms = sec * 1e3
+            if ms >= floor_ms:
+                R[f"stage_{name}_120k_ms"] = round(ms, 3)
+            else:
+                below.append(name)
+        if below:
+            R["stage_120k_below_floor"] = below
+            R["stage_120k_floor_ms"] = floor_ms
+        # the one config with reference per-stage numbers to compare
+        # against: GPU_PIPELINE_PLAN.md:533-546's "After" GPU-only estimate
+        # (5.8 ms total; project 0.2 + keys/sort/bin 2.9 + render 2.0 +
+        # readback overlap).  Our frame carries the relay's fixed dispatch
+        # cost (dispatch_overhead_ms) the estimate excludes — the
+        # device-only equivalent is frame - dispatch.
+        R["ref_120k_gpu_estimate_ms"] = 5.8
+        R["frame_120k_minus_dispatch_ms"] = round(
+            max(t_120 - t_disp, 0.0) * 1e3, 3)
 
     H.step("ref_120k", 120, step_120k)
 
@@ -591,6 +634,68 @@ def main() -> None:
 
     H.step("fit_step", 120, step_fit)
 
+    # ---- step 10b: training QUALITY on the scoreboard (VERDICT r4 item
+    # 6): a short multi-view re-fit through the custom-VJP Pallas kernel
+    # pair with density control ON, scored by held-out PSNR computed ON
+    # HOST with range asserts — guards ops/tile_blend_diff.py against
+    # silent gradient regressions at the scoreboard level (the full
+    # experiment is benchmarks/fit_quality.py). ----
+    def step_fit_quality():
+        from splat_renderer_tpu import fit
+        from splat_renderer_tpu.render.diff import render_diff
+
+        qn, qres, qsteps = 10_000, 256, 45
+        qcfg = RenderConfig(width=qres, height=qres, base_radius=0.03,
+                            tiles_per_splat_cap=9)
+        qsplats = jax.jit(lambda p, k: model_points(
+            scene, p, k, qn, PointConfig(), qcfg))(params, key)
+
+        def cam_at(az):
+            c = spt.Camera(azimuth=az, elevation=0.3, aspect=1.0)
+            return {k_: jnp.asarray(v) for k_, v in c.arrays().items()}
+
+        qcams = [cam_at(0.4 + 2 * np.pi * v / 3) for v in range(3)]
+        held_out = cam_at(0.4 + np.pi / 3)
+        render_q = jax.jit(
+            lambda s, c: render_diff(s, c, qcfg, method="pallas"))
+        qtargets = [render_q(qsplats, c) for c in qcams]
+        truth = np.asarray(jax.device_get(render_q(qsplats, held_out)))
+
+        # degraded start: half the splats dead — density control (clone +
+        # split) must reclaim the free slots to close the coverage holes
+        kill = np.zeros(qn, bool)
+        kill[np.random.default_rng(7).choice(qn, qn // 2,
+                                             replace=False)] = True
+        kj = jnp.asarray(kill)
+        degraded = dict(
+            qsplats,
+            radius=jnp.where(kj, 0.0, qsplats["radius"]),
+            opacity=jnp.where(kj, 0.0, qsplats["opacity"]),
+        )
+        fitted, _losses = fit.fit_splats(
+            degraded, qcams, qtargets, qcfg,
+            fields=("px", "py", "pz", "radius", "opacity",
+                    "cr", "cg", "cb"),
+            steps=qsteps, lr=1e-2, method="pallas",
+            densify_every=qsteps // 3, densify_threshold=1e-7,
+        )
+        img = np.asarray(jax.device_get(render_q(fitted, held_out)))
+        # host-side quality with range asserts — never a device scalar
+        # (the BENCH_r02 ssim=1.23 lesson, utils/ssim.quality_gate)
+        mse = float(np.mean((img - truth) ** 2))
+        mse0_arr = np.asarray(jax.device_get(render_q(degraded, held_out)))
+        mse0 = float(np.mean((mse0_arr - truth) ** 2))
+        psnr = -10.0 * np.log10(max(mse, 1e-12))
+        psnr0 = -10.0 * np.log10(max(mse0, 1e-12))
+        assert 0.0 < psnr < 80.0, f"fit PSNR out of range: {psnr}"
+        assert psnr > psnr0 + 1.0, (
+            f"fit did not improve held-out PSNR: {psnr0:.2f} -> {psnr:.2f}"
+        )
+        R["fit_psnr_held_out_db"] = round(psnr, 2)
+        R["fit_psnr_degraded_init_db"] = round(psnr0, 2)
+
+    H.step("fit_quality", 150, step_fit_quality)
+
     # ---- step 11: config 1 (oracle 10k @256^2) + config 2 (100k @720p) ----
     def step_small_configs():
         from splat_renderer_tpu.render.oracle import render_oracle
@@ -644,16 +749,40 @@ def main() -> None:
                                warmup=2, iters=5)
         R["frame_ms_sh_deg3"] = round(t_sh * 1e3, 3)
 
-        rcfg_fast = rcfg.replace(fast_math=True)
+        # fast profile, RETUNED to the current frontier (VERDICT r4 item
+        # 5): 32x16 tiles + class caps + the margin-1.3 support cut.  The
+        # old fast measurement (ts16, margin 1.5) was 4 ms SLOWER than the
+        # exact headline because it never picked up the round-3 tile
+        # geometry; and at 32x16 the exact profile already fits the fused
+        # nk1 pair key (12 tile bits + 20 rank bits = 32), so fast_math's
+        # coarse-rank fusing is a no-op — the margin cut (smaller binning
+        # footprints -> fewer pair rows) is the profile's real lever.
+        rcfg_fast = rcfg32.replace(fast_math=True, bounds_margin=1.3)
+        bfast = jax.jit(lambda s, c: bin_splats_packed(
+            splat_screen_data(s, c, rcfg_fast), rcfg_fast, BLOCK))(
+            splats, camera)
+        mtf = int(np.asarray(bfast["tiles_used"]) * 1.15) + 8
+        n_hi_f, n_mid_f = (int(x) for x in np.asarray(bfast["class_counts"]))
+        ccf = _class_caps(n_hi_f, n_mid_f, N_SPLATS,
+                          rcfg_fast.tiles_per_splat_cap)
 
         def full_fast(s, c):
             return render_splats(s, c, rcfg_fast, "pallas", BLOCK,
-                                 blend_max_blocks=mt, blend_kernel="tile")
+                                 blend_max_blocks=mtf, blend_kernel="tile",
+                                 pair_class_caps=ccf)
 
-        t_fast, _ = time_fn_best(jax.jit(full_fast), splats, camera,
-                                 warmup=2, iters=5)
-        R["frame_ms_fast"] = round(t_fast * 1e3, 3)
-        R["fps_fast"] = round(1.0 / t_fast, 2)
+        t_fast, img_fast = time_fn_best(jax.jit(full_fast), splats, camera,
+                                        warmup=2, iters=5)
+        t_exact = R.get("frame_ms", 0.0) * 1e-3
+        if t_exact and t_fast >= t_exact:
+            # an approximation that loses to exact is an anti-feature —
+            # keep it off the scoreboard (VERDICT r4 item 5)
+            R["fast_profile_retired"] = round(t_fast * 1e3, 3)
+        else:
+            R["frame_ms_fast"] = round(t_fast * 1e3, 3)
+            R["fps_fast"] = round(1.0 / t_fast, 2)
+            R["ssim_fast_vs_exact"] = round(quality_gate(
+                jax.device_get(img_fast), jax.device_get(S["img_best"])), 5)
 
     H.step("sh_fast", 120, step_sh_fast)
 
@@ -675,24 +804,44 @@ def main() -> None:
         t_mv, _ = time_fn(mv_j, s2m, cams8, warmup=1, iters=3)
         R["multiview8_2m_ms"] = round(t_mv * 1e3, 3)
 
+        # The reference's actual WIRED path (src/Renderer.ts:250-308):
+        # opaque oriented surface quads.  Round-4 ran this through the
+        # FLAT kernel with no class caps (the full-cap 4M-row pair sort the
+        # headline long since eliminated) and it was the repo's slowest
+        # number (42.4 ms, VERDICT r4 weak 4).  Now it gets the headline
+        # machinery: tile-major kernel (saturated tiles stop DMAing —
+        # opaque alpha=1 saturates transmittance after ONE covering
+        # record), class-partitioned pair expansion when the census pays,
+        # group=256.
         scfg = spt.surface_render_config(
             WIDTH, HEIGHT, base_radius=0.004, tiles_per_splat_cap=4
         )
-        dsurf = jax.jit(lambda s, c: splat_screen_data(s, c, scfg))(
-            jax.jit(lambda p, k: model_points(scene, p, k, N_SPLATS, pcfg,
-                                              scfg))(params, key),
-            camera,
-        )
-        mbs = _capacity_class(dsurf, scfg)
+        ssurf = jax.jit(lambda p, k: model_points(scene, p, k, N_SPLATS,
+                                                  pcfg, scfg))(params, key)
+        bsurf = jax.jit(lambda s, c: bin_splats_packed(
+            splat_screen_data(s, c, scfg), scfg, BLOCK))(ssurf, camera)
+        mts = int(np.asarray(bsurf["tiles_used"]) * 1.15) + 8
+        n_hi_s, n_mid_s = (int(x) for x in np.asarray(bsurf["class_counts"]))
+        ccs = _class_caps(n_hi_s, n_mid_s, N_SPLATS, scfg.tiles_per_splat_cap)
 
         def surface(p, c, k):
             s = model_points(scene, p, k, N_SPLATS, pcfg, scfg)
-            d = splat_screen_data(s, c, scfg)
-            return render_tiles_pallas(d, None, scfg, block=BLOCK, max_blocks=mbs)
+            return render_splats(s, c, scfg, "pallas", BLOCK,
+                                 blend_max_blocks=mts, blend_kernel="tile",
+                                 pair_class_caps=ccs, return_stats=True)
 
-        t_surf, _ = time_fn(jax.jit(surface), params, camera, key,
-                            warmup=2, iters=5)
+        t_surf, (_, st_s) = time_fn_best(jax.jit(surface), params, camera,
+                                         key, warmup=2, iters=5)
+        if ccs is not None and bool(np.asarray(st_s["class_overflow"])):
+            t_surf, _ = time_fn_best(
+                jax.jit(lambda p, c, k: render_splats(
+                    model_points(scene, p, k, N_SPLATS, pcfg, scfg), c,
+                    scfg, "pallas", BLOCK, blend_max_blocks=mts,
+                    blend_kernel="tile")),
+                params, camera, key, warmup=2, iters=5)
+            ccs = None
         R["surface_opaque_frame_ms_1m"] = round(t_surf * 1e3, 3)
+        R["surface_opaque_class_caps"] = list(ccs) if ccs else []
 
     H.step("mv_surface", 150, step_mv_surface)
 
@@ -717,6 +866,7 @@ def main() -> None:
     # benchmarks/probe_viewer_fps.py is the asserting standalone form ----
     def step_viewer():
         import threading
+        import urllib.error
         import urllib.request
 
         from splat_renderer_tpu.render.pipeline import SplatEngine
@@ -738,25 +888,46 @@ def main() -> None:
                                  jax.random.PRNGKey(i)))
         engine_fps = 20 / (time.perf_counter() - t0)
 
-        httpd = make_server(eng, port=0)
+        # profile_stages=False: the HUD's one-off P1/P2/P3 stage compile
+        # must not contend with the frames being timed (ADVICE r4 medium)
+        httpd = make_server(eng, port=0, profile_stages=False)
         port = httpd.server_address[1]
         threading.Thread(target=httpd.serve_forever, daemon=True).start()
         base = f"http://127.0.0.1:{port}/frame"
+
+        def fetch(az, seq, budget_s=150.0):
+            """One served frame, 503-tolerant: the latest-wins server's
+            503 means "no fresh frame inside MY 30 s wait — ask again"
+            (viewer/serve.py), not "dead".  BENCH_r04's viewer step died
+            on its first 503 after burning 201 s (VERDICT r4 item 2)."""
+            deadline = time.monotonic() + budget_s
+            delay = 0.5
+            while True:
+                try:
+                    with urllib.request.urlopen(
+                        f"{base}?az={az}&seq={seq}&raw=1", timeout=120
+                    ) as r:
+                        new_seq = int(r.headers.get("x-seq", str(seq)))
+                        body = r.read()
+                    if len(body) != WIDTH * HEIGHT * 3:
+                        raise ValueError(
+                            f"short frame body: {len(body)} bytes")
+                    return new_seq
+                except urllib.error.HTTPError as e:
+                    if e.code != 503 or time.monotonic() > deadline:
+                        raise
+                    time.sleep(delay)
+                    delay = min(delay * 2, 8.0)
+
         try:
-            with urllib.request.urlopen(f"{base}?az=0.5&seq=0&raw=1",
-                                        timeout=120) as r:
-                seq = int(r.headers.get("x-seq", "0"))
-                assert len(r.read()) == WIDTH * HEIGHT * 3
+            # pre-warm the serving path (first frame may recompile at the
+            # engine's adopted capacity class) before any timed request
+            seq = fetch(0.5, 0)
+            seq = fetch(0.505, seq)
             t0 = time.perf_counter()
             frames = 30
             for i in range(frames):
-                az = 0.5 + 0.005 * (i + 1)
-                with urllib.request.urlopen(
-                    f"{base}?az={az}&seq={seq}&raw=1", timeout=120
-                ) as r:
-                    seq = int(r.headers.get("x-seq", str(seq)))
-                    body = r.read()
-                assert len(body) == WIDTH * HEIGHT * 3
+                seq = fetch(0.51 + 0.005 * (i + 1), seq, budget_s=60.0)
             served_fps = frames / (time.perf_counter() - t0)
         finally:
             httpd.shutdown()
@@ -789,12 +960,20 @@ def main() -> None:
     # ---- emit ----
     # snapshot under retry: an abandoned-but-still-running step thread may
     # legitimately write its fields while we serialize
+    fields_now = None
     for _ in range(5):
         try:
             fields_now = dict(R)
             break
         except RuntimeError:
             time.sleep(0.1)
+    if fields_now is None:
+        # all 5 snapshots raced a mutating abandoned thread: list() the
+        # keys first (an atomic snapshot) so SOME JSON always goes out —
+        # emitting nothing is the exact failure the harness exists to
+        # prevent (ADVICE r4)
+        keys = list(R)
+        fields_now = {k: R[k] for k in keys if k in R}
     result = {
         "metric": "fps_1080p_1m_splats",
         "unit": "fps",
@@ -809,6 +988,7 @@ def main() -> None:
         "step_s": H.step_s,
         "skipped": H.skipped,
         "errors": H.errors,
+        "contaminated": H.contaminated,
         "n_splats": N_SPLATS,
         "resolution": f"{WIDTH}x{HEIGHT}",
         "device": str(jax.devices()[0]),
@@ -824,6 +1004,26 @@ def main() -> None:
         sys.stdout.flush()
         sys.stderr.flush()
         os._exit(0)
+
+
+def _capture_score(rec: dict | None):
+    """Ranking for inner captures: headline first, then FEWER failed or
+    skipped steps, then more fields — a capture whose targeted metrics
+    actually landed beats one that merely has the headline (VERDICT r4:
+    BENCH_r04 scored 'full healthy' while viewer_served had errored)."""
+    if rec is None:
+        return (-2, 0, -1)
+    degraded = len(rec.get("errors", {})) + len(rec.get("skipped", []))
+    return (1 if "value" in rec else 0, -degraded, len(rec))
+
+
+def _capture_healthy(rec: dict | None) -> bool:
+    """A capture that stops the outer retry loop: headline present, no
+    hung step, and EVERY step ran clean (no errors, no budget skips)."""
+    return (
+        rec is not None and "value" in rec and "hung_step" not in rec
+        and not rec.get("errors") and not rec.get("skipped")
+    )
 
 
 def outer_main() -> None:
@@ -848,12 +1048,9 @@ def outer_main() -> None:
         print(f"[bench-outer t={time.perf_counter() - t0:6.1f}s] {msg}",
               file=sys.stderr, flush=True)
 
-    def score(rec: dict | None):
-        if rec is None:
-            return (-1, -1)
-        return (1 if "value" in rec else 0, len(rec))
-
+    score = _capture_score
     best: dict | None = None
+    last_stderr_tail = ""
     attempt = 0
     while True:
         remaining = outer_budget - (time.perf_counter() - t0)
@@ -865,26 +1062,58 @@ def outer_main() -> None:
                    BENCH_INNER="1", BENCH_BUDGET_S=str(inner_budget))
         log(f"attempt {attempt} (inner budget {inner_budget:.0f}s)")
         rec = None
+        tail: list = []  # last stderr lines, live-teed by the pump thread
+
+        def pump(stream):
+            # tee the inner's progress to OUR stderr line-by-line (live
+            # diagnosability) while keeping a bounded tail for the artifact
+            for raw in iter(stream.readline, b""):
+                sys.stderr.buffer.write(raw)
+                sys.stderr.flush()
+                tail.append(raw.decode(errors="replace"))
+                del tail[:-40]
+
         try:
-            proc = subprocess.run(
+            import threading
+
+            proc = subprocess.Popen(
                 [sys.executable, os.path.abspath(__file__)], env=env,
-                stdout=subprocess.PIPE, timeout=inner_budget + 360,
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE,
             )
-            lines = proc.stdout.decode().strip().splitlines()
+            pt = threading.Thread(target=pump, args=(proc.stderr,),
+                                  daemon=True)
+            pt.start()
+            # hard-timeout enforcement without communicate() (the stderr
+            # pipe is owned by the pump thread): a timer kills the inner
+            # process, which EOFs stdout and unblocks the read below
+            killed = []
+            timer = threading.Timer(
+                inner_budget + 360,
+                lambda: (killed.append(True), proc.kill()))
+            timer.start()
+            out = proc.stdout.read()
+            proc.wait()
+            timer.cancel()
+            pt.join(timeout=5)
+            if killed:
+                log(f"attempt {attempt}: inner exceeded hard timeout, killed")
+            lines = out.decode().strip().splitlines()
             if lines:
                 rec = json.loads(lines[-1])
-        except subprocess.TimeoutExpired:
-            log(f"attempt {attempt}: inner exceeded hard timeout, killed")
         except Exception as e:
             log(f"attempt {attempt}: {type(e).__name__}: {e}")
+        if tail:
+            last_stderr_tail = "".join(tail)[-2000:]
         if score(rec) > score(best):
             best = rec
-        if rec is not None and "value" in rec and "hung_step" not in rec:
+        if _capture_healthy(rec):
             log(f"attempt {attempt}: full healthy capture")
             break
         if rec is not None and "value" in rec:
             log(f"attempt {attempt}: headline captured but run degraded "
-                f"({rec.get('hung_step')}); retrying for a fuller capture")
+                f"(hung={rec.get('hung_step')} "
+                f"errors={list(rec.get('errors', {}))} "
+                f"skipped={rec.get('skipped')}); retrying for a fuller one")
         else:
             log(f"attempt {attempt}: no headline (relay outage?); retrying")
         time.sleep(90)
@@ -896,6 +1125,11 @@ def outer_main() -> None:
             "attempts": attempt,
             "elapsed_s": round(time.perf_counter() - t0, 1),
         }
+    if "value" not in best and last_stderr_tail:
+        # a headline-less artifact must carry its own diagnosis: the last
+        # inner attempt's stderr tail says where the run died (VERDICT r4
+        # item 8)
+        best["last_attempt_stderr_tail"] = last_stderr_tail
     best["outer_attempts"] = attempt
     print(json.dumps(best))
 

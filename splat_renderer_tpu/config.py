@@ -247,6 +247,15 @@ def turbo_render_config(width: int = 1920, height: int = 1080, **kw) -> RenderCo
 
     The exact profile stays the default everywhere; this is the standard
     production-rasterizer quality/speed knob the reference lacks.
+
+    Tile geometry note: turbo deliberately KEEPS 16 px square tiles while
+    the exact headline runs 32x16 + class-partitioned pair expansion —
+    depth_key_order has no canonical ranks, so the class partition (which
+    consumes them) cannot compose; and plain 32x16 WITHOUT class caps
+    loses (the blend's 2x pixels-per-record eats the straddle win,
+    benchmarks/probe_tile_size.py).  A rank-keyed "fast" variant that does
+    compose with 32x16 + caps is what bench.py's fast-profile row
+    measures (fast_math + bounds_margin 1.3 on the headline geometry).
     """
     defaults = dict(width=width, height=height, fast_math=True,
                     bounds_margin=1.3, depth_key_order=True)

@@ -129,6 +129,12 @@ def _blend_window(cfg, spec, eps, sat_every, w_all, acc_ref, local0, cnt, px,
     inv_2sigma2 = 0.5 / (cfg.sigma * cfg.sigma)
     margin2 = cfg.bounds_margin * cfg.bounds_margin
     assert group % 128 == 0 and (group & (group - 1)) == 0
+    # group > window would make `groups` 0 below and every window silently
+    # fold NOTHING (black frame, no error) — fail loudly instead (ADVICE r4)
+    assert group <= w_all.shape[0] * 128, (
+        f"blend group {group} exceeds the {w_all.shape[0] * 128}-record "
+        "window (block); use group <= block"
+    )
     sub = group // 128  # consecutive 128-record folds per predicate group
     groups = (w_all.shape[0] * 128) // group
     row = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)

@@ -115,9 +115,11 @@ class _RenderLoop:
     """
 
     def __init__(self, engine: Engine,
-                 animate: Optional[Callable[[float], None]] = None):
+                 animate: Optional[Callable[[float], None]] = None,
+                 profile_stages: bool = True):
         self.engine = engine
         self.animate = animate
+        self.profile_stages = profile_stages
         self._cv = threading.Condition()
         self._desired = None
         self._rendered_state = None
@@ -193,17 +195,22 @@ class _RenderLoop:
             img = self.engine.frame(camera, jax.random.PRNGKey(seq))
             arr = to_uint8(np.asarray(img))
             ms = (time.perf_counter() - t0) * 1e3
-            if not self.stage_ms:
-                try:  # one-off fused-delta device profile for the HUD
-                    self.stage_ms = self.engine.stage_profile(
-                        camera, jax.random.PRNGKey(0)) or {"n/a": 0.0}
-                except Exception:
-                    self.stage_ms = {"n/a": 0.0}
+            # publish BEFORE the one-off stage profile: stage_profile jits
+            # P1/P2/P3 over the relay (tens of seconds cold), and holding
+            # the FIRST frame back behind it made latest() time out and the
+            # handler 503 — exactly how BENCH_r04's viewer step died
+            # (ADVICE r4 medium; the bench step additionally retries 503s)
             with self._cv:
                 self._seq = seq
                 self._frame = (seq, arr, ms)
                 self._rendered_state = state
                 self._cv.notify_all()
+            if self.profile_stages and not self.stage_ms:
+                try:  # one-off fused-delta device profile for the HUD
+                    self.stage_ms = self.engine.stage_profile(
+                        camera, jax.random.PRNGKey(0)) or {"n/a": 0.0}
+                except Exception:
+                    self.stage_ms = {"n/a": 0.0}
 
 
 def make_server(
@@ -211,6 +218,7 @@ def make_server(
     port: int = 8000,
     animate: Optional[Callable[[float], None]] = None,
     host: str = "127.0.0.1",
+    profile_stages: bool = True,
 ) -> ThreadingHTTPServer:
     """Build the viewer HTTP server without starting it.
 
@@ -218,8 +226,12 @@ def make_server(
     the test surface; `serve` is the blocking entry point.  The attached
     render loop starts with the server thread's first /frame request and is
     stopped by `server.render_loop.stop()` (serve does both).
+
+    profile_stages=False skips the one-off HUD stage profile entirely —
+    the bench's served-FPS measurement uses it so the profile's P1/P2/P3
+    compiles never contend with the frames being timed.
     """
-    loop = _RenderLoop(engine, animate).start()
+    loop = _RenderLoop(engine, animate, profile_stages).start()
     page = (_PAGE
             .replace("__W__", str(engine.rcfg.width))
             .replace("__H__", str(engine.rcfg.height))

@@ -212,6 +212,63 @@ class TestViewerHandler:
         assert png[:8] == b"\x89PNG\r\n\x1a\n"
         assert "X-Render-Ms".lower() in {k.lower() for k in r.headers.keys()}
 
+    def test_first_frame_published_before_stage_profile(self):
+        """The render loop must publish its FIRST frame before running the
+        one-off HUD stage profile: stage_profile jits three programs over
+        the relay (tens of seconds cold), and holding the frame back behind
+        it made the handler's latest() time out and return 503 — how
+        BENCH_r04's viewer measurement died (ADVICE r4 medium)."""
+        import time
+
+        import numpy as np
+
+        from splat_renderer_tpu.viewer.serve import _RenderLoop
+
+        class SlowProfileEngine:
+            rcfg = RenderConfig(width=16, height=16)
+            profile_s = 3.0
+
+            def __init__(self):
+                self.profiled = 0
+
+            def frame(self, camera, key):
+                return jnp.zeros((16, 16, 3), jnp.float32)
+
+            def stage_profile(self, camera, key):
+                self.profiled += 1
+                time.sleep(self.profile_s)
+                return {"project_ms": 1.0}
+
+        eng = SlowProfileEngine()
+        loop = _RenderLoop(eng).start()
+        try:
+            state = (0.5, 0.5, 3.0, 0.0, 0.0, 0.0)
+            t0 = time.perf_counter()
+            loop.request(state)
+            got = loop.latest(0, state, timeout=2.0)
+            dt = time.perf_counter() - t0
+            assert got is not None, "first frame not published"
+            assert dt < eng.profile_s, (
+                f"first frame held back {dt:.1f}s — behind the profile"
+            )
+            assert got[0] == 1 and np.asarray(got[1]).shape == (16, 16, 3)
+        finally:
+            loop.stop()
+
+        # profile_stages=False skips the profile entirely (the bench's
+        # served-FPS step uses it so P1/P2/P3 compiles never contend with
+        # the frames being timed)
+        eng2 = SlowProfileEngine()
+        loop2 = _RenderLoop(eng2, profile_stages=False).start()
+        try:
+            state = (0.6, 0.5, 3.0, 0.0, 0.0, 0.0)
+            loop2.request(state)
+            assert loop2.latest(0, state, timeout=2.0) is not None
+            time.sleep(0.2)
+            assert eng2.profiled == 0
+        finally:
+            loop2.stop()
+
 
 class TestSequence:
     def test_fused_scan_matches_per_frame(self, key):

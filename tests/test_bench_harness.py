@@ -74,3 +74,53 @@ class TestHarness:
         assert not H.step("slow", 0.1, lambda: time.sleep(30.0))
         # capped at remaining + grace, NOT the 500 s floor
         assert time.perf_counter() - t0 < 10.0
+
+    def test_contamination_flagging(self, Harness):
+        """A step timed while an abandoned step's thread is still alive is
+        recorded in `contaminated` (its numbers may be inflated by the
+        zombie's competing device bursts, ADVICE r4); once the zombie
+        finishes, later steps are clean again."""
+        H = Harness(budget_s=60.0, min_deadline_s=0.5)
+        H._probe_relay = lambda t: True
+
+        assert not H.step("zombie", 0.1, lambda: time.sleep(2.5))
+        assert H.step("during", 0.1, lambda: None)
+        assert H.contaminated == ["during"]
+        time.sleep(2.5)  # let the zombie finish
+        assert H.step("after", 0.1, lambda: None)
+        assert H.contaminated == ["during"]
+
+
+class TestOuterCapturePolicy:
+    """The outer wrapper's scoring/stop rules (VERDICT r4 items 2+8)."""
+
+    @pytest.fixture()
+    def bench(self, Harness):
+        import bench
+
+        return bench
+
+    def test_degraded_steps_lower_the_score(self, bench):
+        clean = {"value": 40.0, "errors": {}, "skipped": []}
+        errored = {"value": 40.0, "errors": {"viewer_served": "503"},
+                   "skipped": [], "extra": 1, "more": 2}
+        # a clean capture beats one with MORE fields but a failed step
+        assert bench._capture_score(clean) > bench._capture_score(errored)
+        assert bench._capture_score(errored) > bench._capture_score(None)
+        assert bench._capture_score({"errors": {}, "skipped": []}) < \
+            bench._capture_score(clean)
+
+    def test_healthy_requires_every_step_landed(self, bench):
+        assert bench._capture_healthy(
+            {"value": 40.0, "errors": {}, "skipped": []})
+        # BENCH_r04's shape: headline present but a targeted metric errored
+        # — must NOT stop the retry loop
+        assert not bench._capture_healthy(
+            {"value": 40.0, "errors": {"viewer_served": "HTTP 503"},
+             "skipped": []})
+        assert not bench._capture_healthy(
+            {"value": 40.0, "errors": {}, "skipped": ["fit_quality"]})
+        assert not bench._capture_healthy(
+            {"value": 40.0, "errors": {}, "skipped": [],
+             "hung_step": "turbo"})
+        assert not bench._capture_healthy(None)

@@ -627,6 +627,24 @@ class TestPallasInterpret:
                 np.testing.assert_array_equal(
                     out, ref, err_msg=f"kernel={kern} group={g}")
 
+    def test_blend_group_exceeding_block_raises(self, rng):
+        """group > block would make every window fold NOTHING (groups = 0
+        in _blend_window) and render a silent black frame — must fail
+        loudly at trace time instead (ADVICE r4)."""
+        from splat_renderer_tpu.render.binning import bin_splats_packed
+        from splat_renderer_tpu.render.packing import quantize_screen_data
+        from splat_renderer_tpu.ops.tile_blend import render_tiles_pallas
+
+        cfg = RenderConfig(width=64, height=48, tiles_per_splat_cap=16)
+        data = quantize_screen_data(
+            _random_screen_splats(rng, 100, cfg, r_lo=1.0, r_hi=8.0), cfg
+        )
+        st = bin_splats_packed(data, cfg, block=1024)
+        for kern in ("flat", "tile"):
+            with pytest.raises(AssertionError, match="group"):
+                render_tiles_pallas(data, st, cfg, block=1024, eps=0.0,
+                                    interpret=True, kernel=kern, group=2048)
+
     def test_capacity_class_overflow_is_safe_and_flagged(self, rng):
         """A too-small blend capacity class must render affected tiles EMPTY
         (never garbage) and raise the overflow flag (Engine growth protocol)."""
