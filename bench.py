@@ -19,11 +19,16 @@ Round-4 harness design (VERDICT.md round 3, item 1 — BENCH_r03 timed out):
   * skipped/failed fields are OMITTED from the JSON (never null) so the CI
     schema check can keep rejecting nulls.
 
-Timing estimators (recorded in the JSON per ADVICE r3): FPS-visible
-scoreboard metrics AND fused-frame stage deltas use time_fn_best (min of
-3 burst means — relay weather is strictly additive and not constant
-across programs, utils/timing.py); isolated secondary metrics use
-time_fn (mean of one burst).
+Timing estimators (round-5 correction, utils/timing.py): the relay's
+fixed cost is ~26 ms PER BURST (the device_get barrier round trip) plus
+~0.1 ms per dispatch — NOT the ~2.5 ms/dispatch round 2 concluded from a
+single burst length.  Burst-mean estimators therefore overstate every
+frame by barrier/iters (+5.2 ms at iters=5!), which a deployment loop —
+or the reference's rAF loop — never pays.  All FPS-visible metrics now
+use time_fn_sustained: the MARGINAL per-frame cost across two burst
+lengths, where the barrier cancels exactly; min over 3 weather rounds.
+frame_ms_burst5 keeps the old estimator for cross-round continuity, and
+relay_barrier_ms / dispatch_overhead_ms record the measured cost model.
 
 Headline config (round 3, benchmarks/probe_tile_size.py): RECTANGULAR
 32x16 tiles + the Engine's class-partitioned pair expansion; the 32 px
@@ -35,8 +40,11 @@ class partition — it has no ranks).
 
 Stage accounting: bin_ms is the FULL binning pass (which contains the pair
 sort); sort_ms is the isolated pair sort so the sort's share is visible.
-Fused stage_* deltas cancel the relay's ~1.5-2.8 ms fixed dispatch cost by
-construction (P1 = project, P2 = project+bin, P3 = full frame).
+Fused stage_* deltas (P1 = project, P2 = project+bin, P3 = full frame) are
+interleaved sustained marginals, so both the barrier AND the per-dispatch
+cost cancel; BENCH_r04's stage_project_ms = 3.455 was almost entirely the
+estimator mismatch (P1 at barrier/5 minus a trivial add at barrier/20) —
+the true project stage measures ~0.06 ms because it fuses completely.
 """
 
 from __future__ import annotations
@@ -69,7 +77,12 @@ from splat_renderer_tpu.render.pipeline import (
     render_splats,
     splat_screen_data,
 )
-from splat_renderer_tpu.utils.timing import time_fn, time_fn_best
+from splat_renderer_tpu.utils.timing import (
+    relay_cost_model,
+    time_fn,
+    time_fn_best,
+    time_fn_sustained,
+)
 
 N_SPLATS = 1_000_000
 WIDTH, HEIGHT = 1920, 1080
@@ -249,7 +262,8 @@ def main() -> None:
     # ---- step 1 (REQUIRED): model 1M splats ----
     def step_model():
         model_j = jax.jit(lambda p, k: model_points(scene, p, k, N_SPLATS, pcfg, rcfg))
-        t_model, splats = time_fn(model_j, params, key, warmup=2, iters=5)
+        t_model, splats = time_fn_sustained(model_j, params, key,
+                                            iters_short=5, iters_long=20)
         S["splats"] = splats
         R["model_stage_ms"] = round(t_model * 1e3, 3)
 
@@ -275,26 +289,36 @@ def main() -> None:
         _, stats32 = jax.jit(lambda s, c: full32(s, c))(splats, camera)
         n_hi, n_mid = (int(x) for x in np.asarray(stats32["class_counts"]))
         cc32 = _class_caps(n_hi, n_mid, N_SPLATS, rcfg32.tiles_per_splat_cap)
-        t_best, (img_best, st_best) = time_fn_best(
-            jax.jit(lambda s, c: full32(s, c, cc32)), splats, camera,
-            warmup=2, iters=5,
+        # SUSTAINED estimator (round 5): the marginal per-frame cost over
+        # two burst lengths, which cancels the relay's ~26 ms PER-BURST
+        # barrier (utils/timing.time_fn_sustained).  Earlier rounds' burst
+        # means charged every frame barrier/iters = ~5.2 ms of measurement
+        # overhead that a deployment loop (or the reference's rAF loop)
+        # never pays.  frame_ms_burst5 keeps the old estimator for
+        # cross-round continuity.
+        fj = jax.jit(lambda s, c: full32(s, c, cc32))
+        t_sus, (img_best, st_best) = time_fn_sustained(
+            fj, splats, camera, iters_short=5, iters_long=20, bursts=3,
         )
+        t_b5, _ = time_fn_best(fj, splats, camera, warmup=0, iters=5)
         overflow = bool(np.asarray(st_best["class_overflow"]))
         if overflow:
             # census drifted: the partitioned frame dropped pairs — its
             # timing is not an exact-frame number.  Re-time unpartitioned.
             H.log("headline class caps overflowed; falling back to cc=None")
-            t_best, (img_best, _) = time_fn_best(
-                jax.jit(lambda s, c: full32(s, c)), splats, camera,
-                warmup=2, iters=5,
+            fj = jax.jit(lambda s, c: full32(s, c))
+            t_sus, (img_best, _) = time_fn_sustained(
+                fj, splats, camera, iters_short=5, iters_long=20, bursts=3,
             )
+            t_b5, _ = time_fn_best(fj, splats, camera, warmup=0, iters=5)
         S["cc32"], S["img_best"] = cc32, img_best
-        fps = 1.0 / t_best
+        fps = 1.0 / t_sus
         R.update({
             "value": round(fps, 3),
             "vs_baseline": round(fps / 60.0, 4),
             "msplats_per_sec": round(N_SPLATS * fps / 1e6, 2),
-            "frame_ms": round(t_best * 1e3, 3),
+            "frame_ms": round(t_sus * 1e3, 3),
+            "frame_ms_burst5": round(t_b5 * 1e3, 3),
             "headline_tile": "32x16",
             "headline_class_caps": [] if overflow else list(cc32),
             "headline_class_overflow": overflow,
@@ -308,7 +332,7 @@ def main() -> None:
     from splat_renderer_tpu.render.binning import bin_packed_words
     from splat_renderer_tpu.render.projector import project_planes, splat_screen_words
 
-    def _stage_deltas(s_, c_, cfg_, mt_, t_disp, cc_=None):
+    def _stage_deltas(s_, c_, cfg_, mt_, t_disp, cc_=None, iters=(5, 20)):
         def p1(s, c):
             return splat_screen_words(s, c["view_proj"], c["cam_pos"], cfg_)
 
@@ -324,42 +348,57 @@ def main() -> None:
                                  blend_max_blocks=mt_, blend_kernel="tile",
                                  pair_class_caps=cc_)
 
-        # INTERLEAVED min-of-bursts (the NOTES /tmp-probe method, now the
-        # stage-table standard per VERDICT r4 item 4): the burst order is
+        # INTERLEAVED sustained (marginal) timing: the burst rounds cycle
         # P1 P2 P3, P1 P2 P3, ... so all three programs sample the SAME
-        # weather windows; per-program minima are then comparable and
-        # deltas of minima stay meaningful.  (BENCH_r04's sequential
-        # version shipped stage_project_120k = 3.8 ms > project@1M and a
-        # clamped stage_bin_120k = 0.0 — cross-program weather.)
+        # weather windows, and each program's time is the two-burst-length
+        # MARGINAL — the relay's ~26 ms per-burst barrier cancels exactly
+        # (round-5 cost model, utils/timing.py).  BENCH_r04's
+        # stage_project_ms = 3.455 was almost entirely this barrier: P1
+        # carried barrier/5 = 5.2 ms while the subtracted trivial-add
+        # "dispatch overhead" carried only barrier/20 = 1.3 ms; the TRUE
+        # project stage measures ~0.06 ms (it fuses completely).
         f1, f2, f3 = jax.jit(p1), jax.jit(p2), jax.jit(p3)
         for f in (f1, f2, f3):  # compile + settle outside the timing
             # device_get barrier, not block_until_ready (unreliable on the
             # relay — utils/timing rationale)
             jax.device_get(jax.tree.leaves(f(s_, c_))[0].ravel()[:1])
-        b1, b2, b3 = [], [], []
+        isrt, ilng = iters
+        tot = {k: [float("inf"), float("inf")] for k in (0, 1, 2)}
         for _ in range(3):
-            for f, acc in ((f1, b1), (f2, b2), (f3, b3)):
-                t, _ = time_fn(f, s_, c_, warmup=1, iters=5)
-                acc.append(t)
-        t1, t2, t3 = min(b1), min(b2), min(b3)
+            for k, f in enumerate((f1, f2, f3)):
+                ts, _ = time_fn(f, s_, c_, warmup=0, iters=isrt)
+                tl, _ = time_fn(f, s_, c_, warmup=0, iters=ilng)
+                tot[k][0] = min(tot[k][0], ts * isrt)
+                tot[k][1] = min(tot[k][1], tl * ilng)
+        t1, t2, t3 = (
+            max((tot[k][1] - tot[k][0]) / (ilng - isrt), 0.0) for k in (0, 1, 2)
+        )
         return (max(t1 - t_disp, 0.0), max(t2 - t1, 0.0),
                 max(t3 - t2, 0.0), t3)
 
     def step_stages_headline():
-        # fixed per-dispatch launch overhead of this transport (a trivial
-        # jit): P1 subtracts it; the P2-P1 / P3-P2 deltas cancel it anyway
-        t_disp, _ = time_fn(
-            jax.jit(lambda v: v + 1.0), jnp.ones((8, 128)), warmup=3, iters=20
-        )
+        # transport cost model (round 5): ~26 ms per BURST (the device_get
+        # barrier round trip) + ~0.1 ms per dispatch.  The sustained
+        # estimators cancel the barrier; P1 subtracts the true per-dispatch
+        # cost; the P2-P1 / P3-P2 deltas cancel everything anyway.
+        cm = relay_cost_model()
+        t_disp = cm["per_dispatch_ms"] * 1e-3
         S["t_disp"] = t_disp
         p, b, bl, _ = _stage_deltas(S["splats"], camera, rcfg32, S["mt32"],
                                     t_disp, S["cc32"])
         R.update({
-            "dispatch_overhead_ms": round(t_disp * 1e3, 3),
-            "stage_project_ms": round(p * 1e3, 3),
+            "relay_barrier_ms": round(cm["barrier_ms"], 3),
+            "dispatch_overhead_ms": round(cm["per_dispatch_ms"], 3),
             "stage_bin_ms": round(b * 1e3, 3),
             "stage_blend_ms": round(bl * 1e3, 3),
         })
+        if p * 1e3 >= 0.1:
+            R["stage_project_ms"] = round(p * 1e3, 3)
+        else:
+            # the project stage FUSES completely (measured ~0.06 ms; the
+            # 3.455 BENCH_r04 published was estimator artifact) — below
+            # the marginal method's floor, marked instead of a fake 0.0
+            R["stage_project_below_floor"] = True
 
     H.step("stages_headline", 120, step_stages_headline)
 
@@ -386,8 +425,9 @@ def main() -> None:
             return render_splats(s, c, rcfg_turbo, "pallas", BLOCK,
                                  blend_max_blocks=mt_turbo, blend_kernel="tile")
 
-        t_turbo, img_turbo = time_fn_best(jax.jit(full_turbo), splats, camera,
-                                          warmup=2, iters=5)
+        t_turbo, img_turbo = time_fn_sustained(
+            jax.jit(full_turbo), splats, camera, iters_short=5,
+            iters_long=20, bursts=3)
         R["frame_ms_turbo"] = round(t_turbo * 1e3, 3)
         R["fps_turbo"] = round(1.0 / t_turbo, 2)
         R["ssim_turbo_vs_exact"] = round(quality_gate(
@@ -405,7 +445,8 @@ def main() -> None:
         project_j = jax.jit(
             lambda s, c: splat_screen_words(s, c["view_proj"], c["cam_pos"], rcfg)
         )
-        t_project, _ = time_fn(project_j, splats, camera, warmup=2, iters=5)
+        t_project, _ = time_fn_sustained(project_j, splats, camera,
+                                         iters_short=5, iters_long=20)
 
         # isolated pair sort (the stage the reference's RadixSorter owns):
         # record-rank sort at N plus the (tile, rank) pair sort at N*cap —
@@ -430,16 +471,19 @@ def main() -> None:
                 (tile, bc(iota), bc(w0), bc(w2)), num_keys=2, is_stable=False
             )[2]
 
-        t_sort, _ = time_fn(jax.jit(pair_sort), data, warmup=2, iters=5)
+        t_sort, _ = time_fn_sustained(jax.jit(pair_sort), data,
+                                      iters_short=5, iters_long=20)
 
         bin_j = jax.jit(lambda d: bin_splats_packed(d, rcfg, BLOCK))
-        t_bin, binned = time_fn(bin_j, data, warmup=2, iters=5)
+        t_bin, binned = time_fn_sustained(bin_j, data, iters_short=5,
+                                          iters_long=20)
         blocks_used = int(np.asarray(binned["block_off"])[-1])
         mb = max(1024, -(-int(blocks_used * 1.25) // 1024) * 1024)
         blend_j = jax.jit(
             lambda d, b: render_tiles_pallas(d, b, rcfg, block=BLOCK, max_blocks=mb)
         )
-        t_blend, _ = time_fn(blend_j, data, binned, warmup=2, iters=5)
+        t_blend, _ = time_fn_sustained(blend_j, data, binned,
+                                       iters_short=5, iters_long=20)
 
         mt = int(np.asarray(binned["tiles_used"]) * 1.15) + 8
         S["mt"] = mt
@@ -448,13 +492,19 @@ def main() -> None:
             return render_splats(s, c, rcfg, "pallas", BLOCK,
                                  blend_max_blocks=mt, blend_kernel="tile")
 
-        t_full, img_exact = time_fn_best(jax.jit(full), splats, camera,
-                                         warmup=2, iters=5)
+        t_full, img_exact = time_fn_sustained(jax.jit(full), splats, camera,
+                                              iters_short=5, iters_long=20)
+        # sub-floor marginals are marked, never published as 0.0
+        below = [n for n, t in (("project", t_project), ("sort", t_sort),
+                                ("bin", t_bin), ("blend", t_blend))
+                 if t * 1e3 < 0.15]
+        if below:
+            R["isolated_ts16_below_floor"] = below
+        R.update({k: round(t * 1e3, 3) for k, t in (
+            ("project_ms", t_project), ("sort_ms", t_sort),
+            ("bin_ms", t_bin), ("blend_ms", t_blend))
+            if t * 1e3 >= 0.15})
         R.update({
-            "project_ms": round(t_project * 1e3, 3),
-            "sort_ms": round(t_sort * 1e3, 3),
-            "bin_ms": round(t_bin * 1e3, 3),
-            "blend_ms": round(t_blend * 1e3, 3),
             "blend_blocks_used": blocks_used,
             "blend_capacity_class": mb,
             "frame_ms_ts16": round(t_full * 1e3, 3),
@@ -483,8 +533,19 @@ def main() -> None:
             splat_screen_data(s, c, cfg120), cfg120, BLOCK))(s120, camera)
         mt120 = int(np.asarray(b120["tiles_used"]) * 1.15) + 8
         t_disp = S.get("t_disp", 0.0)
-        p, b, bl, t_120 = _stage_deltas(s120, camera, cfg120, mt120, t_disp)
-        R["frame_120k_1080p_ms"] = round(t_120 * 1e3, 3)
+        # longer bursts at this small scale: the whole frame is a few ms,
+        # so the marginal needs more samples to clear the weather floor
+        p, b, bl, t_120 = _stage_deltas(s120, camera, cfg120, mt120, t_disp,
+                                        iters=(10, 40))
+        if t_120 > 0.0:
+            R["frame_120k_1080p_ms"] = round(t_120 * 1e3, 3)
+        else:
+            # below the marginal method's floor — publish the burst-mean
+            # UPPER BOUND instead of an impossible 0.0
+            tb, _ = time_fn(jax.jit(lambda s, c: render_splats(
+                s, c, cfg120, "pallas", BLOCK, blend_max_blocks=mt120,
+                blend_kernel="tile")), s120, camera, warmup=1, iters=10)
+            R["frame_120k_1080p_upper_ms"] = round(tb * 1e3, 3)
         # At 120k the true stage times approach the interleaved-minima
         # noise band (~0.5 ms); a delta below it is NOT a measurement —
         # publish the stage as below-floor instead of an impossible 0.0
@@ -521,10 +582,10 @@ def main() -> None:
                                                  r10))(params, key)
         d10m = jax.jit(lambda s, c: splat_screen_data(s, c, r10))(s10m, camera)
         mb10 = _capacity_class(d10m, r10)
-        t_10m, img10 = time_fn(
+        t_10m, img10 = time_fn_sustained(
             jax.jit(lambda s, c: render_splats(s, c, r10, "pallas", BLOCK,
                                                blend_max_blocks=mb10)),
-            s10m, camera, warmup=1, iters=3,
+            s10m, camera, iters_short=1, iters_long=3, bursts=2, warmup=1,
         )
         if not np.isfinite(np.asarray(jax.device_get(img10))).all():
             raise ValueError("10M stress frame has non-finite pixels")
@@ -548,7 +609,8 @@ def main() -> None:
             return render_tiles_pallas(d, None, rcfg, block=BLOCK, max_blocks=mb500)
 
         anim_j = jax.jit(animated)
-        t_anim, _ = time_fn_best(anim_j, params, camera, key, warmup=2, iters=5)
+        t_anim, _ = time_fn_sustained(anim_j, params, camera, key,
+                                      iters_short=5, iters_long=20, bursts=3)
         R["animated_frame_ms_500k"] = round(t_anim * 1e3, 3)
 
         # the honest 120-frame sequence: animate primitive params + orbit
@@ -629,7 +691,8 @@ def main() -> None:
 
             return jax.value_and_grad(loss)(theta)
 
-        t_fit, _ = time_fn(fit_step, ftheta, fs, ftarget, warmup=1, iters=3)
+        t_fit, _ = time_fn_sustained(fit_step, ftheta, fs, ftarget,
+                                     iters_short=3, iters_long=12, warmup=1)
         R["fit_step_200k_512_ms"] = round(t_fit * 1e3, 3)
 
     H.step("fit_step", 120, step_fit)
@@ -644,18 +707,25 @@ def main() -> None:
         from splat_renderer_tpu import fit
         from splat_renderer_tpu.render.diff import render_diff
 
-        qn, qres, qsteps = 10_000, 256, 45
+        # 6 views with alternating elevation: 3-view fits OVERFIT — the
+        # held-out PSNR DEGRADED (24.4 -> 19.7 at lr 1e-2, and the
+        # fit_quality.py ablation's own 3-view config also degrades on
+        # device: 22.9 -> 20.0) while train loss fell.  6 views constrain
+        # the 8-field geometry fit; measured on device: 22.55 -> 31.84 dB
+        # at lr 2e-3 / 60 steps / densify_every 20.
+        qn, qres, qsteps = 10_000, 256, 60
         qcfg = RenderConfig(width=qres, height=qres, base_radius=0.03,
                             tiles_per_splat_cap=9)
         qsplats = jax.jit(lambda p, k: model_points(
             scene, p, k, qn, PointConfig(), qcfg))(params, key)
 
-        def cam_at(az):
-            c = spt.Camera(azimuth=az, elevation=0.3, aspect=1.0)
+        def cam_at(az, el=0.3):
+            c = spt.Camera(azimuth=az, elevation=el, aspect=1.0)
             return {k_: jnp.asarray(v) for k_, v in c.arrays().items()}
 
-        qcams = [cam_at(0.4 + 2 * np.pi * v / 3) for v in range(3)]
-        held_out = cam_at(0.4 + np.pi / 3)
+        qcams = [cam_at(0.4 + 2 * np.pi * v / 6, 0.3 if v % 2 == 0 else 0.7)
+                 for v in range(6)]
+        held_out = cam_at(0.4 + np.pi / 6, 0.5)
         render_q = jax.jit(
             lambda s, c: render_diff(s, c, qcfg, method="pallas"))
         qtargets = [render_q(qsplats, c) for c in qcams]
@@ -676,7 +746,7 @@ def main() -> None:
             degraded, qcams, qtargets, qcfg,
             fields=("px", "py", "pz", "radius", "opacity",
                     "cr", "cg", "cb"),
-            steps=qsteps, lr=1e-2, method="pallas",
+            steps=qsteps, lr=2e-3, method="pallas",
             densify_every=qsteps // 3, densify_threshold=1e-7,
         )
         img = np.asarray(jax.device_get(render_q(fitted, held_out)))
@@ -688,13 +758,13 @@ def main() -> None:
         psnr = -10.0 * np.log10(max(mse, 1e-12))
         psnr0 = -10.0 * np.log10(max(mse0, 1e-12))
         assert 0.0 < psnr < 80.0, f"fit PSNR out of range: {psnr}"
-        assert psnr > psnr0 + 1.0, (
+        assert psnr > psnr0 + 3.0, (
             f"fit did not improve held-out PSNR: {psnr0:.2f} -> {psnr:.2f}"
         )
         R["fit_psnr_held_out_db"] = round(psnr, 2)
         R["fit_psnr_degraded_init_db"] = round(psnr0, 2)
 
-    H.step("fit_quality", 150, step_fit_quality)
+    H.step("fit_quality", 180, step_fit_quality)
 
     # ---- step 11: config 1 (oracle 10k @256^2) + config 2 (100k @720p) ----
     def step_small_configs():
@@ -705,9 +775,9 @@ def main() -> None:
             lambda p, k: model_points(scene, p, k, 10_000, pcfg, ocfg))(params, key)
         ocam = {k_: jnp.asarray(v)
                 for k_, v in spt.Camera(aspect=1.0).arrays().items()}
-        t_oracle, _ = time_fn(
+        t_oracle, _ = time_fn_sustained(
             jax.jit(lambda s, c: render_oracle(splat_screen_data(s, c, ocfg), ocfg)),
-            o_splats, ocam, warmup=1, iters=3,
+            o_splats, ocam, iters_short=2, iters_long=8, bursts=2, warmup=1,
         )
         R["oracle_10k_256_ms"] = round(t_oracle * 1e3, 3)
 
@@ -720,11 +790,11 @@ def main() -> None:
                   spt.Camera(aspect=1280 / 720).arrays().items()}
         d720 = jax.jit(lambda s, c: splat_screen_data(s, c, cfg720))(s100k, cam720)
         mb720 = _capacity_class(d720, cfg720)
-        t_720, _ = time_fn(
+        t_720, _ = time_fn_sustained(
             jax.jit(lambda s, c: render_tiles_pallas(
                 splat_screen_data(s, c, cfg720), None, cfg720, block=BLOCK,
                 max_blocks=mb720)),
-            s100k, cam720, warmup=2, iters=5,
+            s100k, cam720, iters_short=5, iters_long=20,
         )
         R["frame_720p_100k_ms"] = round(t_720 * 1e3, 3)
 
@@ -745,8 +815,8 @@ def main() -> None:
                                  "pallas", BLOCK, blend_max_blocks=mt,
                                  blend_kernel="tile")
 
-        t_sh, _ = time_fn_best(jax.jit(full_sh), splats, sh, camera,
-                               warmup=2, iters=5)
+        t_sh, _ = time_fn_sustained(jax.jit(full_sh), splats, sh, camera,
+                                    iters_short=5, iters_long=20)
         R["frame_ms_sh_deg3"] = round(t_sh * 1e3, 3)
 
         # fast profile, RETUNED to the current frontier (VERDICT r4 item
@@ -771,8 +841,9 @@ def main() -> None:
                                  blend_max_blocks=mtf, blend_kernel="tile",
                                  pair_class_caps=ccf)
 
-        t_fast, img_fast = time_fn_best(jax.jit(full_fast), splats, camera,
-                                        warmup=2, iters=5)
+        t_fast, img_fast = time_fn_sustained(
+            jax.jit(full_fast), splats, camera, iters_short=5,
+            iters_long=20)
         t_exact = R.get("frame_ms", 0.0) * 1e-3
         if t_exact and t_fast >= t_exact:
             # an approximation that loses to exact is an anti-feature —
@@ -824,23 +895,31 @@ def main() -> None:
         n_hi_s, n_mid_s = (int(x) for x in np.asarray(bsurf["class_counts"]))
         ccs = _class_caps(n_hi_s, n_mid_s, N_SPLATS, scfg.tiles_per_splat_cap)
 
-        def surface(p, c, k):
-            s = model_points(scene, p, k, N_SPLATS, pcfg, scfg)
+        # render-only from pre-modeled splats — the SAME convention as the
+        # alpha headline (full32(splats, camera)); the with-model variant
+        # (the full live-loop frame) is the secondary field.  BENCH_r04's
+        # 42.4 ms was the with-model form AND the un-optimized config, so
+        # the two rows below keep both comparisons honest.
+        def surface(s, c):
             return render_splats(s, c, scfg, "pallas", BLOCK,
                                  blend_max_blocks=mts, blend_kernel="tile",
                                  pair_class_caps=ccs, return_stats=True)
 
-        t_surf, (_, st_s) = time_fn_best(jax.jit(surface), params, camera,
-                                         key, warmup=2, iters=5)
+        t_surf, (_, st_s) = time_fn_sustained(
+            jax.jit(surface), ssurf, camera, iters_short=5, iters_long=20)
         if ccs is not None and bool(np.asarray(st_s["class_overflow"])):
-            t_surf, _ = time_fn_best(
-                jax.jit(lambda p, c, k: render_splats(
-                    model_points(scene, p, k, N_SPLATS, pcfg, scfg), c,
-                    scfg, "pallas", BLOCK, blend_max_blocks=mts,
-                    blend_kernel="tile")),
-                params, camera, key, warmup=2, iters=5)
             ccs = None
+            t_surf, _ = time_fn_sustained(
+                jax.jit(surface), ssurf, camera, iters_short=5,
+                iters_long=20)
+        t_surf_m, _ = time_fn_sustained(
+            jax.jit(lambda p, c, k: render_splats(
+                model_points(scene, p, k, N_SPLATS, pcfg, scfg), c, scfg,
+                "pallas", BLOCK, blend_max_blocks=mts, blend_kernel="tile",
+                pair_class_caps=ccs)),
+            params, camera, key, iters_short=5, iters_long=20)
         R["surface_opaque_frame_ms_1m"] = round(t_surf * 1e3, 3)
+        R["surface_opaque_with_model_ms_1m"] = round(t_surf_m * 1e3, 3)
         R["surface_opaque_class_caps"] = list(ccs) if ccs else []
 
     H.step("mv_surface", 150, step_mv_surface)
@@ -872,21 +951,53 @@ def main() -> None:
         from splat_renderer_tpu.render.pipeline import SplatEngine
         from splat_renderer_tpu.viewer.serve import make_server
 
+        from splat_renderer_tpu.utils.image import to_uint8_rows
+
         rcfg_v = spt.turbo_render_config(WIDTH, HEIGHT, base_radius=0.008,
                                          tiles_per_splat_cap=4)
-        eng = SplatEngine(S["splats"], rcfg_v)
+        # stats_every=8: the capacity-stats read is a full relay barrier
+        # per frame; a serving loop only needs it every few frames
+        eng = SplatEngine(S["splats"], rcfg_v, stats_every=8)
         vcam = spt.Camera(aspect=WIDTH / HEIGHT)
 
         def cam_arrays(az):
             vcam.azimuth = az
             return {k_: jnp.asarray(v) for k_, v in vcam.arrays().items()}
 
-        np.asarray(eng.frame(cam_arrays(0.0), jax.random.PRNGKey(0)))
-        t0 = time.perf_counter()
-        for i in range(20):
-            np.asarray(eng.frame(cam_arrays(0.3 + 0.01 * i),
-                                 jax.random.PRNGKey(i)))
-        engine_fps = 20 / (time.perf_counter() - t0)
+        # Comparators for the served rate:
+        #  - viewer_engine_fps: the engine's SUSTAINED render rate (no
+        #    readback) — what the render thread can produce;
+        #  - viewer_fetch_mb_s: device->host throughput on FRESH u8
+        #    frames (a repeat fetch of the same array hits jax's host
+        #    cache and reads tens of GB/s — measure distinct frames);
+        #  - viewer_transfer_ceiling_fps: fetch rate / frame bytes — the
+        #    transport bound no server design can beat.  Over the relay
+        #    this ceiling (~1-4 FPS at 6 MB/frame) is FAR below the
+        #    engine rate; on a local TPU host (PCIe GB/s) it is not.
+        # The served criterion is therefore served ≈ min(engine, ceiling),
+        # reported as viewer_served_over_achievable.
+        u8 = jax.jit(to_uint8_rows)
+        eng_frame = eng.frame  # includes the stats fetch (engine protocol)
+        np.asarray(u8(eng_frame(cam_arrays(0.0), jax.random.PRNGKey(0))))
+        t_eng, _ = time_fn_sustained(
+            lambda c, k: eng_frame(c, k), cam_arrays(0.1),
+            jax.random.PRNGKey(1), iters_short=3, iters_long=10, bursts=2,
+            warmup=1)
+        engine_fps = 1.0 / max(t_eng, 1e-9)
+        frames_u8 = [u8(eng_frame(cam_arrays(0.2 + 0.01 * i),
+                                  jax.random.PRNGKey(10 + i)))
+                     for i in range(3)]
+        jax.device_get(frames_u8[-1].ravel()[:1])  # ensure all complete
+        best_fetch = float("inf")
+        nbytes = frames_u8[0].size * frames_u8[0].dtype.itemsize
+        for fr in frames_u8:
+            t0 = time.perf_counter()
+            np.asarray(fr)
+            best_fetch = min(best_fetch, time.perf_counter() - t0)
+        fetch_mb_s = nbytes / 1e6 / max(best_fetch, 1e-9)
+        ceiling_fps = fetch_mb_s * 1e6 / nbytes
+        R["viewer_fetch_mb_s"] = round(fetch_mb_s, 2)
+        R["viewer_transfer_ceiling_fps"] = round(ceiling_fps, 2)
 
         # profile_stages=False: the HUD's one-off P1/P2/P3 stage compile
         # must not contend with the frames being timed (ADVICE r4 medium)
@@ -933,9 +1044,11 @@ def main() -> None:
             httpd.shutdown()
             if getattr(httpd, "render_loop", None):
                 httpd.render_loop.stop()
+        achievable = min(engine_fps, ceiling_fps)
         R["viewer_engine_fps"] = round(engine_fps, 2)
         R["viewer_served_fps"] = round(served_fps, 2)
-        R["viewer_served_over_engine"] = round(served_fps / engine_fps, 3)
+        R["viewer_served_over_achievable"] = round(
+            served_fps / max(achievable, 1e-9), 3)
 
     H.step("viewer_served", 120, step_viewer)
 
@@ -951,8 +1064,8 @@ def main() -> None:
             return render_splats(s, c, rcfg, "pallas", BLOCK,
                                  blend_max_blocks=mb)
 
-        t_flat, _ = time_fn_best(jax.jit(full_flat), splats, camera,
-                                 warmup=2, iters=5)
+        t_flat, _ = time_fn_sustained(jax.jit(full_flat), splats, camera,
+                                      iters_short=5, iters_long=20)
         R["frame_ms_flat_kernel"] = round(t_flat * 1e3, 3)
 
     H.step("flat_kernel", 90, step_flat_kernel)
@@ -978,10 +1091,14 @@ def main() -> None:
         "metric": "fps_1080p_1m_splats",
         "unit": "fps",
         **fields_now,
-        "timing_fps_metrics": "min_of_3_burst_means(iters=5)",
+        "timing_fps_metrics": (
+            "sustained_marginal(iters 5/20, min of 3 rounds) — cancels the"
+            " relay's ~26 ms per-burst barrier; frame_ms_burst5 keeps the"
+            " old burst-mean estimator for cross-round continuity"
+        ),
         "timing_stage_metrics": (
-            "fused_deltas=min_of_3_burst_means(iters=5); "
-            "isolated=mean_of_1_burst(iters=5)"
+            "interleaved sustained_marginal(5/20) deltas; per-dispatch cost"
+            " from relay_cost_model subtracted from P1"
         ),
         "budget_s": budget,
         "elapsed_s": round(H.elapsed(), 1),
@@ -1008,21 +1125,26 @@ def main() -> None:
 
 def _capture_score(rec: dict | None):
     """Ranking for inner captures: headline first, then FEWER failed or
-    skipped steps, then more fields — a capture whose targeted metrics
-    actually landed beats one that merely has the headline (VERDICT r4:
-    BENCH_r04 scored 'full healthy' while viewer_served had errored)."""
+    skipped steps, then calmer weather (lower measured barrier), then
+    more fields — a capture whose targeted metrics actually landed beats
+    one that merely has the headline (VERDICT r4: BENCH_r04 scored 'full
+    healthy' while viewer_served had errored)."""
     if rec is None:
-        return (-2, 0, -1)
+        return (-2, 0, 0, -1)
     degraded = len(rec.get("errors", {})) + len(rec.get("skipped", []))
-    return (1 if "value" in rec else 0, -degraded, len(rec))
+    barrier = rec.get("relay_barrier_ms", 0.0)
+    return (1 if "value" in rec else 0, -degraded, -barrier, len(rec))
 
 
 def _capture_healthy(rec: dict | None) -> bool:
     """A capture that stops the outer retry loop: headline present, no
-    hung step, and EVERY step ran clean (no errors, no budget skips)."""
+    hung step, EVERY step ran clean (no errors, no budget skips), and the
+    weather was sane (one run measured barrier 138 ms during a stall
+    window — its stage split was garbage; retry while budget remains)."""
     return (
         rec is not None and "value" in rec and "hung_step" not in rec
         and not rec.get("errors") and not rec.get("skipped")
+        and rec.get("relay_barrier_ms", 0.0) < 60.0
     )
 
 

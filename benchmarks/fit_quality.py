@@ -35,7 +35,11 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=5000)
     ap.add_argument("--res", type=int, default=128)
-    ap.add_argument("--views", type=int, default=4)
+    # 6+, not 3-4: geometry fits from a degraded cloud OVERFIT few views —
+    # measured on device (round 5): a 3-view clone+split fit DEGRADES
+    # held-out PSNR (22.9 -> 20.0) while train loss falls; 6 views with
+    # the same budget gain +9.3 dB.  Appearance-only fits are insensitive.
+    ap.add_argument("--views", type=int, default=6)
     ap.add_argument("--steps", type=int, default=80)
     ap.add_argument("--lr", type=float, default=5e-2)
     ap.add_argument("--method", default="tiles",
@@ -111,9 +115,11 @@ def main() -> None:
                    "cr", "cg", "cb")
         # one densify event at 1/3 of the fit (each event resets Adam, so
         # fewer, earlier events leave the optimizer room to exploit the new
-        # capacity); moderate geometry lr
+        # capacity); LOW geometry lr — 1e-2 diverges the held-out PSNR on
+        # device at these scales (round-5 sweep: 2e-3 converges)
         dk = dict(densify_every=max(args.steps // 3, 1),
                   densify_threshold=1e-7)
+        geo_lr = min(args.lr, 2e-3)
         regimes = [("none", dict()),
                    ("split_only", dict(clone_radius=0.0, **dk)),
                    ("clone_split", dict(**dk))]
@@ -122,7 +128,7 @@ def main() -> None:
             t0 = time.perf_counter()
             fitted, losses = fit.fit_splats(
                 degraded, fit_cams, targets, cfg, fields=gfields,
-                steps=args.steps, lr=min(args.lr, 1e-2),
+                steps=args.steps, lr=geo_lr,
                 method=args.method, **kw,
             )
             dt = time.perf_counter() - t0

@@ -89,15 +89,19 @@ def main() -> None:
 
     s16, mt16, mbw16, cc16 = setups["16"]
     s32, mt32, mbw32, cc32 = setups["32x16"]
+    only = os.environ.get("PROBE_VARIANTS", "")
     variants = [
         ("A flat nocc g128 ts16", (s16, "flat", mbw16, None, 128)),
         ("B tile nocc g256 ts16", (s16, "tile", mt16, None, 256)),
         ("C tile cc   g256 ts16", (s16, "tile", mt16, cc16, 256)),
         ("D tile cc   g256 32x16", (s32, "tile", mt32, cc32, 256)),
     ]
+    if only:
+        keep = set(only.split(","))
+        variants = [v for v in variants if v[0].split()[0] in keep]
     fns = []
     for name, (scfg, kern, mb, cc, group) in variants:
-        if cc is None and "cc" in name.split()[2]:
+        if cc is None and name.split()[2] == "cc":
             print(f"skip {name}: census says caps do not pay",
                   file=sys.stderr)
             continue

@@ -274,13 +274,16 @@ class Engine:
         compositor: str = "auto",
         cache_size: int = 8,
         blend_kernel: str = "tile",
+        stats_every: int = 1,
     ):
         self.scene = scene
         self.pcfg = pcfg
         self.rcfg = rcfg
         self.compositor = compositor
         self.blend_kernel = blend_kernel
+        self.stats_every = stats_every
         self._n = n
+        self._frame_i = -1
         self._cache: Dict[Tuple, Callable] = {}
         self._class: Dict[str, Optional[int]] = {}
         self._ccaps: Dict[str, Optional[Tuple[int, int]]] = {}
@@ -382,6 +385,22 @@ class Engine:
         mb = self._class.get(h)
         cc = self._ccaps.get(h)
         img, stats = self._fn(mb, cc)(*self._args(camera, key))
+        # Reading the stats pytree forces a device->host round trip — a
+        # full relay barrier (~26 ms measured) EVERY frame.  stats_every=k
+        # checks only every k-th steady-state frame (capacity drifts with
+        # camera motion, not per frame); frames whose check is skipped can
+        # at worst render overflowed tiles EMPTY for < k frames before the
+        # next check grows the class — the protocol's existing degradation
+        # mode, never garbage.  Checks always run while the class/caps are
+        # still unadopted so the first-frame protocol is unchanged.
+        self._frame_i += 1
+        # adopted-caps check by key presence: _class_caps may legitimately
+        # store None ("partition doesn't pay"), which is still adopted
+        settled = mb is not None and h in self._ccaps
+        if settled and self.stats_every > 1 and (
+            self._frame_i % self.stats_every
+        ):
+            return img
         if stats is not None and self._uses_pallas():
             used = int(stats["blocks_used"])
             if cc is not None and bool(stats.get("class_overflow", False)):
@@ -435,13 +454,16 @@ class SplatEngine(Engine):
         compositor: str = "auto",
         cache_size: int = 8,
         blend_kernel: str = "tile",
+        stats_every: int = 1,
     ):
         self.splats = splats
         self.sh = sh
         self.rcfg = rcfg
         self.compositor = compositor
         self.blend_kernel = blend_kernel
+        self.stats_every = stats_every
         self.scene = None
+        self._frame_i = -1
         self._cache: Dict[Tuple, Callable] = {}
         self._class: Dict[str, Optional[int]] = {}
         self._ccaps: Dict[str, Optional[Tuple[int, int]]] = {}

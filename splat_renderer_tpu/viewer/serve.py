@@ -41,7 +41,7 @@ import numpy as np
 
 from ..camera import Camera
 from ..render.pipeline import Engine
-from ..utils.image import to_uint8
+from ..utils.image import to_uint8_rows, unflatten_rows
 
 _PAGE = """<!doctype html>
 <html><head><title>splat_renderer_tpu</title><style>
@@ -127,6 +127,7 @@ class _RenderLoop:
         self._seq = 0
         self._stop = False
         self._thread = threading.Thread(target=self._run, daemon=True)
+        self._to_u8 = None  # jitted device-side u8 conversion (lazy)
         self.stage_ms = {}  # one-off device stage profile (filled lazily)
 
     def start(self):
@@ -193,7 +194,13 @@ class _RenderLoop:
             seq = self._seq + 1
             t0 = time.perf_counter()
             img = self.engine.frame(camera, jax.random.PRNGKey(seq))
-            arr = to_uint8(np.asarray(img))
+            # quantize ON DEVICE and fetch u8 flat rows: 4x less transfer
+            # than np.asarray on the f32 image — the fetch, not the
+            # render, bounds the served rate over the relay (round 5)
+            if self._to_u8 is None:
+                self._to_u8 = jax.jit(to_uint8_rows)
+            arr = unflatten_rows(np.asarray(self._to_u8(img)),
+                                 self.engine.rcfg.width)
             ms = (time.perf_counter() - t0) * 1e3
             # publish BEFORE the one-off stage profile: stage_profile jits
             # P1/P2/P3 over the relay (tens of seconds cold), and holding

@@ -185,6 +185,25 @@ class TestObservability:
             logger.removeHandler(h)
 
 
+class TestEngineStatsEvery:
+    def test_periodic_stats_check_keeps_protocol_and_images(self, key):
+        """stats_every=k must adopt the capacity class on the first frames
+        (checks always run until adoption) and render identical images to
+        the per-frame-check engine; skipped checks only defer overflow
+        detection by < k frames (documented degradation)."""
+        scene = _scene()
+        cfg = RenderConfig(width=32, height=32, base_radius=0.1)
+        pcfg = PointConfig(descent_steps=1)
+        cam = {k_: jnp.asarray(v) for k_, v in spt.Camera().arrays().items()}
+        e1 = Engine(scene, pcfg, cfg, n=128, compositor="tiles")
+        e4 = Engine(scene, pcfg, cfg, n=128, compositor="tiles",
+                    stats_every=4)
+        for i in range(5):
+            a = np.asarray(e1.frame(cam, jax.random.PRNGKey(i)))
+            b = np.asarray(e4.frame(cam, jax.random.PRNGKey(i)))
+            np.testing.assert_array_equal(a, b)
+
+
 class TestViewerHandler:
     def test_page_and_frame_over_http(self):
         """Drive the actual HTTP surface on an ephemeral port."""

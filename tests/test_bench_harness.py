@@ -123,4 +123,16 @@ class TestOuterCapturePolicy:
         assert not bench._capture_healthy(
             {"value": 40.0, "errors": {}, "skipped": [],
              "hung_step": "turbo"})
+        # foul-weather capture: a stalled round inflated the measured
+        # barrier — stage splits untrustworthy, retry for a calm window
+        assert not bench._capture_healthy(
+            {"value": 40.0, "errors": {}, "skipped": [],
+             "relay_barrier_ms": 137.96})
         assert not bench._capture_healthy(None)
+
+    def test_score_prefers_calm_weather(self, bench):
+        calm = {"value": 50.0, "errors": {}, "skipped": [],
+                "relay_barrier_ms": 28.0}
+        stormy = {"value": 50.0, "errors": {}, "skipped": [],
+                  "relay_barrier_ms": 137.9, "extra": 1}
+        assert bench._capture_score(calm) > bench._capture_score(stormy)
