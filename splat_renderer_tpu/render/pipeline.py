@@ -504,12 +504,19 @@ class SplatEngine(Engine):
 
 
 def _class_caps(
-    n_hi: int, n_mid: int, n: int, cap: int, headroom: float = 1.25
+    n_hi: int, n_mid: int, n: int, cap: int, headroom: float = 1.15
 ) -> Optional[Tuple[int, int]]:
     """Size the binner's (C4, C2) footprint-class capacities from the census
     (1024-granular, with headroom), or None when the class partition would
     not shrink the pair-sort input enough to pay for its extra N-scale sort
-    (needs roughly a 25%+ cut)."""
+    (needs roughly a 25%+ cut).
+
+    headroom 1.15 (round 5, was 1.25): every slack slot costs pair-sort
+    rows whose payload movement is ~1.35-1.85 ms/column per 2.45M rows
+    (probe_bin_r5 + the sort-output probes in NOTES) — the tighter margin
+    measures -0.33 ms on the headline.  Camera-motion census drift beyond
+    it trips class_overflow, which the Engine already handles by one safe
+    re-render + fresh caps (the same protocol as blend-capacity growth)."""
     c4 = _capacity_class(n_hi, headroom)
     c2 = _capacity_class(n_mid - n_hi, headroom)
     if c4 + c2 > n:
