@@ -1035,11 +1035,37 @@ def main() -> None:
             # engine's adopted capacity class) before any timed request
             seq = fetch(0.5, 0)
             seq = fetch(0.505, seq)
-            t0 = time.perf_counter()
+            # TWO concurrent request workers (pipeline depth 2): a single-
+            # inflight client serializes render with the fetch, capping
+            # served at 1/(render+fetch); with one request in flight while
+            # the other's transfer streams, the server's render/transfer
+            # threads overlap and served approaches the transfer ceiling
             frames = 30
-            for i in range(frames):
-                seq = fetch(0.51 + 0.005 * (i + 1), seq, budget_s=60.0)
-            served_fps = frames / (time.perf_counter() - t0)
+            shared = {"seq": seq, "az": 0.51}
+            got_seqs: set = set()
+            lk = threading.Lock()
+
+            def worker(n):
+                for _ in range(n):
+                    with lk:
+                        shared["az"] += 0.005
+                        az, s = shared["az"], shared["seq"]
+                    s2 = fetch(az, s, budget_s=60.0)
+                    with lk:
+                        shared["seq"] = max(shared["seq"], s2)
+                        got_seqs.add(s2)
+
+            t0 = time.perf_counter()
+            ws = [threading.Thread(target=worker, args=(frames // 2,))
+                  for _ in range(2)]
+            for w_ in ws:
+                w_.start()
+            for w_ in ws:
+                w_.join()
+            # DISTINCT frames only: with latest-wins, two concurrent
+            # requests can legitimately receive the same frame — counting
+            # responses would overstate the stream rate
+            served_fps = len(got_seqs) / (time.perf_counter() - t0)
         finally:
             httpd.shutdown()
             if getattr(httpd, "render_loop", None):

@@ -52,12 +52,16 @@ canvas { width:100vw; height:100vh; object-fit:contain; display:block; cursor:gr
 </style></head><body>
 <canvas id="v" width="__W__" height="__H__"></canvas><div id="hud"></div>
 <script>
-let az = 0.5, el = 0.5, dist = 3.0, px = 0, py = 0;
+let az = 0.5, el = 0.5, dist = 3.0, px = 0, py = 0, half = 0;
 let t0 = performance.now(), seq = 0, frames = 0, fpsT = performance.now(), fps = 0;
 const animate = __ANIMATE__;
 const cv = document.getElementById('v'), hud = document.getElementById('hud');
 const ctx = cv.getContext('2d');
 const W = cv.width, H = cv.height;
+const off = document.createElement('canvas'), offctx = off.getContext('2d');
+// 'h' toggles half-res serving: the frame is 2x2-pooled ON DEVICE, so the
+// wire carries 4x fewer bytes — the knob for remote/tunneled links
+window.onkeydown = e => { if (e.key === 'h') { half = 1 - half; dirty = true; } };
 const clamp = (x, a, b) => Math.max(a, Math.min(b, x));
 let drag = null, panning = false, dirty = true;
 // left drag rotates; middle/right drag pans (src/OrbitCameraController.ts:41-53)
@@ -85,15 +89,19 @@ async function loop() {
     if (!dirty && !animate) { await new Promise(r => setTimeout(r, 8)); continue; }
     dirty = false;
     const t = (performance.now() - t0) / 1000;
-    const r = await fetch(`/frame?az=${az}&el=${el}&d=${dist}&px=${px}&py=${py}&t=${t}&seq=${seq}&raw=1`);
+    const r = await fetch(`/frame?az=${az}&el=${el}&d=${dist}&px=${px}&py=${py}&t=${t}&seq=${seq}&raw=1&half=${half}`);
     seq = parseInt(r.headers.get('x-seq') || '0');
     const ms = r.headers.get('x-render-ms'), stages = r.headers.get('x-stage-ms') || '';
+    const fw = parseInt(r.headers.get('x-w') || W), fh = parseInt(r.headers.get('x-h') || H);
     const buf = new Uint8Array(await r.arrayBuffer());
-    const id = ctx.createImageData(W, H);
+    const id = offctx.createImageData(fw, fh);
     for (let i = 0, j = 0; i < buf.length; i += 3, j += 4) {
       id.data[j] = buf[i]; id.data[j+1] = buf[i+1]; id.data[j+2] = buf[i+2]; id.data[j+3] = 255;
     }
-    ctx.putImageData(id, 0, 0);
+    off.width = fw; off.height = fh;
+    offctx.putImageData(id, 0, 0);
+    if (fw === W && fh === H) { ctx.drawImage(off, 0, 0); }
+    else { ctx.imageSmoothingEnabled = true; ctx.drawImage(off, 0, 0, W, H); }
     frames++;
     const now = performance.now();
     if (now - fpsT > 500) { fps = frames * 1000 / (now - fpsT); frames = 0; fpsT = now; }
@@ -120,18 +128,26 @@ class _RenderLoop:
         self.engine = engine
         self.animate = animate
         self.profile_stages = profile_stages
+        self.half = False  # serve 2x2-pooled half-res frames (remote links)
         self._cv = threading.Condition()
         self._desired = None
         self._rendered_state = None
+        self._dev_frame = None  # (seq, device u8 (H, W*3), width, ms)
         self._frame = None  # (seq, np.uint8 (H, W, 3), render_ms)
         self._seq = 0
         self._stop = False
         self._thread = threading.Thread(target=self._run, daemon=True)
+        # dedicated transfer thread: fetches the NEWEST device frame to
+        # host while the render thread produces the next one — the serve
+        # cycle becomes max(render, fetch) instead of their sum (the
+        # fetch, ~90-750 ms for 6 MB over the relay, dominates; round 5)
+        self._xthread = threading.Thread(target=self._xfer, daemon=True)
         self._to_u8 = None  # jitted device-side u8 conversion (lazy)
         self.stage_ms = {}  # one-off device stage profile (filled lazily)
 
     def start(self):
         self._thread.start()
+        self._xthread.start()
         return self
 
     def stop(self):
@@ -139,6 +155,7 @@ class _RenderLoop:
             self._stop = True
             self._cv.notify_all()
         self._thread.join(timeout=5)
+        self._xthread.join(timeout=5)
 
     def request(self, state: tuple):
         with self._cv:
@@ -153,7 +170,8 @@ class _RenderLoop:
             while not (
                 self._frame is not None
                 and (self._frame[0] > min_seq
-                     or self._rendered_state == state)
+                     or (self._rendered_state == state
+                         and self._frame[0] == self._seq))
             ):
                 rem = deadline - time.monotonic()
                 if rem <= 0 or self._stop:
@@ -162,7 +180,7 @@ class _RenderLoop:
             return self._frame
 
     def _camera_arrays(self, state):
-        az, el, dist, px, py, t = state
+        az, el, dist, px, py, t = state[:6]
         cam = Camera(aspect=self.engine.rcfg.width / self.engine.rcfg.height)
         cam.azimuth = az
         cam.elevation = float(np.clip(el, -cam.MAX_ELEVATION,
@@ -196,11 +214,24 @@ class _RenderLoop:
             img = self.engine.frame(camera, jax.random.PRNGKey(seq))
             # quantize ON DEVICE and fetch u8 flat rows: 4x less transfer
             # than np.asarray on the f32 image — the fetch, not the
-            # render, bounds the served rate over the relay (round 5)
+            # render, bounds the served rate over the relay (round 5).
+            # half mode 2x2-average-pools on device first (another 4x off
+            # the wire — the knob for tunneled links; toggle 'h' in the
+            # browser page or pass half=1 on /frame)
+            half = bool(state[6]) if len(state) > 6 else self.half
             if self._to_u8 is None:
-                self._to_u8 = jax.jit(to_uint8_rows)
-            arr = unflatten_rows(np.asarray(self._to_u8(img)),
-                                 self.engine.rcfg.width)
+                fullfn = jax.jit(to_uint8_rows)
+
+                def halffn(x):
+                    p = 0.25 * (x[0::2, 0::2] + x[1::2, 0::2]
+                                + x[0::2, 1::2] + x[1::2, 1::2])
+                    return to_uint8_rows(p)
+
+                self._to_u8 = {False: fullfn, True: jax.jit(halffn)}
+            w = self.engine.rcfg.width // (2 if half else 1)
+            # publish the DEVICE u8 array; the transfer thread fetches it
+            # while this thread renders the next frame (see _xfer)
+            arr_dev = self._to_u8[half](img)
             ms = (time.perf_counter() - t0) * 1e3
             # publish BEFORE the one-off stage profile: stage_profile jits
             # P1/P2/P3 over the relay (tens of seconds cold), and holding
@@ -209,7 +240,7 @@ class _RenderLoop:
             # (ADVICE r4 medium; the bench step additionally retries 503s)
             with self._cv:
                 self._seq = seq
-                self._frame = (seq, arr, ms)
+                self._dev_frame = (seq, arr_dev, w, ms)
                 self._rendered_state = state
                 self._cv.notify_all()
             if self.profile_stages and not self.stage_ms:
@@ -218,6 +249,28 @@ class _RenderLoop:
                         camera, jax.random.PRNGKey(0)) or {"n/a": 0.0}
                 except Exception:
                     self.stage_ms = {"n/a": 0.0}
+
+    def _xfer(self):
+        """Transfer thread: device->host fetch of the newest rendered
+        frame, pipelined against the render thread.  Stale device frames
+        are skipped (latest-wins at the transfer stage too)."""
+        last = 0
+        while True:
+            with self._cv:
+                while not self._stop and (
+                    self._dev_frame is None or self._dev_frame[0] <= last
+                ):
+                    self._cv.wait()
+                if self._stop:
+                    return
+                seq, arr_dev, w, ms = self._dev_frame
+            arr = unflatten_rows(np.asarray(arr_dev), w)  # outside the lock
+            last = seq
+            with self._cv:
+                # keep only the newest host frame (a newer transfer can't
+                # overtake us — this is the only writer of _frame)
+                self._frame = (seq, arr, ms)
+                self._cv.notify_all()
 
 
 def make_server(
@@ -268,7 +321,8 @@ def make_server(
                 return float(q.get(name, [default])[0])
 
             state = (f("az", 0.5), f("el", 0.5), f("d", 3.0),
-                     f("px", 0.0), f("py", 0.0), f("t", 0.0))
+                     f("px", 0.0), f("py", 0.0), f("t", 0.0),
+                     q.get("half", ["0"])[0] == "1")
             min_seq = int(f("seq", 0))
             raw = q.get("raw", ["0"])[0] == "1"
             loop.request(state)
@@ -293,6 +347,9 @@ def make_server(
             self.send_header("Content-Type", ctype)
             self.send_header("Content-Length", str(len(body)))
             self.send_header("X-Seq", str(seq))
+            # actual served frame geometry (half mode pools 2x2 on device)
+            self.send_header("X-W", str(arr.shape[1]))
+            self.send_header("X-H", str(arr.shape[0]))
             self.send_header("X-Render-Ms", f"{ms:.1f}")
             self.send_header(
                 "X-Stage-Ms",

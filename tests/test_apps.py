@@ -230,6 +230,16 @@ class TestViewerHandler:
         png = r.read()
         assert png[:8] == b"\x89PNG\r\n\x1a\n"
         assert "X-Render-Ms".lower() in {k.lower() for k in r.headers.keys()}
+        # half mode: 2x2-pooled ON DEVICE -> quarter the wire bytes, with
+        # the served geometry reported in headers (seq-chained: latest-wins
+        # would otherwise serve the existing full-res frame)
+        prev_seq = int(r.headers.get("x-seq", "0"))
+        r2 = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/frame?az=0.6&seq={prev_seq}&raw=1&half=1"
+        )
+        body = r2.read()
+        assert int(r2.headers["x-w"]) == 16 and int(r2.headers["x-h"]) == 16
+        assert len(body) == 16 * 16 * 3
 
     def test_first_frame_published_before_stage_profile(self):
         """The render loop must publish its FIRST frame before running the
@@ -270,7 +280,8 @@ class TestViewerHandler:
             assert dt < eng.profile_s, (
                 f"first frame held back {dt:.1f}s — behind the profile"
             )
-            assert got[0] == 1 and np.asarray(got[1]).shape == (16, 16, 3)
+            assert got[0] == 1
+            assert np.asarray(got[1]).shape == (16, 16, 3)
         finally:
             loop.stop()
 
