@@ -87,6 +87,19 @@ from splat_renderer_tpu.utils.timing import (
 N_SPLATS = 1_000_000
 WIDTH, HEIGHT = 1920, 1080
 BLOCK = 1024
+# any sustained marginal below this is a weather-corrupted measurement,
+# not a number — mark it, never publish 0.0 (VERDICT r4 item 4's rule,
+# applied to EVERY scoreboard field)
+FLOOR_MS = 0.15
+
+
+def _emit_ms(R: dict, key: str, seconds: float) -> bool:
+    """Publish a sustained-marginal metric, or mark it below-floor."""
+    if seconds * 1e3 >= FLOOR_MS:
+        R[key] = round(seconds * 1e3, 3)
+        return True
+    R.setdefault("below_floor", []).append(key)
+    return False
 
 
 def _demo_scene():
@@ -265,7 +278,7 @@ def main() -> None:
         t_model, splats = time_fn_sustained(model_j, params, key,
                                             iters_short=5, iters_long=20)
         S["splats"] = splats
-        R["model_stage_ms"] = round(t_model * 1e3, 3)
+        _emit_ms(R, "model_stage_ms", t_model)
 
     H.step("model_1m", 90, step_model)
 
@@ -301,7 +314,8 @@ def main() -> None:
             fj, splats, camera, iters_short=5, iters_long=20, bursts=3,
         )
         t_b5, _ = time_fn_best(fj, splats, camera, warmup=0, iters=5)
-        overflow = bool(np.asarray(st_best["class_overflow"]))
+        overflow = cc32 is not None and bool(
+            np.asarray(st_best["class_overflow"]))
         if overflow:
             # census drifted: the partitioned frame dropped pairs — its
             # timing is not an exact-frame number.  Re-time unpartitioned.
@@ -312,6 +326,12 @@ def main() -> None:
             )
             t_b5, _ = time_fn_best(fj, splats, camera, warmup=0, iters=5)
         S["cc32"], S["img_best"] = cc32, img_best
+        if t_sus <= 0.0:
+            # a ~19 ms frame can only marginal to <= 0 when weather
+            # corrupted the measurement — error the step (retry) rather
+            # than publish an infinite-FPS headline
+            raise RuntimeError("headline sustained marginal clamped to 0 "
+                               "(weather-corrupted bursts)")
         fps = 1.0 / t_sus
         R.update({
             "value": round(fps, 3),
@@ -320,7 +340,8 @@ def main() -> None:
             "frame_ms": round(t_sus * 1e3, 3),
             "frame_ms_burst5": round(t_b5 * 1e3, 3),
             "headline_tile": "32x16",
-            "headline_class_caps": [] if overflow else list(cc32),
+            "headline_class_caps":
+                list(cc32) if (cc32 is not None and not overflow) else [],
             "headline_class_overflow": overflow,
         })
 
@@ -428,8 +449,8 @@ def main() -> None:
         t_turbo, img_turbo = time_fn_sustained(
             jax.jit(full_turbo), splats, camera, iters_short=5,
             iters_long=20, bursts=3)
-        R["frame_ms_turbo"] = round(t_turbo * 1e3, 3)
-        R["fps_turbo"] = round(1.0 / t_turbo, 2)
+        if _emit_ms(R, "frame_ms_turbo", t_turbo):
+            R["fps_turbo"] = round(1.0 / t_turbo, 2)
         R["ssim_turbo_vs_exact"] = round(quality_gate(
             jax.device_get(img_turbo), jax.device_get(S["img_best"])), 5)
 
@@ -504,10 +525,10 @@ def main() -> None:
             ("project_ms", t_project), ("sort_ms", t_sort),
             ("bin_ms", t_bin), ("blend_ms", t_blend))
             if t * 1e3 >= 0.15})
+        _emit_ms(R, "frame_ms_ts16", t_full)
         R.update({
             "blend_blocks_used": blocks_used,
             "blend_capacity_class": mb,
-            "frame_ms_ts16": round(t_full * 1e3, 3),
             # the 32x16 headline shares ts=16's r grid (r_cap follows the
             # smaller tile extent), so only footprint-cap clamping can
             # differ; still self-gated against ITS OWN oracle on device
@@ -539,6 +560,8 @@ def main() -> None:
                                         iters=(10, 40))
         if t_120 > 0.0:
             R["frame_120k_1080p_ms"] = round(t_120 * 1e3, 3)
+            R["frame_120k_minus_dispatch_ms"] = round(
+                max(t_120 - t_disp, 0.0) * 1e3, 3)
         else:
             # below the marginal method's floor — publish the burst-mean
             # UPPER BOUND instead of an impossible 0.0
@@ -568,8 +591,6 @@ def main() -> None:
         # cost (dispatch_overhead_ms) the estimate excludes — the
         # device-only equivalent is frame - dispatch.
         R["ref_120k_gpu_estimate_ms"] = 5.8
-        R["frame_120k_minus_dispatch_ms"] = round(
-            max(t_120 - t_disp, 0.0) * 1e3, 3)
 
     H.step("ref_120k", 120, step_120k)
 
@@ -589,7 +610,7 @@ def main() -> None:
         )
         if not np.isfinite(np.asarray(jax.device_get(img10))).all():
             raise ValueError("10M stress frame has non-finite pixels")
-        R["stress_10m_ms"] = round(t_10m * 1e3, 3)
+        _emit_ms(R, "stress_10m_ms", t_10m)
 
     H.step("stress_10m", 150, step_10m)
 
@@ -611,7 +632,7 @@ def main() -> None:
         anim_j = jax.jit(animated)
         t_anim, _ = time_fn_sustained(anim_j, params, camera, key,
                                       iters_short=5, iters_long=20, bursts=3)
-        R["animated_frame_ms_500k"] = round(t_anim * 1e3, 3)
+        _emit_ms(R, "animated_frame_ms_500k", t_anim)
 
         # the honest 120-frame sequence: animate primitive params + orbit
         # the camera every frame, host loop included (BASELINE config 4)
@@ -693,7 +714,7 @@ def main() -> None:
 
         t_fit, _ = time_fn_sustained(fit_step, ftheta, fs, ftarget,
                                      iters_short=3, iters_long=12, warmup=1)
-        R["fit_step_200k_512_ms"] = round(t_fit * 1e3, 3)
+        _emit_ms(R, "fit_step_200k_512_ms", t_fit)
 
     H.step("fit_step", 120, step_fit)
 
@@ -779,7 +800,7 @@ def main() -> None:
             jax.jit(lambda s, c: render_oracle(splat_screen_data(s, c, ocfg), ocfg)),
             o_splats, ocam, iters_short=2, iters_long=8, bursts=2, warmup=1,
         )
-        R["oracle_10k_256_ms"] = round(t_oracle * 1e3, 3)
+        _emit_ms(R, "oracle_10k_256_ms", t_oracle)
 
         cfg720 = RenderConfig(width=1280, height=720, base_radius=0.02,
                               tiles_per_splat_cap=4)
@@ -796,7 +817,7 @@ def main() -> None:
                 max_blocks=mb720)),
             s100k, cam720, iters_short=5, iters_long=20,
         )
-        R["frame_720p_100k_ms"] = round(t_720 * 1e3, 3)
+        _emit_ms(R, "frame_720p_100k_ms", t_720)
 
     H.step("small_configs", 120, step_small_configs)
 
@@ -817,7 +838,7 @@ def main() -> None:
 
         t_sh, _ = time_fn_sustained(jax.jit(full_sh), splats, sh, camera,
                                     iters_short=5, iters_long=20)
-        R["frame_ms_sh_deg3"] = round(t_sh * 1e3, 3)
+        _emit_ms(R, "frame_ms_sh_deg3", t_sh)
 
         # fast profile, RETUNED to the current frontier (VERDICT r4 item
         # 5): 32x16 tiles + class caps + the margin-1.3 support cut.  The
@@ -845,6 +866,9 @@ def main() -> None:
             jax.jit(full_fast), splats, camera, iters_short=5,
             iters_long=20)
         t_exact = R.get("frame_ms", 0.0) * 1e-3
+        if t_fast * 1e3 < FLOOR_MS:
+            R.setdefault("below_floor", []).append("frame_ms_fast")
+            return
         if t_exact and t_fast >= t_exact:
             # an approximation that loses to exact is an anti-feature —
             # keep it off the scoreboard (VERDICT r4 item 5)
@@ -918,8 +942,8 @@ def main() -> None:
                 "pallas", BLOCK, blend_max_blocks=mts, blend_kernel="tile",
                 pair_class_caps=ccs)),
             params, camera, key, iters_short=5, iters_long=20)
-        R["surface_opaque_frame_ms_1m"] = round(t_surf * 1e3, 3)
-        R["surface_opaque_with_model_ms_1m"] = round(t_surf_m * 1e3, 3)
+        _emit_ms(R, "surface_opaque_frame_ms_1m", t_surf)
+        _emit_ms(R, "surface_opaque_with_model_ms_1m", t_surf_m)
         R["surface_opaque_class_caps"] = list(ccs) if ccs else []
 
     H.step("mv_surface", 150, step_mv_surface)
@@ -1045,15 +1069,21 @@ def main() -> None:
             got_seqs: set = set()
             lk = threading.Lock()
 
+            worker_errs: list = []
+
             def worker(n):
-                for _ in range(n):
-                    with lk:
-                        shared["az"] += 0.005
-                        az, s = shared["az"], shared["seq"]
-                    s2 = fetch(az, s, budget_s=60.0)
-                    with lk:
-                        shared["seq"] = max(shared["seq"], s2)
-                        got_seqs.add(s2)
+                try:
+                    for _ in range(n):
+                        with lk:
+                            shared["az"] += 0.005
+                            az, s = shared["az"], shared["seq"]
+                        s2 = fetch(az, s, budget_s=60.0)
+                        with lk:
+                            shared["seq"] = max(shared["seq"], s2)
+                            got_seqs.add(s2)
+                except Exception as e:  # surfaced after join — a dead
+                    worker_errs.append(e)  # worker must FAIL the step,
+                    # never deflate served_fps silently
 
             t0 = time.perf_counter()
             ws = [threading.Thread(target=worker, args=(frames // 2,))
@@ -1062,6 +1092,10 @@ def main() -> None:
                 w_.start()
             for w_ in ws:
                 w_.join()
+            if worker_errs:
+                raise worker_errs[0]
+            if not got_seqs:
+                raise RuntimeError("viewer workers fetched no frames")
             # DISTINCT frames only: with latest-wins, two concurrent
             # requests can legitimately receive the same frame — counting
             # responses would overstate the stream rate
@@ -1092,7 +1126,7 @@ def main() -> None:
 
         t_flat, _ = time_fn_sustained(jax.jit(full_flat), splats, camera,
                                       iters_short=5, iters_long=20)
-        R["frame_ms_flat_kernel"] = round(t_flat * 1e3, 3)
+        _emit_ms(R, "frame_ms_flat_kernel", t_flat)
 
     H.step("flat_kernel", 90, step_flat_kernel)
 
@@ -1107,12 +1141,18 @@ def main() -> None:
         except RuntimeError:
             time.sleep(0.1)
     if fields_now is None:
-        # all 5 snapshots raced a mutating abandoned thread: list() the
-        # keys first (an atomic snapshot) so SOME JSON always goes out —
-        # emitting nothing is the exact failure the harness exists to
-        # prevent (ADVICE r4)
-        keys = list(R)
-        fields_now = {k: R[k] for k in keys if k in R}
+        # all 5 snapshots raced a mutating abandoned thread; keep trying
+        # longer (list(R)/dict(R) can BOTH raise under concurrent writes
+        # — neither is atomic), and if the dict never settles emit a
+        # marker record: SOME JSON always goes out (ADVICE r4)
+        for _ in range(50):
+            try:
+                fields_now = dict(R)
+                break
+            except RuntimeError:
+                time.sleep(0.05)
+        else:
+            fields_now = {"snapshot_failed": True}
     result = {
         "metric": "fps_1080p_1m_splats",
         "unit": "fps",

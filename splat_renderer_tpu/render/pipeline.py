@@ -264,6 +264,12 @@ class Engine:
     """
 
     CLASS_HEADROOM = 1.25
+    # pair-cap headroom is TIGHTER than the blend-capacity headroom: every
+    # slack pair slot costs sort payload movement (~1.5-1.9 ms/column per
+    # 2.45M rows, NOTES round 5), while a blend-capacity slot costs only
+    # ~0.3 us of skipped grid step — and pair-cap overflow has the same
+    # safe re-render protocol
+    PAIR_CAP_HEADROOM = 1.15
 
     def __init__(
         self,
@@ -388,11 +394,13 @@ class Engine:
         # Reading the stats pytree forces a device->host round trip — a
         # full relay barrier (~26 ms measured) EVERY frame.  stats_every=k
         # checks only every k-th steady-state frame (capacity drifts with
-        # camera motion, not per frame); frames whose check is skipped can
-        # at worst render overflowed tiles EMPTY for < k frames before the
-        # next check grows the class — the protocol's existing degradation
-        # mode, never garbage.  Checks always run while the class/caps are
-        # still unadopted so the first-frame protocol is unchanged.
+        # camera motion, not per frame).  Degradation while a check is
+        # skipped, for < k frames until the next check recovers: blend-
+        # capacity overflow renders the affected tiles EMPTY; pair-class
+        # overflow renders the SPILLED records with shrunk (center-tile)
+        # footprints — visible but bounded artifacts, never garbage
+        # values.  Checks always run while the class/caps are still
+        # unadopted so the first-frame protocol is unchanged.
         self._frame_i += 1
         # adopted-caps check by key presence: _class_caps may legitimately
         # store None ("partition doesn't pay"), which is still adopted
@@ -424,7 +432,7 @@ class Engine:
                 n_hi, n_mid = (int(x) for x in stats["class_counts"])
                 self._ccaps[h] = _class_caps(
                     n_hi, n_mid, self.n,
-                    self.rcfg.tiles_per_splat_cap, self.CLASS_HEADROOM,
+                    self.rcfg.tiles_per_splat_cap, self.PAIR_CAP_HEADROOM,
                 )
         return img
 

@@ -223,6 +223,12 @@ class _RenderLoop:
                 fullfn = jax.jit(to_uint8_rows)
 
                 def halffn(x):
+                    # crop to even dims first: odd H/W would give the
+                    # four phase slices mismatched shapes and kill the
+                    # render thread at trace time (every later request
+                    # would 503)
+                    he, we = x.shape[0] // 2 * 2, x.shape[1] // 2 * 2
+                    x = x[:he, :we]
                     p = 0.25 * (x[0::2, 0::2] + x[1::2, 0::2]
                                 + x[0::2, 1::2] + x[1::2, 1::2])
                     return to_uint8_rows(p)

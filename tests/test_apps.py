@@ -185,23 +185,94 @@ class TestObservability:
             logger.removeHandler(h)
 
 
+class _CountingStat:
+    """Stands in for a device scalar in the Engine's stats pytree: every
+    host conversion (the barrier we're counting) increments `reads`."""
+
+    def __init__(self, value, counter):
+        self.value = value
+        self.counter = counter
+
+    def __int__(self):
+        self.counter["reads"] += 1
+        return int(self.value)
+
+    def __bool__(self):
+        self.counter["reads"] += 1
+        return bool(self.value)
+
+
+class _StubPallasEngine(Engine):
+    """Engine with the jitted frame stubbed out: frame() runs the REAL
+    adoption/skip logic against counting stats, so the stats_every test
+    exercises the actual code path (a compositor='tiles' engine returns
+    stats=None and never adopts — a vacuous test)."""
+
+    def __init__(self, stats_every=1):
+        self.stats_every = stats_every
+        self.compositor = "pallas"
+        self.blend_kernel = "tile"
+        self.rcfg = RenderConfig(width=32, height=32)
+        self._n = 128
+        self._frame_i = -1
+        self._cache = {}
+        self._class = {}
+        self._ccaps = {}
+        self._cache_size = 8
+        self.counter = {"reads": 0, "frames": 0}
+
+    def _uses_pallas(self):
+        return True
+
+    def _key(self):
+        return "stub"
+
+    def _args(self, camera, key):
+        return ()
+
+    def _fn(self, mb, cc):
+        def fn():
+            self.counter["frames"] += 1
+            img = jnp.zeros((32, 32, 3), jnp.float32)
+            c = self.counter
+            stats = {
+                "blocks_used": _CountingStat(5, c),
+                "class_counts": [_CountingStat(1, c), _CountingStat(2, c)],
+                "class_overflow": _CountingStat(False, c),
+            }
+            return img, stats
+
+        return fn
+
+
 class TestEngineStatsEvery:
-    def test_periodic_stats_check_keeps_protocol_and_images(self, key):
-        """stats_every=k must adopt the capacity class on the first frames
-        (checks always run until adoption) and render identical images to
-        the per-frame-check engine; skipped checks only defer overflow
-        detection by < k frames (documented degradation)."""
-        scene = _scene()
-        cfg = RenderConfig(width=32, height=32, base_radius=0.1)
-        pcfg = PointConfig(descent_steps=1)
-        cam = {k_: jnp.asarray(v) for k_, v in spt.Camera().arrays().items()}
-        e1 = Engine(scene, pcfg, cfg, n=128, compositor="tiles")
-        e4 = Engine(scene, pcfg, cfg, n=128, compositor="tiles",
-                    stats_every=4)
-        for i in range(5):
-            a = np.asarray(e1.frame(cam, jax.random.PRNGKey(i)))
-            b = np.asarray(e4.frame(cam, jax.random.PRNGKey(i)))
-            np.testing.assert_array_equal(a, b)
+    def test_periodic_stats_check_skips_host_reads(self):
+        """stats_every=k: the first frames (class/caps unadopted) always
+        check; once settled, only every k-th frame touches the stats
+        pytree (each touch is a device->host barrier on the real relay)."""
+        eng = _StubPallasEngine(stats_every=4)
+        eng.frame(None, None)  # frame 0: adopts class + caps (reads > 0)
+        assert eng._class.get("stub") is not None
+        assert "stub" in eng._ccaps
+        settled_reads_start = eng.counter["reads"]
+        assert settled_reads_start > 0
+        # frames 1..7: settled — only frame 4 (i % 4 == 0) may read stats
+        reads_per_frame = []
+        for i in range(1, 8):
+            before = eng.counter["reads"]
+            eng.frame(None, None)
+            reads_per_frame.append(eng.counter["reads"] - before)
+        assert [r > 0 for r in reads_per_frame] == [
+            False, False, False, True, False, False, False
+        ], reads_per_frame
+
+    def test_stats_every_one_checks_every_frame(self):
+        eng = _StubPallasEngine(stats_every=1)
+        for _ in range(4):
+            eng.frame(None, None)
+        assert eng.counter["frames"] == 4
+        # every frame read at least the blocks_used scalar
+        assert eng.counter["reads"] >= 4
 
 
 class TestViewerHandler:
