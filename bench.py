@@ -93,9 +93,11 @@ BLOCK = 1024
 FLOOR_MS = 0.15
 
 
-def _emit_ms(R: dict, key: str, seconds: float) -> bool:
-    """Publish a sustained-marginal metric, or mark it below-floor."""
-    if seconds * 1e3 >= FLOOR_MS:
+def _emit_ms(R: dict, key: str, seconds: float,
+             floor_ms: float = FLOOR_MS) -> bool:
+    """Publish a sustained-marginal metric, or mark it in the single
+    shared `below_floor` list (one shape for every sub-floor field)."""
+    if seconds * 1e3 >= floor_ms:
         R[key] = round(seconds * 1e3, 3)
         return True
     R.setdefault("below_floor", []).append(key)
@@ -413,13 +415,10 @@ def main() -> None:
             "stage_bin_ms": round(b * 1e3, 3),
             "stage_blend_ms": round(bl * 1e3, 3),
         })
-        if p * 1e3 >= 0.1:
-            R["stage_project_ms"] = round(p * 1e3, 3)
-        else:
-            # the project stage FUSES completely (measured ~0.06 ms; the
-            # 3.455 BENCH_r04 published was estimator artifact) — below
-            # the marginal method's floor, marked instead of a fake 0.0
-            R["stage_project_below_floor"] = True
+        # the project stage FUSES completely (measured ~0.06 ms; the
+        # 3.455 BENCH_r04 published was estimator artifact) — it usually
+        # lands in below_floor rather than as a number
+        _emit_ms(R, "stage_project_ms", p, floor_ms=0.1)
 
     H.step("stages_headline", 120, step_stages_headline)
 
@@ -515,16 +514,10 @@ def main() -> None:
 
         t_full, img_exact = time_fn_sustained(jax.jit(full), splats, camera,
                                               iters_short=5, iters_long=20)
-        # sub-floor marginals are marked, never published as 0.0
-        below = [n for n, t in (("project", t_project), ("sort", t_sort),
-                                ("bin", t_bin), ("blend", t_blend))
-                 if t * 1e3 < 0.15]
-        if below:
-            R["isolated_ts16_below_floor"] = below
-        R.update({k: round(t * 1e3, 3) for k, t in (
-            ("project_ms", t_project), ("sort_ms", t_sort),
-            ("bin_ms", t_bin), ("blend_ms", t_blend))
-            if t * 1e3 >= 0.15})
+        # sub-floor marginals go in below_floor, never published as 0.0
+        for k, t in (("project_ms", t_project), ("sort_ms", t_sort),
+                     ("bin_ms", t_bin), ("blend_ms", t_blend)):
+            _emit_ms(R, k, t)
         _emit_ms(R, "frame_ms_ts16", t_full)
         R.update({
             "blend_blocks_used": blocks_used,
@@ -571,19 +564,10 @@ def main() -> None:
             R["frame_120k_1080p_upper_ms"] = round(tb * 1e3, 3)
         # At 120k the true stage times approach the interleaved-minima
         # noise band (~0.5 ms); a delta below it is NOT a measurement —
-        # publish the stage as below-floor instead of an impossible 0.0
-        # (BENCH_r04 shipped stage_bin_120k_ms: 0.0; VERDICT r4 item 4).
-        floor_ms = 0.5
-        below = []
+        # it goes in below_floor, never an impossible 0.0 (BENCH_r04
+        # shipped stage_bin_120k_ms: 0.0; VERDICT r4 item 4)
         for name, sec in (("project", p), ("bin", b), ("blend", bl)):
-            ms = sec * 1e3
-            if ms >= floor_ms:
-                R[f"stage_{name}_120k_ms"] = round(ms, 3)
-            else:
-                below.append(name)
-        if below:
-            R["stage_120k_below_floor"] = below
-            R["stage_120k_floor_ms"] = floor_ms
+            _emit_ms(R, f"stage_{name}_120k_ms", sec, floor_ms=0.5)
         # the one config with reference per-stage numbers to compare
         # against: GPU_PIPELINE_PLAN.md:533-546's "After" GPU-only estimate
         # (5.8 ms total; project 0.2 + keys/sort/bin 2.9 + render 2.0 +
@@ -868,8 +852,7 @@ def main() -> None:
         t_exact = R.get("frame_ms", 0.0) * 1e-3
         if t_fast * 1e3 < FLOOR_MS:
             R.setdefault("below_floor", []).append("frame_ms_fast")
-            return
-        if t_exact and t_fast >= t_exact:
+        elif t_exact and t_fast >= t_exact:
             # an approximation that loses to exact is an anti-feature —
             # keep it off the scoreboard (VERDICT r4 item 5)
             R["fast_profile_retired"] = round(t_fast * 1e3, 3)

@@ -120,7 +120,7 @@ def time_fn_sustained(
     return max(marginal, 0.0), out
 
 
-def relay_cost_model(sample=None) -> Dict[str, float]:
+def relay_cost_model() -> Dict[str, float]:
     """Measure the transport's fixed costs: per-BURST barrier and per-
     dispatch marginal, from a trivial program at two burst lengths.
     Returns {"barrier_ms", "per_dispatch_ms"}."""
